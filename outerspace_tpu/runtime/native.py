@@ -1,0 +1,88 @@
+"""ctypes loader for the native library (``libouterspace.so``).
+
+The native pieces mirror where the reference was C++ (its entire simulator,
+``simulator/*.cpp``): here the C++ carries the *runtime* — a fast Matrix
+Market parser and the discrete-event TPU performance model — while all
+TPU compute is JAX/XLA/Pallas. Everything degrades gracefully to pure
+Python when the library has not been built (``make -C outerspace_tpu/csrc``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "csrc", "libouterspace.so")
+
+
+def load_library():
+    """Load (and cache) the native library; returns None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.osp_mtx_read.restype = ctypes.c_void_p
+        lib.osp_mtx_read.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.osp_mtx_nrows.restype = ctypes.c_longlong
+        lib.osp_mtx_nrows.argtypes = [ctypes.c_void_p]
+        lib.osp_mtx_ncols.restype = ctypes.c_longlong
+        lib.osp_mtx_ncols.argtypes = [ctypes.c_void_p]
+        lib.osp_mtx_nnz.restype = ctypes.c_longlong
+        lib.osp_mtx_nnz.argtypes = [ctypes.c_void_p]
+        lib.osp_mtx_copy.restype = None
+        lib.osp_mtx_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.osp_mtx_free.restype = None
+        lib.osp_mtx_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def read_mtx_native(path: str, expand_symmetric: bool = True):
+    """Parse a .mtx file with the C++ reader; None if the lib is absent."""
+    lib = load_library()
+    if lib is None:
+        return None
+    handle = lib.osp_mtx_read(path.encode(), 1 if expand_symmetric else 0)
+    if not handle:
+        raise IOError(f"native mtx reader failed on {path}")
+    try:
+        nr = lib.osp_mtx_nrows(handle)
+        nc = lib.osp_mtx_ncols(handle)
+        nnz = lib.osp_mtx_nnz(handle)
+        rows = np.empty(nnz, dtype=np.int32)
+        cols = np.empty(nnz, dtype=np.int32)
+        vals = np.empty(nnz, dtype=np.float32)
+        lib.osp_mtx_copy(
+            handle,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    finally:
+        lib.osp_mtx_free(handle)
+    from outerspace_tpu.formats.coo import COO
+
+    return COO((int(nr), int(nc)), rows, cols, vals)

@@ -1,0 +1,59 @@
+"""Test harness: force an 8-virtual-device CPU mesh before JAX initializes.
+
+Multi-chip sharding code paths (outerspace_tpu.shard) are exercised without
+real TPU hardware via ``xla_force_host_platform_device_count`` — the same
+``shard_map`` programs run unmodified on a real ICI-connected mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from outerspace_tpu.formats import COO, erdos_renyi, rmat  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_matrices():
+    """A small zoo of operand pairs covering the tricky structure cases."""
+    cases = []
+    # ER square pair
+    a = erdos_renyi(64, 64, 0.08, seed=1)
+    b = erdos_renyi(64, 64, 0.08, seed=2)
+    cases.append(("er64", a, b))
+    # Rectangular chain
+    a = erdos_renyi(48, 96, 0.1, seed=3)
+    b = erdos_renyi(96, 32, 0.07, seed=4)
+    cases.append(("rect", a, b))
+    # Skewed power-law squared (load imbalance)
+    g = rmat(6, edge_factor=8, seed=5)
+    cases.append(("rmat6_sq", g, g))
+    # Empty rows/cols, tiny
+    a = COO((8, 8), np.array([0, 0, 7]), np.array([1, 7, 0]),
+            np.array([1.0, 2.0, 3.0], dtype=np.float32))
+    b = COO((8, 8), np.array([1, 7, 0]), np.array([2, 3, 0]),
+            np.array([4.0, 5.0, 6.0], dtype=np.float32))
+    cases.append(("tiny", a, b))
+    # Annihilation: values that cancel exactly produce explicit zeros in
+    # scipy — keep positive values to make nnz comparisons well-defined.
+    return cases
+
+
+@pytest.fixture(params=random_matrices(), ids=lambda c: c[0])
+def operand_pair(request):
+    return request.param[1], request.param[2]
