@@ -18,10 +18,13 @@ devices, hence the scalar-fetch sync.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+del os  # (persistent jax compilation cache hangs the axon remote-compile path)
 
 
 def _sync_scalar(x) -> float:
@@ -72,13 +75,29 @@ def bench_spgemm_suite() -> list[dict]:
         c_ref.sum_duplicates()
         c_ref.sort_indices()
 
-        plan = expansion_plan(g.to_csc(), g.to_csr())
-        p_pad = plan.padded_size()
-        dev = plan_to_device(plan)
-        jax.block_until_ready(list(dev.values()))
+        from outerspace_tpu.ops.spgemm import plan_tiled, spgemm_padded_tiled
+        from outerspace_tpu.sched.planner import choose_strategy
+
+        a_csc, b_csr = g.to_csc(), g.to_csr()
+        plan = expansion_plan(a_csc, b_csr)
+        strategy = choose_strategy(a_csc, b_csr)
+        if strategy == "tiles":
+            tplan = plan_tiled(a_csc, b_csr)
+            p_pad = tplan.padded_total
+
+            def merged_fn():
+                return spgemm_padded_tiled(tplan)
+
+        else:
+            p_pad = plan.padded_size()
+            dev = plan_to_device(plan)
+            jax.block_until_ready(list(dev.values()))
+
+            def merged_fn():
+                return spgemm_padded(plan, p_pad, device_args=dev)
 
         def run():
-            return spgemm_padded(plan, p_pad, device_args=dev).nnz
+            return merged_fn().nnz
 
         t_tpu = _time_device(run)
         t_plan = _time_host(lambda: expansion_plan(g.to_csc(), g.to_csr()))
@@ -89,7 +108,7 @@ def bench_spgemm_suite() -> list[dict]:
         # tests/ and in the small-workload path below).
         import jax.numpy as jnp
 
-        merged = spgemm_padded(plan, p_pad, device_args=dev)
+        merged = merged_fn()
         nnz_ok = int(merged.nnz) == c_ref.nnz
         if nnz_ok:
             v = jnp.where(merged.valid, merged.vals, 0.0)

@@ -294,14 +294,144 @@ def spgemm_padded(
     return MergedCOO((plan.m, plan.n), rows, cols, vals, valid, nnz)
 
 
+# --------------------------------------------------------------------------
+# Tiled strategy: Pallas dense-tile expand for heavy k + gather residue
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TiledPlan:
+    """Host-side plan for the scheduler-split (Pallas + gather) pipeline."""
+
+    m: int
+    n: int
+    sched: "object"  # OuterProductSchedule
+    light_plan: ExpansionPlan | None
+    light_pad: int
+    device_args: dict
+
+    @property
+    def padded_total(self) -> int:
+        return self.sched.ntasks * 1024 + self.light_pad
+
+
+def plan_tiled(a_csc: CSC, b_csr: CSR, interpret: bool = False) -> TiledPlan:
+    from outerspace_tpu.ops.symbolic import expansion_plan_subset
+    from outerspace_tpu.ops.pallas.expand import schedule_to_device
+    from outerspace_tpu.sched.planner import plan_outer_tiles
+
+    sched = plan_outer_tiles(a_csc, b_csr)
+    dev = schedule_to_device(sched, b_csr.indices, b_csr.data)
+    light_plan = None
+    light_pad = 0
+    if sched.light_k.shape[0] > 0 and sched.light_p > 0:
+        light_plan = expansion_plan_subset(a_csc, b_csr, sched.light_k)
+        light_pad = light_plan.padded_size(min_size=1024)
+        dev["light"] = plan_to_device(light_plan)
+    return TiledPlan(
+        a_csc.shape[0], b_csr.shape[1], sched, light_plan, light_pad, dev
+    )
+
+
+def spgemm_padded_tiled(
+    tplan: TiledPlan, packed: bool | None = None, interpret: bool = False
+) -> MergedCOO:
+    """Expand via Pallas dense tiles (+ gather residue), then merge."""
+    from outerspace_tpu.ops.pallas.expand import expand_tiles_device
+
+    if packed is None:
+        packed = tplan.m * tplan.n < 2**31
+    dev = tplan.device_args
+    sentinel = int(tplan.m)
+    streams = []
+    if tplan.sched.ntasks > 0:
+        streams.append(
+            expand_tiles_device(
+                dev["tasks"],
+                dev["a_rows_t"],
+                dev["a_vals_t"],
+                dev["b_cols_blk"],
+                dev["b_vals_blk"],
+                ntasks=tplan.sched.ntasks,
+                sentinel_row=sentinel,
+                interpret=interpret,
+            )
+        )
+    if tplan.light_plan is not None:
+        lp = dev["light"]
+        streams.append(
+            _expand_light(
+                **lp, p_pad=int(tplan.light_pad), sentinel_row=sentinel
+            )
+        )
+    if not streams:
+        z = jnp.zeros(1, jnp.int32)
+        return MergedCOO(
+            (tplan.m, tplan.n),
+            jnp.full(1, _I32_MAX, jnp.int32),
+            z,
+            jnp.zeros(1, jnp.float32),
+            jnp.zeros(1, jnp.bool_),
+            jnp.zeros((), jnp.int32),
+        )
+    rows, cols, vals = _merge_streams(
+        tuple(s[0] for s in streams),
+        tuple(s[1] for s in streams),
+        tuple(s[2] for s in streams),
+    )
+    if packed:
+        r, c, v, valid, nnz = _merge_packed_jit(
+            rows, cols, vals, n_cols=int(tplan.n), sentinel_row=sentinel
+        )
+    else:
+        r, c, v, valid, nnz = _merge_twokey_jit(
+            rows, cols, vals, sentinel_row=sentinel
+        )
+    return MergedCOO((tplan.m, tplan.n), r, c, v, valid, nnz)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "sentinel_row"))
+def _expand_light(
+    a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
+    *, p_pad: int, sentinel_row: int,
+):
+    return expand_partial_products(
+        a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
+        p_pad, sentinel_row,
+    )
+
+
+@jax.jit
+def _merge_streams(rows_t, cols_t, vals_t):
+    return (
+        jnp.concatenate(rows_t),
+        jnp.concatenate(cols_t),
+        jnp.concatenate(vals_t),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "sentinel_row"))
+def _merge_packed_jit(rows, cols, vals, *, n_cols: int, sentinel_row: int):
+    return merge_packed(rows, cols, vals, n_cols, sentinel_row)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel_row",))
+def _merge_twokey_jit(rows, cols, vals, *, sentinel_row: int):
+    return merge_twokey(rows, cols, vals, sentinel_row)
+
+
 def spgemm(
     a: COO | CSR | CSC,
     b: COO | CSR | CSC,
     p_pad: int | None = None,
     packed: bool | None = None,
+    strategy: str = "auto",
+    interpret: bool = False,
 ) -> CSR:
     """C = A @ B on TPU; returns a host CSR with exact nnz.
 
+    ``strategy``: "auto" lets the scheduler pick; "flat" forces the XLA
+    gather pipeline; "tiles" forces the Pallas dense-tile expand.
     End-to-end: symbolic plan (host) → expand+sort+merge (device) →
     compaction to CSR (host fetch).
     """
@@ -315,6 +445,13 @@ def spgemm(
             np.zeros(0, dtype=INDEX_DTYPE),
             np.zeros(0, dtype=VALUE_DTYPE),
         )
+    if strategy == "auto":
+        from outerspace_tpu.sched.planner import choose_strategy
+
+        strategy = choose_strategy(a_csc, b_csr)
+    if strategy == "tiles":
+        tplan = plan_tiled(a_csc, b_csr, interpret=interpret)
+        return spgemm_padded_tiled(tplan, packed=packed, interpret=interpret).to_csr()
     return spgemm_padded(plan, p_pad, packed=packed).to_csr()
 
 

@@ -103,6 +103,36 @@ def expansion_plan(a_csc: CSC, b_csr: CSR) -> ExpansionPlan:
     )
 
 
+def expansion_plan_subset(
+    a_csc: CSC, b_csr: CSR, k_subset: np.ndarray
+) -> ExpansionPlan:
+    """Expansion plan restricted to outer indices in ``k_subset`` (the
+    scheduler's light-k residue, ``sched/planner.py``)."""
+    k_dim = a_csc.shape[1]
+    keep_k = np.zeros(k_dim, dtype=bool)
+    keep_k[k_subset] = True
+    a_nnz_per_col = a_csc.major_nnz().astype(np.int64)
+    a_k = np.repeat(np.arange(k_dim, dtype=np.int32), a_nnz_per_col)
+    keep_e = keep_k[a_k]
+    a_k = a_k[keep_e]
+    b_row_nnz = b_csr.major_nnz().astype(np.int64)
+    counts = b_row_nnz[a_k]
+    offsets = np.zeros(a_k.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return ExpansionPlan(
+        m=a_csc.shape[0],
+        n=b_csr.shape[1],
+        k=k_dim,
+        a_rows=a_csc.indices[keep_e],
+        a_vals=a_csc.data[keep_e],
+        a_k=a_k,
+        b_indptr=b_csr.indptr,
+        b_cols=b_csr.indices,
+        b_vals=b_csr.data,
+        offsets=offsets,
+    )
+
+
 def per_outer_index_flops(a_csc: CSC, b_csr: CSR) -> np.ndarray:
     """FLOPs contributed by each outer-product index
     (= nnz(col i of A) · nnz(row i of B)) — the skew signal the scheduler

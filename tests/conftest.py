@@ -7,12 +7,19 @@ real TPU hardware via ``xla_force_host_platform_device_count`` — the same
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS at interpreter
+# startup; the config knob after import wins, so force CPU explicitly —
+# otherwise "CPU" tests silently run on the tunneled TPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

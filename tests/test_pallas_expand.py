@@ -1,0 +1,104 @@
+"""Pallas dense-tile expand kernel + scheduler split, interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from outerspace_tpu.formats import COO, erdos_renyi, rmat
+from outerspace_tpu.ops.reference import assert_csr_allclose, spgemm_scipy
+from outerspace_tpu.ops.spgemm import plan_tiled, spgemm, spgemm_padded_tiled
+from outerspace_tpu.sched.planner import (
+    TILE_A,
+    TILE_B,
+    choose_strategy,
+    plan_outer_tiles,
+)
+
+
+def _dense_ish(m, n, seed, density=0.55):
+    """Operands with heavy columns (nnz/col >= 64) so the (8, 128) tile
+    path actually triggers — the planner routes skinnier columns to the
+    gather residue."""
+    rng = np.random.default_rng(seed)
+    d = (rng.random((m, n)) < density).astype(np.float32)
+    d *= rng.random((m, n), dtype=np.float32) + 0.5
+    return COO.from_dense(d)
+
+
+class TestPlanner:
+    def test_task_counts_cover_heavy_products(self):
+        a = _dense_ish(140, 140, 0)
+        b = _dense_ish(140, 140, 1)
+        a_csc, b_csr = a.to_csc(), b.to_csr()
+        sched = plan_outer_tiles(a_csc, b_csr)
+        assert sched.heavy_p + sched.light_p == int(
+            np.dot(a_csc.major_nnz().astype(np.int64), b_csr.major_nnz())
+        )
+        assert sched.padded_heavy >= sched.heavy_p
+
+    def test_masks_within_tiles(self):
+        a = _dense_ish(130, 130, 2)
+        b = _dense_ish(130, 130, 3)
+        sched = plan_outer_tiles(a.to_csc(), b.to_csr())
+        assert (sched.a_len >= 1).all() and (sched.a_len <= TILE_A).all()
+        assert (sched.b_lo >= 0).all() and (sched.b_hi <= TILE_B).all()
+        assert (sched.b_lo < sched.b_hi).all()
+
+    def test_all_light_empty_schedule(self):
+        a = erdos_renyi(64, 64, 0.02, seed=4)  # ~1 nnz/col: all light
+        sched = plan_outer_tiles(a.to_csc(), a.to_csr())
+        assert sched.ntasks == 0
+        assert sched.heavy_p == 0
+
+    def test_choose_strategy(self):
+        dense = _dense_ish(200, 200, 5)
+        assert choose_strategy(dense.to_csc(), dense.to_csr()) == "tiles"
+        sparse = erdos_renyi(200, 200, 0.005, seed=6)
+        assert choose_strategy(sparse.to_csc(), sparse.to_csr()) == "flat"
+
+
+class TestTiledSpGEMM:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_matches_scipy_dense_ish(self, seed):
+        a = _dense_ish(100, 150, seed)
+        b = _dense_ish(150, 120, seed + 10)
+        ref = spgemm_scipy(a, b)
+        got = spgemm(a, b, strategy="tiles", interpret=True)
+        assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_mixed_heavy_light(self):
+        # Heavy block plus a sparse fringe: exercises both streams + concat.
+        rng = np.random.default_rng(7)
+        d = np.zeros((160, 160), dtype=np.float32)
+        d[:80, :80] = (rng.random((80, 80)) < 0.9) * (
+            rng.random((80, 80)) + 0.5
+        )
+        fringe = rng.random((160, 160)) < 0.01
+        d[fringe] = rng.random(int(fringe.sum())) + 0.5
+        a = COO.from_dense(d)
+        ref = spgemm_scipy(a, a)
+        got = spgemm(a, a, strategy="tiles", interpret=True)
+        assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_rmat_tiled(self):
+        g = rmat(6, edge_factor=16, seed=8)
+        ref = spgemm_scipy(g, g)
+        got = spgemm(g, g, strategy="tiles", interpret=True)
+        assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_all_light_falls_through(self):
+        a = erdos_renyi(64, 64, 0.02, seed=9)
+        ref = spgemm_scipy(a, a)
+        got = spgemm(a, a, strategy="tiles", interpret=True)
+        assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_twokey_tiled(self):
+        a = _dense_ish(120, 120, 11)
+        ref = spgemm_scipy(a, a)
+        got = spgemm(a, a, strategy="tiles", packed=False, interpret=True)
+        assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_padded_total_accounting(self):
+        a = _dense_ish(120, 120, 12)
+        tplan = plan_tiled(a.to_csc(), a.to_csr())
+        merged = spgemm_padded_tiled(tplan, interpret=True)
+        assert merged.rows.shape[0] == tplan.padded_total

@@ -1,0 +1,54 @@
+"""Block-ELL SpMM kernel vs dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from outerspace_tpu.formats import COO, BlockELL, erdos_renyi
+from outerspace_tpu.ops.pallas.spmm_kernel import spmm
+
+
+def _sparse_w(m, k, density, seed, block=(8, 128)):
+    w = erdos_renyi(m, k, density, seed=seed, values="normal")
+    return BlockELL.from_coo(w, block_shape=block), w.to_dense()
+
+
+class TestSpMM:
+    @pytest.mark.parametrize("shape", [(64, 256, 32), (100, 784, 17)])
+    def test_matches_dense(self, shape):
+        m, k, n = shape
+        w_ell, w_dense = _sparse_w(m, k, 0.05, seed=m + k)
+        x = np.random.default_rng(0).standard_normal((k, n)).astype(np.float32)
+        y = np.asarray(spmm(w_ell, x, interpret=True))
+        np.testing.assert_allclose(y, w_dense @ x, rtol=1e-4, atol=1e-4)
+
+    def test_block_sparsity_skipped(self):
+        # A W with very few blocks: result must still be exact.
+        m, k = 128, 512
+        d = np.zeros((m, k), dtype=np.float32)
+        d[3:11, 130:140] = 1.5  # one block neighborhood
+        d[77, 400] = -2.0
+        w = BlockELL.from_coo(COO.from_dense(d), block_shape=(8, 128))
+        assert w.stored_blocks <= 6
+        x = np.random.default_rng(1).standard_normal((k, 64)).astype(np.float32)
+        y = np.asarray(spmm(w, x, interpret=True))
+        np.testing.assert_allclose(y, d @ x, rtol=1e-4, atol=1e-4)
+
+    def test_empty_matrix(self):
+        w = BlockELL.from_coo(COO((64, 128), [], [], []), block_shape=(8, 128))
+        x = np.ones((128, 32), dtype=np.float32)
+        y = np.asarray(spmm(w, x, interpret=True))
+        np.testing.assert_array_equal(y, np.zeros((64, 32)))
+
+    def test_shape_mismatch_raises(self):
+        w, _ = _sparse_w(16, 128, 0.1, seed=3)
+        with pytest.raises(ValueError):
+            spmm(w, np.ones((64, 4), dtype=np.float32), interpret=True)
+
+    def test_unaligned_n(self):
+        # N not a multiple of the tile: padding + crop must be exact.
+        w, w_dense = _sparse_w(40, 256, 0.08, seed=4)
+        x = np.random.default_rng(2).standard_normal((256, 77)).astype(
+            np.float32
+        )
+        y = np.asarray(spmm(w, x, interpret=True))
+        np.testing.assert_allclose(y, w_dense @ x, rtol=1e-4, atol=1e-4)
