@@ -1,0 +1,87 @@
+"""Sparse inference: the pruned-NN forward pass through the SpGEMM/SpMM
+TPU kernels.
+
+This is the end-to-end bridge the reference only modeled: instead of
+exporting .mtx files into a cycle simulator, the pruned layers execute on
+real hardware —
+
+- ``spgemm`` path: both activation and weight as sparse operands,
+  ``act @ Wᵀ`` per layer through the outer-product pipeline (what
+  ``./simulator act_i.mtx fcN_weight.mtx`` simulated,
+  ``SimSpGEMM.cpp:852-857``);
+- ``spmm`` path: block-ELL weights × dense activations on the MXU
+  (the production-shaped kernel for structured NN sparsity).
+
+Both paths must match the dense forward at 1e-6 relative tolerance
+(the reference's eps, ``SimSpGEMM.cpp:283``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from outerspace_tpu.formats import COO, BlockELL
+from outerspace_tpu.nn.export import dense_kernel_to_2d
+from outerspace_tpu.ops.reference import spgemm_scipy
+from outerspace_tpu.ops.spgemm import spgemm
+
+
+def _relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.0)
+
+
+def mlp_forward_dense(params, x: np.ndarray) -> np.ndarray:
+    """Plain dense forward (oracle)."""
+    h = x.reshape(x.shape[0], -1)
+    layers = sorted(k for k in params.keys() if k.startswith("Dense"))
+    for i, layer in enumerate(layers):
+        w = np.asarray(params[layer]["kernel"])
+        b = np.asarray(params[layer]["bias"])
+        h = h @ w + b
+        if i < len(layers) - 1:
+            h = _relu(h)
+    return h
+
+
+def mlp_forward_spgemm(
+    params, x: np.ndarray, backend: str = "tpu"
+) -> np.ndarray:
+    """Forward pass where every ``act @ Wᵀ`` runs as sparse × sparse
+    SpGEMM (activations are post-ReLU sparse, weights pruned).
+
+    ``backend``: "tpu" = the Pallas/XLA pipeline; "scipy" = CPU oracle.
+    """
+    mult = spgemm if backend == "tpu" else spgemm_scipy
+    h = np.asarray(x, dtype=np.float32).reshape(x.shape[0], -1)
+    layers = sorted(k for k in params.keys() if k.startswith("Dense"))
+    for i, layer in enumerate(layers):
+        w2d = dense_kernel_to_2d(params[layer]["kernel"])  # (out, in)
+        b = np.asarray(params[layer]["bias"])
+        act = COO.from_dense(h)
+        wt = COO.from_dense(w2d).transpose()  # (in, out) = Wᵀ operand
+        prod = mult(act, wt).to_dense()  # act @ Wᵀ... shape (batch, out)
+        h = prod + b
+        if i < len(layers) - 1:
+            h = _relu(h)
+    return h
+
+
+def mlp_forward_spmm(
+    params, x: np.ndarray, interpret: bool = False
+) -> np.ndarray:
+    """Forward pass with block-ELL sparse weights × dense activations on
+    the MXU: ``h' = (W_blockell @ hᵀ)ᵀ + b``."""
+    h = jnp.asarray(x, dtype=jnp.float32).reshape(x.shape[0], -1)
+    layers = sorted(k for k in params.keys() if k.startswith("Dense"))
+    from outerspace_tpu.ops.pallas.spmm_kernel import spmm
+
+    for i, layer in enumerate(layers):
+        w2d = dense_kernel_to_2d(params[layer]["kernel"])  # (out, in)
+        b = jnp.asarray(params[layer]["bias"])
+        w_ell = BlockELL.from_coo(COO.from_dense(w2d), block_shape=(8, 128))
+        h = spmm(w_ell, h.T, interpret=interpret).T + b
+        if i < len(layers) - 1:
+            h = jnp.maximum(h, 0.0)
+    return np.asarray(h)

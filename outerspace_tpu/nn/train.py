@@ -1,0 +1,214 @@
+"""Training / evaluation / finetuning loops (reference ``NN_models/main.py``).
+
+Parity pieces:
+- Adam lr=1e-3 + cross-entropy (``main.py:85-88``);
+- optional **L2 regularization on both weights and activations** with
+  per-layer lambdas (``main.py:114-142`` — the reference hand-tuned
+  per-layer coefficients; here they're a config list);
+- finetune mode multiplies gradients by the nonzero-weight mask so pruned
+  zeros stay zero (``main.py:146-160``);
+- best-validation checkpointing (``main.py:169-172``) and loss/accuracy
+  history capture (``util.py:27-37``).
+
+TPU-first: one jitted ``train_step`` (donated params/opt state) usable
+under ``jax.sharding`` — the same step function is what
+``__graft_entry__.dryrun_multichip`` shards over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from outerspace_tpu.nn import prune as prune_lib
+from outerspace_tpu.nn.data import batches
+from outerspace_tpu.nn.models import make_model
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model_type: str = "MLP1"
+    num_epochs: int = 5
+    batch_size: int = 1024
+    lr: float = 1e-3
+    l2reg: bool = False
+    weight_lambdas: tuple = (1e-4, 1e-4, 1e-4)
+    act_lambdas: tuple = (1e-5, 1e-5)
+    finetune: bool = False
+    seed: int = 0
+
+
+def loss_fn(params, apply_fn, x, y, cfg: TrainConfig):
+    logits, acts = apply_fn({"params": params}, x)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+    reg = 0.0
+    if cfg.l2reg:
+        # Weight L2 with per-layer lambdas (kernel leaves in layer order).
+        kernels = [
+            w
+            for path, w in jax.tree_util.tree_flatten_with_path(params)[0]
+            if any(getattr(k, "key", None) == "kernel" for k in path)
+        ]
+        for lam, w in zip(cfg.weight_lambdas, kernels):
+            reg = reg + lam * jnp.sum(w * w)
+        # Activation L2 (drives activation sparsity, main.py:131-142).
+        for lam, a in zip(cfg.act_lambdas, acts):
+            reg = reg + lam * jnp.sum(a * a) / a.shape[0]
+    acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+    return ce + reg, (ce, acc)
+
+
+# No buffer donation: the loop aliases `params` into best_params
+# (donation would invalidate the kept checkpoint buffer).
+@partial(jax.jit, static_argnames=("apply_fn", "cfg", "tx"))
+def train_step(params, opt_state, x, y, masks, *, apply_fn, cfg, tx):
+    (loss, (ce, acc)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params, apply_fn, x, y, cfg)
+    if cfg.finetune:
+        grads = prune_lib.apply_grad_mask(grads, masks)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    if cfg.finetune:
+        # Keep pruned weights exactly zero even under optimizer momentum.
+        params = jax.tree_util.tree_map(
+            lambda p, m: p * m.astype(p.dtype), params, masks
+        )
+    return params, opt_state, loss, acc
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def eval_step(params, x, y, *, apply_fn):
+    logits, _ = apply_fn({"params": params}, x)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+    acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+    return ce, acc
+
+
+def evaluate(params, apply_fn, x, y, batch_size: int = 1024):
+    """Full-split evaluation (reference ``eval``, ``main.py:26-63``)."""
+    losses, accs, n = [], [], 0
+    nb = max(x.shape[0] // batch_size, 1)
+    for i in range(nb):
+        xb = x[i * batch_size : (i + 1) * batch_size]
+        yb = y[i * batch_size : (i + 1) * batch_size]
+        if xb.shape[0] == 0:
+            break
+        ce, acc = eval_step(params, xb, yb, apply_fn=apply_fn)
+        losses.append(float(ce) * xb.shape[0])
+        accs.append(float(acc) * xb.shape[0])
+        n += xb.shape[0]
+    return sum(losses) / max(n, 1), sum(accs) / max(n, 1)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    best_params: Any
+    best_val_acc: float
+    history: dict  # train/val losses + accs per epoch
+
+
+def train(
+    data: dict,
+    cfg: TrainConfig,
+    init_params: Any | None = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train (or finetune) a model; returns final + best-val params.
+
+    ``data`` = {"train": (x, y), "val": (x, y), ...} numpy arrays.
+    """
+    model = make_model(cfg.model_type)
+    x0 = jnp.asarray(data["train"][0][: cfg.batch_size])
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = (
+        init_params
+        if init_params is not None
+        else model.init(rng, x0)["params"]
+    )
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+    masks = prune_lib.nonzero_masks(params)
+    step = partial(train_step, apply_fn=model.apply, cfg=cfg, tx=tx)
+
+    history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": []}
+    best_val_acc, best_params = -1.0, params
+    for epoch in range(cfg.num_epochs):
+        # Reference runs val phase before train each epoch (main.py:90-94).
+        val_loss, val_acc = evaluate(
+            params, model.apply, *data["val"], cfg.batch_size
+        )
+        ep_loss, ep_acc, nb = 0.0, 0.0, 0
+        for xb, yb in batches(
+            *data["train"], cfg.batch_size, seed=cfg.seed + epoch
+        ):
+            params, opt_state, loss, acc = step(
+                params, opt_state, jnp.asarray(xb), jnp.asarray(yb), masks
+            )
+            ep_loss += float(loss)
+            ep_acc += float(acc)
+            nb += 1
+        history["train_loss"].append(ep_loss / max(nb, 1))
+        history["train_acc"].append(ep_acc / max(nb, 1))
+        history["val_loss"].append(val_loss)
+        history["val_acc"].append(val_acc)
+        if val_acc > best_val_acc:
+            best_val_acc, best_params = val_acc, params
+        if verbose:
+            print(
+                f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f} "
+                f"train_acc={history['train_acc'][-1]:.4f} "
+                f"val_acc={val_acc:.4f}"
+            )
+    # Final val check for best-params tracking.
+    val_loss, val_acc = evaluate(
+        params, model.apply, *data["val"], cfg.batch_size
+    )
+    if val_acc > best_val_acc:
+        best_val_acc, best_params = val_acc, params
+    return TrainResult(params, best_params, best_val_acc, history)
+
+
+def finetune(
+    data: dict, cfg: TrainConfig, pruned_params: Any, verbose: bool = True
+) -> TrainResult:
+    """Masked-gradient finetune preserving pruned zeros
+    (reference ``main.py:241-242``: finetune = train(finetune=True))."""
+    cfg = dataclasses.replace(cfg, finetune=True)
+    return train(data, cfg, init_params=pruned_params, verbose=verbose)
+
+
+def save_params(path: str, params: Any) -> None:
+    """Pickle a host copy of the params (reference ``save_model_weights``,
+    ``util.py:16-20``)."""
+    host = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        pickle.dump(host, f)
+
+
+def load_params(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_training_stats(path: str, history: dict) -> None:
+    """Pickle (train_losses, train_accs, val_losses, val_accs) — the
+    reference's tuple layout (``util.py:27-37``)."""
+    with open(path, "wb") as f:
+        pickle.dump(
+            (
+                history["train_loss"],
+                history["train_acc"],
+                history["val_loss"],
+                history["val_acc"],
+            ),
+            f,
+        )

@@ -1,0 +1,225 @@
+"""NN pipeline: models, pruning, train/finetune, export, sparse inference."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from outerspace_tpu.formats import read_mtx
+from outerspace_tpu.nn.data import find_mnist_dir, load_mnist, synthetic_mnist
+from outerspace_tpu.nn.models import MLP1, LeNet, activation_sparsity
+from outerspace_tpu.nn.prune import (
+    get_sparsity,
+    nonzero_masks,
+    prune_params,
+    sparsity_report,
+    zero_small_weights,
+)
+from outerspace_tpu.nn.train import (
+    TrainConfig,
+    evaluate,
+    finetune,
+    load_params,
+    save_params,
+    train,
+)
+
+
+@pytest.fixture(scope="module")
+def mnist():
+    return synthetic_mnist(n=2048, seed=0)
+
+
+@pytest.fixture(scope="module")
+def mlp_params():
+    model = MLP1()
+    x0 = jnp.zeros((4, 784))
+    return model.init(jax.random.PRNGKey(0), x0)["params"]
+
+
+class TestModels:
+    def test_mlp_shapes(self, mlp_params):
+        model = MLP1()
+        x = jnp.ones((16, 784))
+        logits, acts = model.apply({"params": mlp_params}, x)
+        assert logits.shape == (16, 10)
+        assert acts[0].shape == (16, 100) and acts[1].shape == (16, 100)
+
+    def test_lenet_shapes(self):
+        model = LeNet()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 28, 28, 1)))[
+            "params"
+        ]
+        logits, acts = model.apply({"params": params}, jnp.ones((2, 28, 28, 1)))
+        assert logits.shape == (2, 10)
+        # conv1 out 28x28x6, pool1 14x14x6, conv2 10x10x16, pool2 5x5x16,
+        # flat 400, fc1 120, fc2 84 (reference models.py:53-84)
+        shapes = [a.shape for a in acts]
+        assert shapes[0] == (2, 28, 28, 6)
+        assert shapes[1] == (2, 14, 14, 6)
+        assert shapes[2] == (2, 10, 10, 16)
+        assert shapes[3] == (2, 5, 5, 16)
+        assert shapes[4] == (2, 400)
+        assert shapes[5] == (2, 120)
+        assert shapes[6] == (2, 84)
+
+    def test_activation_sparsity(self, mlp_params):
+        model = MLP1()
+        _, acts = model.apply({"params": mlp_params}, jnp.ones((8, 784)))
+        s = activation_sparsity(acts)
+        assert all(0 <= v <= 1 for v in s)
+
+
+class TestPrune:
+    def test_prune_hits_target(self, mlp_params):
+        pruned = prune_params(mlp_params, sparsity_level=0.1)
+        for name, (nnz, numel, frac) in sparsity_report(pruned).items():
+            if "kernel" in name:
+                assert frac == pytest.approx(0.1, abs=0.02), name
+        # Biases untouched (flax inits them to zero; compare exactly).
+        for layer in mlp_params:
+            np.testing.assert_array_equal(
+                np.asarray(pruned[layer]["bias"]),
+                np.asarray(mlp_params[layer]["bias"]),
+            )
+
+    def test_get_sparsity(self):
+        w = np.array([0.0, 1.0, 0.0, 2.0])
+        assert get_sparsity(w) == (2, 4, 0.5)
+
+    def test_masks_and_zero_small(self, mlp_params):
+        pruned = prune_params(mlp_params, 0.2)
+        masks = nonzero_masks(pruned)
+        k = pruned["Dense_0"]["kernel"]
+        m = masks["Dense_0"]["kernel"]
+        assert bool(jnp.all((k != 0) == m))
+        z = zero_small_weights(mlp_params, threshold=1e-2)
+        assert float(jnp.min(jnp.abs(z["Dense_0"]["kernel"])[
+            z["Dense_0"]["kernel"] != 0
+        ])) >= 1e-2
+
+
+class TestTrain:
+    def test_train_learns(self, mnist):
+        cfg = TrainConfig(num_epochs=3, batch_size=256)
+        res = train(mnist, cfg, verbose=False)
+        # Synthetic digits are near-deterministic per class: must beat 60%.
+        _, test_acc = evaluate(
+            res.best_params, MLP1().apply, *mnist["test"], 256
+        )
+        assert test_acc > 0.6, test_acc
+        assert len(res.history["train_loss"]) == 3
+
+    def test_prune_finetune_preserves_zeros(self, mnist):
+        cfg = TrainConfig(num_epochs=1, batch_size=256)
+        res = train(mnist, cfg, verbose=False)
+        pruned = prune_params(res.params, sparsity_level=0.1)
+        ft = finetune(mnist, cfg, pruned, verbose=False)
+        for layer in ["Dense_0", "Dense_1", "Dense_2"]:
+            before = np.asarray(pruned[layer]["kernel"]) != 0
+            after = np.asarray(ft.params[layer]["kernel"]) != 0
+            # No resurrection of pruned weights.
+            assert not np.any(after & ~before), layer
+
+    def test_l2reg_runs(self, mnist):
+        cfg = TrainConfig(num_epochs=1, batch_size=256, l2reg=True)
+        res = train(mnist, cfg, verbose=False)
+        assert np.isfinite(res.history["train_loss"][0])
+
+    def test_save_load_roundtrip(self, tmp_path, mlp_params):
+        p = str(tmp_path / "w.pkl")
+        save_params(p, mlp_params)
+        back = load_params(p)
+        np.testing.assert_array_equal(
+            np.asarray(mlp_params["Dense_0"]["kernel"]),
+            back["Dense_0"]["kernel"],
+        )
+
+
+class TestData:
+    def test_synthetic_deterministic(self):
+        a = synthetic_mnist(256, seed=3)
+        b = synthetic_mnist(256, seed=3)
+        np.testing.assert_array_equal(a["train"][0], b["train"][0])
+
+    def test_real_mnist_if_present(self):
+        if find_mnist_dir() is None:
+            pytest.skip("no MNIST idx files available")
+        data = load_mnist()
+        x, y = data["train"]
+        assert x.shape[1:] == (28, 28)
+        assert x.min() >= 0 and x.max() <= 1
+        assert set(np.unique(y)) <= set(range(10))
+
+
+class TestExportAndSparseInfer:
+    def test_mlp_export_roundtrip(self, tmp_path, mnist, mlp_params):
+        from outerspace_tpu.nn.export import export_mlp1
+
+        x = mnist["test"][0][:32]
+        files = export_mlp1(mlp_params, x, str(tmp_path))
+        w1 = read_mtx(files["fc1_weight"], native=False)
+        assert w1.shape == (100, 784)
+        act0 = read_mtx(files["act_0"], native=False)
+        assert act0.shape == (32, 784)
+        # act_1 = relu(act_0 @ fc1ᵀ + b): check via dense math.
+        from outerspace_tpu.ops.reference import spgemm_scipy
+
+        prod = spgemm_scipy(act0, w1.to_csc().to_csr().to_coo().T).to_dense()
+        b1 = np.asarray(mlp_params["Dense_0"]["bias"])
+        act1 = read_mtx(files["act_1"], native=False).to_dense()
+        np.testing.assert_allclose(
+            np.maximum(prod + b1, 0), act1, rtol=1e-4, atol=1e-4
+        )
+
+    def test_lenet_im2col_equals_conv(self):
+        from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 28, 28, 1)).astype(np.float32)
+        w = rng.standard_normal((5, 5, 1, 6)).astype(np.float32)
+        patches = im2col(jnp.asarray(x), 5, 2)  # (2*28*28, 25)
+        w2d = conv_kernel_to_2d(w)  # (6, 25)
+        y_gemm = (np.asarray(patches) @ w2d.T).reshape(2, 28, 28, 6)
+        y_conv = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1),
+            ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            y_gemm, np.asarray(y_conv), rtol=1e-4, atol=1e-4
+        )
+
+    def test_lenet_export(self, tmp_path, mnist):
+        from outerspace_tpu.nn.export import export_lenet
+
+        model = LeNet()
+        params = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((2, 28, 28, 1))
+        )["params"]
+        x = mnist["test"][0][:8]
+        files = export_lenet(params, x, str(tmp_path))
+        w1 = read_mtx(files["conv1_weight"], native=False)
+        assert w1.shape == (6, 25)
+        a1 = read_mtx(files["conv1_input"], native=False)
+        assert a1.shape == (8 * 28 * 28, 25)
+        w_fc1 = read_mtx(files["fc1_weight"], native=False)
+        assert w_fc1.shape == (120, 400)
+
+    def test_sparse_inference_matches_dense(self, mnist, mlp_params):
+        from outerspace_tpu.nn.prune import prune_params
+        from outerspace_tpu.nn.sparse_infer import (
+            mlp_forward_dense,
+            mlp_forward_spgemm,
+            mlp_forward_spmm,
+        )
+
+        params = prune_params(mlp_params, sparsity_level=0.1)
+        x = mnist["test"][0][:16]
+        dense = mlp_forward_dense(params, x)
+        spg = mlp_forward_spgemm(params, x, backend="tpu")
+        np.testing.assert_allclose(spg, dense, rtol=1e-5, atol=1e-5)
+        scp = mlp_forward_spgemm(params, x, backend="scipy")
+        np.testing.assert_allclose(scp, dense, rtol=1e-5, atol=1e-5)
+        spm = mlp_forward_spmm(params, x, interpret=True)
+        np.testing.assert_allclose(spm, dense, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,79 @@
+"""Sharded SpGEMM on an 8-virtual-device CPU mesh (same code path as ICI)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from outerspace_tpu.formats import COO, erdos_renyi, rmat
+from outerspace_tpu.ops.reference import assert_csr_allclose, spgemm_scipy
+from outerspace_tpu.shard import make_mesh, shard_plan, spgemm_sharded
+from outerspace_tpu.shard.mesh import balanced_contiguous_partition
+from outerspace_tpu.shard.spgemm_sharded import sharded_result_to_csr
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh((8,), ("x",))
+
+
+class TestPartition:
+    def test_balanced_partition(self):
+        w = np.array([1, 1, 1, 1, 100, 1, 1, 1], dtype=np.float64)
+        b = balanced_contiguous_partition(w, 4)
+        assert b[0] == 0 and b[-1] == 8
+        assert np.all(np.diff(b) >= 0)
+
+    def test_all_zero_weights(self):
+        b = balanced_contiguous_partition(np.zeros(5), 3)
+        assert b[0] == 0 and b[-1] == 5
+
+    def test_capacity_covers_counts(self):
+        g = rmat(7, edge_factor=8, seed=21)
+        plan = shard_plan(g.to_csc(), g.to_csr(), 8)
+        assert plan.capacity >= 1
+        assert plan.p_total.max() <= plan.p_pad
+
+
+class TestShardedSpGEMM:
+    @pytest.mark.parametrize(
+        "gen",
+        [
+            lambda: erdos_renyi(256, 256, 0.02, seed=31),
+            lambda: rmat(7, edge_factor=8, seed=32),
+            lambda: erdos_renyi(100, 300, 0.05, seed=33),
+        ],
+        ids=["er256", "rmat7", "rect"],
+    )
+    def test_matches_scipy(self, mesh8, gen):
+        a = gen()
+        b = (
+            erdos_renyi(a.shape[1], a.shape[1], 0.03, seed=99)
+            if a.shape[0] != a.shape[1]
+            else a
+        )
+        plan = shard_plan(a.to_csc(), b.to_csr(), 8)
+        out = spgemm_sharded(plan, mesh8)
+        got = sharded_result_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
+
+    def test_empty_device_slices(self, mesh8):
+        # Fewer nonempty columns than devices: some k-slices are empty.
+        a = COO((64, 64), [0, 1], [0, 1], [1.0, 2.0])
+        plan = shard_plan(a.to_csc(), a.to_csr(), 8)
+        out = spgemm_sharded(plan, mesh8)
+        got = sharded_result_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(a, a))
+
+    def test_skewed_rows_single_owner(self, mesh8):
+        # All output lands in one row: one owner device gets everything.
+        rng = np.random.default_rng(0)
+        cols = np.arange(32)
+        a = COO((64, 64), np.zeros(32, np.int64), cols,
+                rng.random(32).astype(np.float32) + 0.5)
+        b = erdos_renyi(64, 64, 0.1, seed=44)
+        plan = shard_plan(a.to_csc(), b.to_csr(), 8)
+        out = spgemm_sharded(plan, mesh8)
+        got = sharded_result_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
