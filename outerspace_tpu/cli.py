@@ -1,0 +1,235 @@
+"""Command-line drivers.
+
+Subcommands:
+
+- ``spgemm A.mtx B.mtx``   — the reference simulator's CLI contract
+  (``./simulator A.mtx B.mtx``, ``SimSpGEMM.cpp:819-999``): transposes
+  matrix 2 so the product is ``M1 · M2ᵀ``, prints the multiply FLOP count
+  Σᵢ nnzc(i)·nnzr(i) and GFLOP/s — except the "machine" is a real TPU,
+  and alongside the measured time it prints the analytical roofline
+  prediction (the reference always printed both of its models,
+  ``SimOuterSPACE.cpp:859-875``).
+- ``nn --mode {train,prune,finetune,eval,pf,export}`` — the NN pipeline
+  CLI (``NN_models/main.py:244-315``), including the prune→finetune
+  compound mode ``pf``.
+- ``graph {triangles,mcl} G.mtx`` — graph kernels via repeated A².
+- ``bench`` — the benchmark suite (same as ``python bench.py``).
+
+Usage: ``python -m outerspace_tpu.cli <subcommand> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# The axon TPU plugin overrides JAX_PLATFORMS at interpreter startup; honor
+# an explicit CPU request (tests, machines without the tunnel) via the
+# config knob, which wins if applied before first backend use.
+if os.environ.get("OUTERSPACE_FORCE_CPU") or os.environ.get(
+    "JAX_PLATFORMS", ""
+).strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_spgemm(args) -> int:
+    from outerspace_tpu.formats import read_mtx
+    from outerspace_tpu.ops.reference import spgemm_flops
+    from outerspace_tpu.ops.spgemm import spgemm
+    from outerspace_tpu.perf.roofline import predict_spgemm_time
+    from outerspace_tpu.ops.symbolic import expansion_plan
+
+    m1 = read_mtx(args.matrix1)
+    m2 = read_mtx(args.matrix2)
+    if not args.no_transpose:
+        m2 = m2.transpose()  # reference transposes matrix 2 (:852-857)
+    a_csc, b_csr = m1.to_csc(), m2.to_csr()
+    if a_csc.shape[1] != b_csr.shape[0]:
+        print(
+            f"dimension mismatch: {a_csc.shape} @ {b_csr.shape}",
+            file=sys.stderr,
+        )
+        return 2
+    flops = spgemm_flops(a_csc, b_csr)
+    plan = expansion_plan(a_csc, b_csr)
+    roof = predict_spgemm_time(plan.padded_size(), m1.nnz, m2.nnz)
+    # Warm-up (compile), then measure.
+    c = spgemm(a_csc, b_csr, strategy=args.strategy)
+    t0 = time.perf_counter()
+    c = spgemm(a_csc, b_csr, strategy=args.strategy)
+    elapsed = time.perf_counter() - t0
+    print(f"C shape: {c.shape}, nnz: {c.nnz}")
+    print(f"multiply flops: {flops}")
+    print(f"analytical roofline: {roof * 1e3:.3f} ms")
+    print(f"measured: {elapsed * 1e3:.3f} ms")
+    print(f"GFlops: {flops / elapsed / 1e9:.4f}")
+    if args.out:
+        from outerspace_tpu.formats import write_mtx
+
+        write_mtx(args.out, c)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_nn(args) -> int:
+    import jax
+
+    from outerspace_tpu.nn.data import (
+        find_mnist_dir,
+        load_mnist,
+        synthetic_mnist,
+    )
+    from outerspace_tpu.nn.models import make_model
+    from outerspace_tpu.nn.prune import prune_params, sparsity_report
+    from outerspace_tpu.nn.train import (
+        TrainConfig,
+        evaluate,
+        finetune,
+        load_params,
+        save_params,
+        save_training_stats,
+        train,
+    )
+
+    data = (
+        load_mnist()
+        if (args.data == "mnist" and find_mnist_dir())
+        else synthetic_mnist(n=4096)
+    )
+    cfg = TrainConfig(
+        model_type=args.model_type,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        l2reg=args.l2reg,
+    )
+    params = load_params(args.load_model_name) if args.load_model_name else None
+
+    def report_eval(p, tag):
+        model = make_model(args.model_type)
+        loss, acc = evaluate(p, model.apply, *data["test"], cfg.batch_size)
+        print(f"{tag}: test_loss={loss:.4f} test_acc={acc:.4f}")
+
+    if args.mode == "train":
+        res = train(data, cfg, init_params=params)
+        report_eval(res.best_params, "trained")
+        if args.saved_model_name:
+            save_params(args.saved_model_name, res.best_params)
+            save_training_stats(args.saved_model_name + ".stats", res.history)
+    elif args.mode == "eval":
+        assert params is not None, "--load_model_name required"
+        report_eval(params, "eval")
+    elif args.mode == "prune":
+        assert params is not None, "--load_model_name required"
+        pruned = prune_params(params, args.sparsity_level)
+        for name, (nnz, numel, frac) in sparsity_report(pruned).items():
+            print(f"  {name}: nnz={nnz}/{numel} ({frac:.4f})")
+        report_eval(pruned, "pruned")
+        if args.saved_model_name:
+            save_params(args.saved_model_name, pruned)
+    elif args.mode == "finetune":
+        assert params is not None, "--load_model_name required"
+        res = finetune(data, cfg, params)
+        report_eval(res.best_params, "finetuned")
+        if args.saved_model_name:
+            save_params(args.saved_model_name, res.best_params)
+    elif args.mode == "pf":
+        # prune → finetune with evals in between (main.py:299-309).
+        res = train(data, cfg, init_params=params)
+        report_eval(res.best_params, "trained")
+        pruned = prune_params(res.best_params, args.sparsity_level)
+        report_eval(pruned, "pruned")
+        ft = finetune(data, cfg, pruned)
+        report_eval(ft.best_params, "finetuned")
+        if args.saved_model_name:
+            save_params(args.saved_model_name, ft.best_params)
+    elif args.mode == "export":
+        assert params is not None, "--load_model_name required"
+        from outerspace_tpu.nn.export import export_lenet, export_mlp1
+
+        x = data["test"][0][: args.batch_size]
+        exporter = export_mlp1 if args.model_type == "MLP1" else export_lenet
+        files = exporter(params, x, args.save_dir)
+        for k, v in files.items():
+            print(f"  {k}: {v}")
+    else:
+        print(f"unknown mode {args.mode}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_graph(args) -> int:
+    from outerspace_tpu.formats import read_mtx
+    from outerspace_tpu.ops.graph import markov_cluster, mcl_clusters, triangle_count
+
+    g = read_mtx(args.matrix)
+    if args.kernel == "triangles":
+        t0 = time.perf_counter()
+        n = triangle_count(g, backend=args.backend)
+        dt = time.perf_counter() - t0
+        print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
+    else:
+        t0 = time.perf_counter()
+        flow = markov_cluster(g, iters=args.iters, backend=args.backend)
+        clusters = mcl_clusters(flow)
+        dt = time.perf_counter() - t0
+        print(f"mcl: {len(clusters)} clusters ({dt * 1e3:.1f} ms)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="outerspace_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("spgemm", help="C = M1 · M2ᵀ from .mtx operands")
+    p.add_argument("matrix1")
+    p.add_argument("matrix2")
+    p.add_argument("--strategy", default="auto", choices=["auto", "flat", "tiles"])
+    p.add_argument("--no-transpose", action="store_true",
+                   help="compute M1 · M2 instead of M1 · M2ᵀ")
+    p.add_argument("--out", default=None, help="write result .mtx here")
+    p.set_defaults(fn=cmd_spgemm)
+
+    p = sub.add_parser("nn", help="NN pipeline (train/prune/finetune/eval/pf)")
+    p.add_argument("--mode", required=True,
+                   choices=["train", "prune", "finetune", "eval", "pf", "export"])
+    p.add_argument("--model_type", default="MLP1", choices=["MLP1", "LeNet"])
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--sparsity_level", type=float, default=0.1)
+    p.add_argument("--l2reg", action="store_true")
+    p.add_argument("--load_model_name", default=None)
+    p.add_argument("--saved_model_name", default=None)
+    p.add_argument("--save_dir", default="mtx_out")
+    p.add_argument("--data", default="mnist", choices=["mnist", "synthetic"])
+    p.set_defaults(fn=cmd_nn)
+
+    p = sub.add_parser("graph", help="graph kernels via repeated A²")
+    p.add_argument("kernel", choices=["triangles", "mcl"])
+    p.add_argument("matrix")
+    p.add_argument("--backend", default="tpu", choices=["tpu", "scipy"])
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser("bench", help="benchmark suite (one JSON line)")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""ctypes wrapper for the C++ discrete-event TPU performance model.
+
+See ``csrc/perfsim.cpp`` — the native re-design of the reference's
+cycle-accurate simulator (``SimCycle.h`` + ``SimOuterSPACE.cpp:240-857``).
+Used by the scheduler to predict kernel cycle counts for tile-size
+decisions, and cross-checked against the analytical roofline the same way
+the reference always printed both models (``SimOuterSPACE.cpp:859-875``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "csrc", "libouterspace.so")
+    )
+
+
+def build_native(force: bool = False) -> bool:
+    """Build libouterspace.so with make; returns availability."""
+    path = _lib_path()
+    if os.path.exists(path) and not force:
+        return True
+    csrc = os.path.dirname(path)
+    try:
+        subprocess.run(
+            ["make", "-C", csrc], check=True, capture_output=True, text=True
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return os.path.exists(path)
+
+
+def load(build: bool = True):
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_lib_path()) and build:
+        build_native()
+    if not os.path.exists(_lib_path()):
+        return None
+    lib = ctypes.CDLL(_lib_path())
+    lib.osp_sim_kernel.restype = ctypes.c_int64
+    lib.osp_sim_kernel.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.osp_sim_kernel_uniform.restype = ctypes.c_int64
+    lib.osp_sim_kernel_uniform.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.osp_sim_fifo_selftest.restype = ctypes.c_int
+    lib.osp_sim_fifo_selftest.argtypes = []
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def simulate_kernel(
+    in_bytes: np.ndarray,
+    out_bytes: np.ndarray,
+    flops: np.ndarray,
+    use_mxu: bool = False,
+) -> tuple[int, float]:
+    """Simulate a kernel with per-task byte/flop profiles.
+
+    Returns (cycles, compute_utilization).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native perfsim not built (make -C csrc)")
+    ib = np.ascontiguousarray(in_bytes, dtype=np.int64)
+    ob = np.ascontiguousarray(out_bytes, dtype=np.int64)
+    fl = np.ascontiguousarray(flops, dtype=np.int64)
+    n = ib.shape[0]
+    util = ctypes.c_double(0.0)
+    cycles = lib.osp_sim_kernel(
+        n,
+        ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if use_mxu else 0,
+        ctypes.byref(util),
+    )
+    return int(cycles), float(util.value)
+
+
+def simulate_expand_schedule(sched, clock_hz: float = 0.94e9) -> dict:
+    """Predict the dense-tile expand kernel's runtime from its task table
+    (the scheduler's cost model for tile-size decisions)."""
+    from outerspace_tpu.sched.planner import TILE_A, TILE_B
+
+    n = sched.ntasks
+    if n == 0:
+        return dict(cycles=0, seconds=0.0, util=0.0)
+    in_bytes = np.full(n, (TILE_A * 8) + (8 * TILE_B * 8), dtype=np.int64)
+    out_bytes = np.full(n, TILE_A * TILE_B * 12, dtype=np.int64)
+    flops = np.full(n, TILE_A * TILE_B, dtype=np.int64)
+    cycles, util = simulate_kernel(in_bytes, out_bytes, flops)
+    return dict(cycles=cycles, seconds=cycles / clock_hz, util=util)
+
+
+def fifo_selftest() -> int:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native perfsim not built")
+    return int(lib.osp_sim_fifo_selftest())

@@ -1,0 +1,132 @@
+"""Analytical TPU roofline for the SpGEMM pipeline.
+
+Parity with the reference's analytical model (``SimOuterSPACE.cpp:
+176-238``), re-derived for a real TPU:
+
+- reference: per-task cycles = max(compute, DRAM-bytes · PEs / BW)
+  (``analyzeCycles``, ``:198-202``), phase total = max over PEs of its
+  round-robin share (``:204-232``).
+- here: per-phase seconds = max(FLOP time on the VPU/MXU, bytes / HBM BW),
+  with byte counts from the *actual* padded buffer sizes the kernels move,
+  and a multi-chip mode that takes the max over the FLOP-balanced k-slices
+  plus the ICI all-to-all volume (replacing crossbar/DRAM contention).
+
+The model is deliberately closed-form: the C++ discrete-event simulator
+(``csrc/perfsim.cpp``) covers the queueing effects this ignores. Both
+exist to sanity-check measured kernel times — the same cross-checking-by-
+redundancy role the two models played in the reference (it always printed
+both, ``SimOuterSPACE.cpp:859-875``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class TPUConfig:
+    """Hardware constants (defaults: one TPU v5e chip).
+
+    Plays the role of the reference's compile-time ``OuterSPACEConfig``
+    (``SimOuterSPACE.cpp:17-27``), but as a runtime dataclass.
+    """
+
+    hbm_bw_bytes: float = 819e9  # HBM bandwidth, bytes/s
+    vpu_flops: float = 2.45e12 / 2  # f32 VPU ops/s (8x128 lanes @ 940MHz x 8 ALUs / 2)
+    mxu_flops_f32: float = 4.9e13  # f32-precision MXU FLOP/s (3-pass)
+    mxu_flops_bf16: float = 1.97e14  # bf16 MXU FLOP/s
+    ici_bw_bytes: float = 4.5e10  # per-link ICI bandwidth, bytes/s
+    vmem_bytes: int = 128 * 1024 * 1024 // 8  # 16 MB
+    clock_hz: float = 0.94e9
+
+    def time(self, flops: float, bytes_moved: float, unit: str = "vpu") -> float:
+        rate = {
+            "vpu": self.vpu_flops,
+            "mxu": self.mxu_flops_f32,
+            "mxu_bf16": self.mxu_flops_bf16,
+        }[unit]
+        return max(flops / rate, bytes_moved / self.hbm_bw_bytes)
+
+
+# Bytes per partial product in the expanded stream: row + col + val (int32,
+# int32, f32).
+STREAM_BYTES = 12
+
+
+def predict_multiply_time(
+    padded_products: int,
+    nnz_a: int,
+    nnz_b: int,
+    cfg: TPUConfig = TPUConfig(),
+) -> float:
+    """Expand-phase roofline: reads A and B flat arrays once (plus block
+    re-reads, ignored), writes the full partial-product stream.
+
+    Reference analogue: ``analyzeMultiplyTask`` counted result + colA +
+    rowB bytes, 64B-aligned (``SimOuterSPACE.cpp:176-181``).
+    """
+    bytes_moved = (
+        padded_products * STREAM_BYTES  # stream write
+        + nnz_a * 8
+        + nnz_b * 8  # operand reads
+    )
+    flops = padded_products  # one multiply per product
+    return cfg.time(flops, bytes_moved, "vpu")
+
+
+def predict_merge_time(
+    padded_products: int,
+    cfg: TPUConfig = TPUConfig(),
+    sort_impl: str = "xla_bitonic",
+) -> float:
+    """Merge-phase roofline.
+
+    The reference's merge model was quadratic in merge ways
+    (``analyzeMergeTask``, ``SimOuterSPACE.cpp:183-196``) because its PEs
+    re-scanned inputs per way; a sort-based merge is O(P log² P) bitonic
+    (XLA) or O(P · passes) radix (the planned Pallas kernel).
+    """
+    n = max(padded_products, 2)
+    if sort_impl == "xla_bitonic":
+        stages = (math.ceil(math.log2(n)) ** 2 + math.ceil(math.log2(n))) // 2
+        # Each stage streams the (key, val) pairs once; XLA keeps ~8
+        # stages in VMEM per HBM round trip (empirical fudge).
+        hbm_passes = max(stages / 8.0, 1.0)
+    elif sort_impl == "radix8":
+        hbm_passes = 8.0
+    else:
+        raise ValueError(sort_impl)
+    sort_bytes = n * 8 * 2 * hbm_passes
+    # Segmented scan: log2(n) shift passes over (val, flag).
+    scan_bytes = n * 5 * 2 * math.ceil(math.log2(n))
+    flops = n * math.ceil(math.log2(n))
+    return cfg.time(flops, sort_bytes + scan_bytes, "vpu")
+
+
+def predict_spgemm_time(
+    padded_products: int,
+    nnz_a: int,
+    nnz_b: int,
+    cfg: TPUConfig = TPUConfig(),
+    ndev: int = 1,
+    per_device_products: list[int] | None = None,
+) -> float:
+    """Whole-pipeline roofline; multi-chip takes the max over k-slices
+    plus the all-to-all stream crossing ICI once (the reference took max
+    over PEs of their round-robin share, ``SimOuterSPACE.cpp:204-232``)."""
+    if ndev == 1:
+        return predict_multiply_time(
+            padded_products, nnz_a, nnz_b, cfg
+        ) + predict_merge_time(padded_products, cfg)
+    per_dev = per_device_products or [padded_products // ndev] * ndev
+    worst = max(per_dev)
+    t = predict_multiply_time(worst, nnz_a // ndev + 1, nnz_b, cfg)
+    t += worst * STREAM_BYTES / cfg.ici_bw_bytes  # all-to-all exchange
+    t += predict_merge_time(worst, cfg)
+    return t
+
+
+def achieved_fraction(measured_s: float, predicted_s: float) -> float:
+    """Roofline attainment: predicted / measured (1.0 = at the roof)."""
+    return predicted_s / max(measured_s, 1e-12)

@@ -1,0 +1,149 @@
+"""Graph kernels + CLI drivers + config."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from outerspace_tpu.config import Config
+from outerspace_tpu.formats import COO, erdos_renyi, rmat, write_mtx
+from outerspace_tpu.ops.graph import markov_cluster, mcl_clusters, triangle_count
+
+
+def _triangle_oracle(coo: COO) -> int:
+    d = coo.to_dense()
+    d = ((d + d.T) != 0).astype(np.float64)
+    np.fill_diagonal(d, 0)
+    return int(round(np.trace(d @ d @ d) / 6))
+
+
+class TestGraphKernels:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_triangle_count(self, seed):
+        g = erdos_renyi(60, 60, 0.08, seed=seed)
+        assert triangle_count(g) == _triangle_oracle(g)
+
+    def test_triangle_count_rmat(self):
+        g = rmat(6, edge_factor=6, seed=9)
+        assert triangle_count(g) == _triangle_oracle(g)
+
+    def test_triangle_no_triangles(self):
+        # A path graph has zero triangles.
+        n = 16
+        g = COO((n, n), np.arange(n - 1), np.arange(1, n),
+                np.ones(n - 1, np.float32))
+        assert triangle_count(g) == 0
+
+    def test_mcl_two_blobs(self):
+        # Two disconnected cliques must yield two clusters.
+        n = 12
+        d = np.zeros((n, n), dtype=np.float32)
+        d[:6, :6] = 1.0
+        d[6:, 6:] = 1.0
+        np.fill_diagonal(d, 0)
+        g = COO.from_dense(d)
+        flow = markov_cluster(g, iters=8)
+        clusters = mcl_clusters(flow)
+        assert len(clusters) == 2
+        sizes = sorted(len(c) for c in clusters)
+        assert sizes == [6, 6]
+
+    def test_mcl_backends_agree(self):
+        g = erdos_renyi(24, 24, 0.15, seed=4)
+        f1 = markov_cluster(g, iters=4, backend="tpu")
+        f2 = markov_cluster(g, iters=4, backend="scipy")
+        assert f1.nnz == f2.nnz
+        np.testing.assert_allclose(
+            f1.to_dense(), f2.to_dense(), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestConfig:
+    def test_override(self):
+        c = Config().override(["tile_a=16", "waste_limit=3.5"])
+        assert c.tile_a == 16 and c.waste_limit == 3.5
+
+    def test_unknown_key_raises(self):
+        with pytest.raises(KeyError):
+            Config().override(["bogus=1"])
+
+    def test_tuple_override(self):
+        c = Config().override(["mesh_shape=2,4"])
+        assert c.mesh_shape == (2, 4)
+
+
+class TestCLI:
+    def _run(self, *argv):
+        return subprocess.run(
+            [sys.executable, "-m", "outerspace_tpu.cli", *argv],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+                "OUTERSPACE_FORCE_CPU": "1",
+            },
+        )
+
+    def test_spgemm_cli(self, tmp_path):
+        a = erdos_renyi(50, 50, 0.1, seed=1)
+        b = erdos_renyi(50, 50, 0.1, seed=2)
+        pa, pb = str(tmp_path / "a.mtx"), str(tmp_path / "b.mtx")
+        write_mtx(pa, a)
+        write_mtx(pb, b)
+        out = self._run("spgemm", pa, pb, "--no-transpose")
+        assert out.returncode == 0, out.stderr
+        assert "GFlops:" in out.stdout and "nnz:" in out.stdout
+        # act·Wᵀ contract: default transposes matrix 2.
+        out_t = self._run("spgemm", pa, pb)
+        assert out_t.returncode == 0, out_t.stderr
+
+    def test_spgemm_cli_writes_result(self, tmp_path):
+        from outerspace_tpu.formats import read_mtx
+        from outerspace_tpu.ops.reference import spgemm_scipy, compare_coo
+
+        a = erdos_renyi(30, 30, 0.15, seed=3)
+        pa = str(tmp_path / "a.mtx")
+        po = str(tmp_path / "c.mtx")
+        write_mtx(pa, a)
+        out = self._run("spgemm", pa, pa, "--no-transpose", "--out", po)
+        assert out.returncode == 0, out.stderr
+        got = read_mtx(po, native=False)
+        ref = spgemm_scipy(a, a).to_coo()
+        assert compare_coo(got, ref, eps=1e-5)
+
+    def test_spgemm_cli_dim_mismatch(self, tmp_path):
+        a = erdos_renyi(10, 20, 0.2, seed=4)
+        b = erdos_renyi(30, 30, 0.2, seed=5)
+        pa, pb = str(tmp_path / "a.mtx"), str(tmp_path / "b.mtx")
+        write_mtx(pa, a)
+        write_mtx(pb, b)
+        out = self._run("spgemm", pa, pb, "--no-transpose")
+        assert out.returncode == 2
+        assert "mismatch" in out.stderr
+
+    def test_nn_cli_train_synthetic(self, tmp_path):
+        saved = str(tmp_path / "model.pkl")
+        out = self._run(
+            "nn", "--mode", "train", "--num_epochs", "1",
+            "--batch_size", "256", "--data", "synthetic",
+            "--saved_model_name", saved,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "test_acc=" in out.stdout
+        out2 = self._run(
+            "nn", "--mode", "prune", "--data", "synthetic",
+            "--load_model_name", saved, "--sparsity_level", "0.2",
+        )
+        assert out2.returncode == 0, out2.stderr
+        assert "nnz=" in out2.stdout
+
+    def test_graph_cli(self, tmp_path):
+        g = erdos_renyi(40, 40, 0.1, seed=6)
+        p = str(tmp_path / "g.mtx")
+        write_mtx(p, g)
+        out = self._run("graph", "triangles", p, "--backend", "scipy")
+        assert out.returncode == 0, out.stderr
+        assert "triangles:" in out.stdout
