@@ -3,21 +3,22 @@
 The reference's multiply PEs stream one A-element at a time against a B
 row, emitting 64-byte blocks (``PEMultiplier``, ``SimOuterSPACE.cpp:
 501-552``). The TPU-native version instead materialises each heavy outer
-product as (8 × 128) register tiles — one VPU tile per task — chosen by
-the scheduler (``sched/planner.py``):
+product as (tile_a × 128) register tiles — one VPU tile per task — chosen
+by the scheduler (``sched/planner.py``):
 
-  out_vals[t]  = a_vals[t][:, None] * b_vals[b_block[t]][None, :]
-  out_cols[t]  = broadcast(b_cols[b_block[t]])
-  out_rows[t]  = broadcast(a_rows[t])
+  out_vals[t] = a_vals[t][:, None] * b_vals[b_block[t]][None, :]
+  out_keys[t] = a_rows[t][:, None] * n_cols + b_cols[b_block[t]][None, :]
 
 All reads/writes are contiguous blocks (BlockSpec-indexed via scalar
 prefetch); there are **no gathers** — the skew-heavy >90% of the partial
 products is produced at HBM streaming bandwidth instead of ~10 cycles per
-element through XLA gather. Masked lanes (tile padding) carry a sentinel
-row that the merge phase sorts past.
+element through XLA gather. When ``m·n < 2³¹`` the kernel emits merged
+sort keys directly (packed mode: two output streams instead of three),
+fusing the merge phase's key construction. Masked lanes carry the int32
+sentinel that sorts past every real key.
 
 Mosaic layout notes: TPU block shapes must be (8k, 128)-aligned in their
-last two dimensions, so the A-side task slices are fetched in (8, 8)
+last two dimensions, so the A-side task slices are fetched in (8, tile_a)
 groups and the B arrays in (8, 128) block groups; the kernel selects its
 sublane from each group. The scheduler orders tasks B-major per k so the
 Pallas pipeline re-uses the fetched B group across consecutive tasks.
@@ -33,76 +34,95 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from outerspace_tpu.sched.planner import TILE_A, TILE_B, OuterProductSchedule
+from outerspace_tpu.sched.planner import TILE_B, OuterProductSchedule
 
 _A_GROUP = 8  # tasks per A-side fetch group (sublane alignment)
+_I32_MAX = np.int32(2**31 - 1)
 
 
-def _expand_kernel(
+def _expand_kernel_packed(
     task_ref,  # SMEM int32[ntasks * 4] flat: (a_len, b_block, b_lo, b_hi)
-    #            (flat 1-D because SMEM pads a trailing dim to 128 lanes)
-    a_rows_ref,  # VMEM int32[_A_GROUP, TILE_A]   (task group t // 8)
-    a_vals_ref,  # VMEM f32[_A_GROUP, TILE_A]
+    a_rows_ref,  # VMEM int32[_A_GROUP, tile_a]   (task group t // 8)
+    a_vals_ref,  # VMEM f32[_A_GROUP, tile_a]
     b_cols_ref,  # VMEM int32[_A_GROUP, TILE_B]   (block group b_block // 8)
     b_vals_ref,  # VMEM f32[_A_GROUP, TILE_B]
-    out_rows_ref,  # VMEM int32[1, TILE_A, TILE_B]
-    out_cols_ref,  # VMEM int32[1, TILE_A, TILE_B]
-    out_vals_ref,  # VMEM f32[1, TILE_A, TILE_B]
+    out_keys_ref,  # VMEM int32[1, tile_a, TILE_B]
+    out_vals_ref,  # VMEM f32[1, tile_a, TILE_B]
     *,
+    tile_a: int,
+    n_cols: int,
+):
+    t = pl.program_id(0)
+    a_len = task_ref[t * 4]
+    b_lo = task_ref[t * 4 + 2]
+    b_hi = task_ref[t * 4 + 3]
+    g = t % _A_GROUP
+    gb = task_ref[t * 4 + 1] % _A_GROUP
+
+    a_rows = a_rows_ref[g, :].reshape(tile_a, 1)
+    a_vals = a_vals_ref[g, :].reshape(tile_a, 1)
+    b_cols = b_cols_ref[gb, :].reshape(1, TILE_B)
+    b_vals = b_vals_ref[gb, :].reshape(1, TILE_B)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 1)
+    mask = (sub < a_len) & (lane >= b_lo) & (lane < b_hi)
+
+    keys = a_rows * np.int32(n_cols) + b_cols
+    vals = a_vals * b_vals  # (tile_a, TILE_B) outer product on the VPU
+    out_keys_ref[0] = jnp.where(mask, keys, _I32_MAX)
+    out_vals_ref[0] = jnp.where(mask, vals, 0.0)
+
+
+def _expand_kernel_coords(
+    task_ref,
+    a_rows_ref,
+    a_vals_ref,
+    b_cols_ref,
+    b_vals_ref,
+    out_rows_ref,
+    out_cols_ref,
+    out_vals_ref,
+    *,
+    tile_a: int,
     sentinel_row: int,
 ):
     t = pl.program_id(0)
     a_len = task_ref[t * 4]
     b_lo = task_ref[t * 4 + 2]
     b_hi = task_ref[t * 4 + 3]
-    g = t % _A_GROUP  # which sublane of the A group is ours
-    gb = task_ref[t * 4 + 1] % _A_GROUP  # which sublane of the B group
+    g = t % _A_GROUP
+    gb = task_ref[t * 4 + 1] % _A_GROUP
 
-    a_rows = a_rows_ref[g, :].reshape(TILE_A, 1)
-    a_vals = a_vals_ref[g, :].reshape(TILE_A, 1)
+    a_rows = a_rows_ref[g, :].reshape(tile_a, 1)
+    a_vals = a_vals_ref[g, :].reshape(tile_a, 1)
     b_cols = b_cols_ref[gb, :].reshape(1, TILE_B)
     b_vals = b_vals_ref[gb, :].reshape(1, TILE_B)
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_A, TILE_B), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_A, TILE_B), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 1)
     mask = (sub < a_len) & (lane >= b_lo) & (lane < b_hi)
 
-    vals = a_vals * b_vals  # (TILE_A, TILE_B) outer product on the VPU
-    rows = jnp.broadcast_to(a_rows, (TILE_A, TILE_B))
-    cols = jnp.broadcast_to(b_cols, (TILE_A, TILE_B))
-
+    vals = a_vals * b_vals
+    rows = jnp.broadcast_to(a_rows, (tile_a, TILE_B))
+    cols = jnp.broadcast_to(b_cols, (tile_a, TILE_B))
     out_rows_ref[0] = jnp.where(mask, rows, sentinel_row)
     out_cols_ref[0] = jnp.where(mask, cols, 0)
     out_vals_ref[0] = jnp.where(mask, vals, 0.0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ntasks", "sentinel_row", "interpret")
-)
-def expand_tiles_device(
-    tasks: jax.Array,  # int32[ntasks * 4] flat (a_len, b_block, b_lo, b_hi)
-    a_rows_t: jax.Array,  # int32[ntasks_pad8, TILE_A]
-    a_vals_t: jax.Array,  # f32[ntasks_pad8, TILE_A]
-    b_cols_blk: jax.Array,  # int32[nblocks_pad8, TILE_B]
-    b_vals_blk: jax.Array,  # f32[nblocks_pad8, TILE_B]
-    *,
-    ntasks: int,
-    sentinel_row: int,
-    interpret: bool = False,
-):
-    """Run the dense-tile expand; returns flat (rows, cols, vals) streams
-    of length ntasks·TILE_A·TILE_B (sentinel-masked)."""
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+def _grid_spec(ntasks: int, tile_a: int, n_outputs: int):
+    return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntasks,),
         in_specs=[
             pl.BlockSpec(
-                (_A_GROUP, TILE_A),
+                (_A_GROUP, tile_a),
                 lambda t, task: (t // _A_GROUP, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_A_GROUP, TILE_A),
+                (_A_GROUP, tile_a),
                 lambda t, task: (t // _A_GROUP, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -119,41 +139,119 @@ def expand_tiles_device(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, TILE_A, TILE_B),
+                (1, tile_a, TILE_B),
                 lambda t, task: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 3,
+        * n_outputs,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntasks", "tile_a", "n_cols", "interpret"),
+)
+def expand_tiles_packed(
+    tasks: jax.Array,
+    a_rows_t: jax.Array,
+    a_vals_t: jax.Array,
+    b_cols_blk: jax.Array,
+    b_vals_blk: jax.Array,
+    *,
+    ntasks: int,
+    tile_a: int,
+    n_cols: int,
+    interpret: bool = False,
+):
+    """Dense-tile expand with fused key packing; returns flat (keys, vals)
+    of length ntasks·tile_a·TILE_B (sentinel-masked)."""
     out_shape = [
-        jax.ShapeDtypeStruct((ntasks, TILE_A, TILE_B), jnp.int32),
-        jax.ShapeDtypeStruct((ntasks, TILE_A, TILE_B), jnp.int32),
-        jax.ShapeDtypeStruct((ntasks, TILE_A, TILE_B), jnp.float32),
+        jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.int32),
+        jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.float32),
     ]
-    rows, cols, vals = pl.pallas_call(
-        functools.partial(_expand_kernel, sentinel_row=sentinel_row),
-        grid_spec=grid_spec,
+    keys, vals = pl.pallas_call(
+        functools.partial(
+            _expand_kernel_packed, tile_a=tile_a, n_cols=n_cols
+        ),
+        grid_spec=_grid_spec(ntasks, tile_a, 2),
         out_shape=out_shape,
         interpret=interpret,
     )(tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk)
-    n = ntasks * TILE_A * TILE_B
+    n = ntasks * tile_a * TILE_B
+    return keys.reshape(n), vals.reshape(n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntasks", "tile_a", "sentinel_row", "interpret"),
+)
+def expand_tiles_coords(
+    tasks: jax.Array,
+    a_rows_t: jax.Array,
+    a_vals_t: jax.Array,
+    b_cols_blk: jax.Array,
+    b_vals_blk: jax.Array,
+    *,
+    ntasks: int,
+    tile_a: int,
+    sentinel_row: int,
+    interpret: bool = False,
+):
+    """Dense-tile expand emitting (rows, cols, vals) coordinate streams —
+    the general path when m·n does not fit an int32 key."""
+    out_shape = [
+        jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.int32),
+        jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.int32),
+        jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.float32),
+    ]
+    rows, cols, vals = pl.pallas_call(
+        functools.partial(
+            _expand_kernel_coords, tile_a=tile_a, sentinel_row=sentinel_row
+        ),
+        grid_spec=_grid_spec(ntasks, tile_a, 3),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk)
+    n = ntasks * tile_a * TILE_B
     return rows.reshape(n), cols.reshape(n), vals.reshape(n)
 
 
+def expand_tiles_device(
+    tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk,
+    *, ntasks, sentinel_row, tile_a: int = 8, interpret: bool = False,
+):
+    """Backwards-compatible coordinate-stream entry point."""
+    return expand_tiles_coords(
+        tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk,
+        ntasks=ntasks, tile_a=tile_a, sentinel_row=sentinel_row,
+        interpret=interpret,
+    )
+
+
 def schedule_to_device(
-    sched: OuterProductSchedule, b_csr_cols: np.ndarray, b_csr_vals: np.ndarray
+    sched: OuterProductSchedule,
+    b_csr_cols: np.ndarray,
+    b_csr_vals: np.ndarray,
 ) -> dict[str, jax.Array]:
-    """Stage the task table and 128-padded flat B arrays on device."""
-    tasks = np.stack(
-        [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
-    ).astype(np.int32).reshape(-1)
+    """Stage one class's task table and 128-padded flat B arrays."""
+    tasks = (
+        np.stack(
+            [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
+        )
+        .astype(np.int32)
+        .reshape(-1)
+    )
     ntasks = sched.ntasks
+    tile_a = sched.tile_a
     pad_t = (-ntasks) % _A_GROUP
     a_rows_t = np.pad(sched.a_rows_t, ((0, pad_t), (0, 0)))
     a_vals_t = np.pad(sched.a_vals_t, ((0, pad_t), (0, 0)))
+    if a_rows_t.shape[0] == 0:
+        a_rows_t = np.zeros((_A_GROUP, tile_a), np.int32)
+        a_vals_t = np.zeros((_A_GROUP, tile_a), np.float32)
     nnz_b = b_csr_cols.shape[0]
-    nblocks = -(-nnz_b // TILE_B)
+    nblocks = -(-max(nnz_b, 1) // TILE_B)
     nblocks_pad = -(-nblocks // _A_GROUP) * _A_GROUP
     pad_b = nblocks_pad * TILE_B - nnz_b
     cols_p = np.pad(b_csr_cols, (0, pad_b)).reshape(nblocks_pad, TILE_B)

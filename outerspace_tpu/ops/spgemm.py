@@ -108,16 +108,19 @@ def _shift_right(x: jax.Array, d: int, fill) -> jax.Array:
 
 
 def segmented_sum_sorted(
-    vals: jax.Array, first: jax.Array
+    vals: jax.Array, first: jax.Array, max_run: int | None = None
 ) -> tuple[jax.Array, jax.Array]:
     """Per-run inclusive sums of ``vals`` where runs start at ``first``;
-    returns (scanned vals, is_last mask). Hillis–Steele doubling: log₂ P
-    passes of shift/select/add — all contiguous vector work.
+    returns (scanned vals, is_last mask). Hillis–Steele doubling: log₂ of
+    the longest run in shift/select/add passes — all contiguous vector
+    work. ``max_run`` (host-known upper bound on duplicates per output
+    coordinate, ≤ max nnz per row of A) truncates the pass count.
     """
     n = vals.shape[0]
+    limit = n if max_run is None else min(max(int(max_run), 1), n)
     flag = first
     d = 1
-    while d < n:
+    while d < limit:
         prev_v = _shift_right(vals, d, 0.0)
         prev_f = _shift_right(flag, d, True)
         vals = vals + jnp.where(flag, 0.0, prev_v)
@@ -127,21 +130,20 @@ def segmented_sum_sorted(
     return vals, is_last
 
 
-def merge_packed(
-    rows: jax.Array,
-    cols: jax.Array,
+def merge_packed_keys(
+    key: jax.Array,
     vals: jax.Array,
     n_cols: int,
     sentinel_row: int,
+    max_run: int | None = None,
 ):
-    """Merge via a single packed int32 key — requires m·n < 2³¹."""
-    valid = rows < sentinel_row
-    key = jnp.where(valid, rows * np.int32(n_cols) + cols, _I32_MAX)
+    """Merge a stream of already-packed int32 keys (``row·n + col``,
+    sentinel = INT32_MAX): sort, segmented-scan accumulate, unpack."""
     key, vals = jax.lax.sort((key, vals), num_keys=1)
     first = jnp.concatenate(
         [jnp.ones(1, dtype=jnp.bool_), key[1:] != key[:-1]]
     )
-    summed, is_last = segmented_sum_sorted(vals, first)
+    summed, is_last = segmented_sum_sorted(vals, first, max_run)
     valid_out = is_last & (key != _I32_MAX)
     out_row = jnp.where(valid_out, key // np.int32(n_cols), sentinel_row)
     out_col = jnp.where(valid_out, key % np.int32(n_cols), 0)
@@ -150,8 +152,26 @@ def merge_packed(
     return out_row, out_col, out_val, valid_out, nnz
 
 
+def merge_packed(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    n_cols: int,
+    sentinel_row: int,
+    max_run: int | None = None,
+):
+    """Merge via a single packed int32 key — requires m·n < 2³¹."""
+    valid = rows < sentinel_row
+    key = jnp.where(valid, rows * np.int32(n_cols) + cols, _I32_MAX)
+    return merge_packed_keys(key, vals, n_cols, sentinel_row, max_run)
+
+
 def merge_twokey(
-    rows: jax.Array, cols: jax.Array, vals: jax.Array, sentinel_row: int
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    sentinel_row: int,
+    max_run: int | None = None,
 ):
     """Merge via a two-key variadic sort — general shapes."""
     rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
@@ -161,7 +181,7 @@ def merge_twokey(
             (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1]),
         ]
     )
-    summed, is_last = segmented_sum_sorted(vals, first)
+    summed, is_last = segmented_sum_sorted(vals, first, max_run)
     valid_out = is_last & (rows < sentinel_row)
     out_row = jnp.where(valid_out, rows, sentinel_row)
     out_col = jnp.where(valid_out, cols, 0)
@@ -301,35 +321,54 @@ def spgemm_padded(
 
 @dataclasses.dataclass
 class TiledPlan:
-    """Host-side plan for the scheduler-split (Pallas + gather) pipeline."""
+    """Host-side plan for the scheduler-split (Pallas + gather) pipeline.
+
+    ``device_args["classes"]`` holds one staged task table per tile class
+    (``sched.planner.TILE_A_CLASSES``); ``device_args["light"]`` the
+    gather-path residue plan.
+    """
 
     m: int
     n: int
-    sched: "object"  # OuterProductSchedule
+    class_plan: "object"  # sched.planner.ClassPlan
     light_plan: ExpansionPlan | None
     light_pad: int
     device_args: dict
+    # Host bound on duplicates per output coordinate (max nnz per A row):
+    # truncates the segmented scan's pass count.
+    max_run: int | None = None
 
     @property
     def padded_total(self) -> int:
-        return self.sched.ntasks * 1024 + self.light_pad
+        return self.class_plan.padded_heavy + self.light_pad
 
 
 def plan_tiled(a_csc: CSC, b_csr: CSR, interpret: bool = False) -> TiledPlan:
     from outerspace_tpu.ops.symbolic import expansion_plan_subset
     from outerspace_tpu.ops.pallas.expand import schedule_to_device
-    from outerspace_tpu.sched.planner import plan_outer_tiles
+    from outerspace_tpu.sched.planner import plan_outer_classes
 
-    sched = plan_outer_tiles(a_csc, b_csr)
-    dev = schedule_to_device(sched, b_csr.indices, b_csr.data)
+    cp = plan_outer_classes(a_csc, b_csr)
+    dev = {
+        "classes": [
+            schedule_to_device(c, b_csr.indices, b_csr.data)
+            if c.ntasks > 0
+            else None
+            for c in cp.classes
+        ]
+    }
     light_plan = None
     light_pad = 0
-    if sched.light_k.shape[0] > 0 and sched.light_p > 0:
-        light_plan = expansion_plan_subset(a_csc, b_csr, sched.light_k)
+    if cp.light_k.shape[0] > 0 and cp.light_p > 0:
+        light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
         light_pad = light_plan.padded_size(min_size=1024)
         dev["light"] = plan_to_device(light_plan)
+    a_row_nnz_max = int(
+        np.bincount(a_csc.indices, minlength=a_csc.shape[0]).max(initial=1)
+    )
     return TiledPlan(
-        a_csc.shape[0], b_csr.shape[1], sched, light_plan, light_pad, dev
+        a_csc.shape[0], b_csr.shape[1], cp, light_plan, light_pad, dev,
+        max_run=a_row_nnz_max,
     )
 
 
@@ -337,34 +376,23 @@ def spgemm_padded_tiled(
     tplan: TiledPlan, packed: bool | None = None, interpret: bool = False
 ) -> MergedCOO:
     """Expand via Pallas dense tiles (+ gather residue), then merge."""
-    from outerspace_tpu.ops.pallas.expand import expand_tiles_device
+    from outerspace_tpu.ops.pallas.expand import (
+        expand_tiles_coords,
+        expand_tiles_packed,
+    )
 
     if packed is None:
         packed = tplan.m * tplan.n < 2**31
-    dev = tplan.device_args
     sentinel = int(tplan.m)
-    streams = []
-    if tplan.sched.ntasks > 0:
-        streams.append(
-            expand_tiles_device(
-                dev["tasks"],
-                dev["a_rows_t"],
-                dev["a_vals_t"],
-                dev["b_cols_blk"],
-                dev["b_vals_blk"],
-                ntasks=tplan.sched.ntasks,
-                sentinel_row=sentinel,
-                interpret=interpret,
-            )
+    n_cols = int(tplan.n)
+    class_devs = [
+        (sched, dev)
+        for sched, dev in zip(
+            tplan.class_plan.classes, tplan.device_args["classes"]
         )
-    if tplan.light_plan is not None:
-        lp = dev["light"]
-        streams.append(
-            _expand_light(
-                **lp, p_pad=int(tplan.light_pad), sentinel_row=sentinel
-            )
-        )
-    if not streams:
+        if dev is not None
+    ]
+    if not class_devs and tplan.light_plan is None:
         z = jnp.zeros(1, jnp.int32)
         return MergedCOO(
             (tplan.m, tplan.n),
@@ -374,18 +402,55 @@ def spgemm_padded_tiled(
             jnp.zeros(1, jnp.bool_),
             jnp.zeros((), jnp.int32),
         )
-    rows, cols, vals = _merge_streams(
-        tuple(s[0] for s in streams),
-        tuple(s[1] for s in streams),
-        tuple(s[2] for s in streams),
-    )
+
     if packed:
-        r, c, v, valid, nnz = _merge_packed_jit(
-            rows, cols, vals, n_cols=int(tplan.n), sentinel_row=sentinel
+        keys_l, vals_l = [], []
+        for sched, dev in class_devs:
+            k, v = expand_tiles_packed(
+                dev["tasks"], dev["a_rows_t"], dev["a_vals_t"],
+                dev["b_cols_blk"], dev["b_vals_blk"],
+                ntasks=sched.ntasks, tile_a=sched.tile_a, n_cols=n_cols,
+                interpret=interpret,
+            )
+            keys_l.append(k)
+            vals_l.append(v)
+        if tplan.light_plan is not None:
+            k, v = _expand_light_packed(
+                **tplan.device_args["light"],
+                p_pad=int(tplan.light_pad),
+                sentinel_row=sentinel,
+                n_cols=n_cols,
+            )
+            keys_l.append(k)
+            vals_l.append(v)
+        r, c, v, valid, nnz = _merge_packed_keys_jit(
+            tuple(keys_l), tuple(vals_l),
+            n_cols=n_cols, sentinel_row=sentinel, max_run=tplan.max_run,
         )
     else:
-        r, c, v, valid, nnz = _merge_twokey_jit(
-            rows, cols, vals, sentinel_row=sentinel
+        rows_l, cols_l, vals_l = [], [], []
+        for sched, dev in class_devs:
+            rr, cc, vv = expand_tiles_coords(
+                dev["tasks"], dev["a_rows_t"], dev["a_vals_t"],
+                dev["b_cols_blk"], dev["b_vals_blk"],
+                ntasks=sched.ntasks, tile_a=sched.tile_a,
+                sentinel_row=sentinel, interpret=interpret,
+            )
+            rows_l.append(rr)
+            cols_l.append(cc)
+            vals_l.append(vv)
+        if tplan.light_plan is not None:
+            rr, cc, vv = _expand_light(
+                **tplan.device_args["light"],
+                p_pad=int(tplan.light_pad),
+                sentinel_row=sentinel,
+            )
+            rows_l.append(rr)
+            cols_l.append(cc)
+            vals_l.append(vv)
+        r, c, v, valid, nnz = _merge_twokey_multi_jit(
+            tuple(rows_l), tuple(cols_l), tuple(vals_l),
+            sentinel_row=sentinel, max_run=tplan.max_run,
         )
     return MergedCOO((tplan.m, tplan.n), r, c, v, valid, nnz)
 
@@ -401,23 +466,44 @@ def _expand_light(
     )
 
 
-@jax.jit
-def _merge_streams(rows_t, cols_t, vals_t):
-    return (
-        jnp.concatenate(rows_t),
-        jnp.concatenate(cols_t),
-        jnp.concatenate(vals_t),
+@functools.partial(
+    jax.jit, static_argnames=("p_pad", "sentinel_row", "n_cols")
+)
+def _expand_light_packed(
+    a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
+    *, p_pad: int, sentinel_row: int, n_cols: int,
+):
+    r, c, v = expand_partial_products(
+        a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
+        p_pad, sentinel_row,
     )
+    key = jnp.where(
+        r < sentinel_row, r * np.int32(n_cols) + c, _I32_MAX
+    )
+    return key, v
 
 
-@functools.partial(jax.jit, static_argnames=("n_cols", "sentinel_row"))
-def _merge_packed_jit(rows, cols, vals, *, n_cols: int, sentinel_row: int):
-    return merge_packed(rows, cols, vals, n_cols, sentinel_row)
+@functools.partial(
+    jax.jit, static_argnames=("n_cols", "sentinel_row", "max_run")
+)
+def _merge_packed_keys_jit(
+    keys_t, vals_t, *, n_cols: int, sentinel_row: int, max_run: int | None
+):
+    key = jnp.concatenate(keys_t) if len(keys_t) > 1 else keys_t[0]
+    vals = jnp.concatenate(vals_t) if len(vals_t) > 1 else vals_t[0]
+    return merge_packed_keys(key, vals, n_cols, sentinel_row, max_run)
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel_row",))
-def _merge_twokey_jit(rows, cols, vals, *, sentinel_row: int):
-    return merge_twokey(rows, cols, vals, sentinel_row)
+@functools.partial(
+    jax.jit, static_argnames=("sentinel_row", "max_run")
+)
+def _merge_twokey_multi_jit(
+    rows_t, cols_t, vals_t, *, sentinel_row: int, max_run: int | None
+):
+    rows = jnp.concatenate(rows_t) if len(rows_t) > 1 else rows_t[0]
+    cols = jnp.concatenate(cols_t) if len(cols_t) > 1 else cols_t[0]
+    vals = jnp.concatenate(vals_t) if len(vals_t) > 1 else vals_t[0]
+    return merge_twokey(rows, cols, vals, sentinel_row, max_run)
 
 
 def spgemm(

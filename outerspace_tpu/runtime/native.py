@@ -86,3 +86,66 @@ def read_mtx_native(path: str, expand_symmetric: bool = True):
     from outerspace_tpu.formats.coo import COO
 
     return COO((int(nr), int(nc)), rows, cols, vals)
+
+
+def ref_spgemm_native(a_csc, b_csr):
+    """C = A @ B via the native CPU reference pipeline (the reference's
+    outer-product algorithm, corrected — ``csrc/ref_spgemm.cpp``).
+    Returns a host CSR, or None if the native lib is absent."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ref_configured"):
+        lib.osp_ref_spgemm.restype = ctypes.c_void_p
+        lib.osp_ref_spgemm.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.osp_ref_nnz.restype = ctypes.c_int64
+        lib.osp_ref_nnz.argtypes = [ctypes.c_void_p]
+        lib.osp_ref_copy.restype = None
+        lib.osp_ref_copy.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.osp_ref_free.restype = None
+        lib.osp_ref_free.argtypes = [ctypes.c_void_p]
+        lib._ref_configured = True
+    m, k = a_csc.shape
+    n = b_csr.shape[1]
+    ai = np.ascontiguousarray(a_csc.indptr, dtype=np.int64)
+    ar = np.ascontiguousarray(a_csc.indices, dtype=np.int32)
+    av = np.ascontiguousarray(a_csc.data, dtype=np.float32)
+    bi = np.ascontiguousarray(b_csr.indptr, dtype=np.int64)
+    bc = np.ascontiguousarray(b_csr.indices, dtype=np.int32)
+    bv = np.ascontiguousarray(b_csr.data, dtype=np.float32)
+    h = lib.osp_ref_spgemm(
+        m, n, k,
+        ai.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ar.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        av.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if not h:
+        return None
+    try:
+        nnz = lib.osp_ref_nnz(h)
+        indptr = np.empty(m + 1, dtype=np.int64)
+        cols = np.empty(nnz, dtype=np.int32)
+        vals = np.empty(nnz, dtype=np.float32)
+        lib.osp_ref_copy(
+            h,
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    finally:
+        lib.osp_ref_free(h)
+    from outerspace_tpu.formats.csr import CSR
+
+    return CSR((m, n), indptr, cols, vals)

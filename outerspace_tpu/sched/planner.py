@@ -6,14 +6,15 @@ simply tolerated nnz² load imbalance (it reported max-over-PE cycles,
 ``:204-216``). Here the planner is smarter and produces *static* task
 tables the kernels consume:
 
-- **Heavy/light split**: outer-product indices *k* whose
-  ``nnz(colA_k) × nnz(rowB_k)`` tile pads efficiently onto (8, 128)
-  register tiles are routed to the Pallas dense-tile expand kernel;
-  the skinny residue goes through the XLA gather path. On power-law
-  operands >90% of the expansion lands in the dense-tile class.
+- **Tile classes**: outer-product indices *k* are assigned to the dense
+  (tile_a × 128) expand-tile class that minimises padded work, subject to
+  a waste limit — tall columns take tall tiles (fewer grid steps ⇒ less
+  per-step overhead), short-but-wide ones take (8 × 128), and the skinny
+  residue routes to the XLA gather path. On power-law operands >90% of
+  the expansion lands in the dense-tile classes.
 - **Tile decomposition**: each heavy k becomes a grid of
-  (8 A-elements × 128 B-elements) tasks with lane/sublane masks — the
-  TPU-native analogue of the reference's per-element multiply tasks
+  (tile_a A-elements × 128 B-elements) tasks with lane/sublane masks —
+  the TPU-native analogue of the reference's per-element multiply tasks
   (``MultiplyTask``, ``SimOuterSPACE.cpp:34-38``).
 
 All planning is vectorised numpy; cost is O(nnz + ntasks).
@@ -27,35 +28,34 @@ import numpy as np
 
 from outerspace_tpu.formats.csr import CSC, CSR
 
-TILE_A = 8  # sublane tile: A-elements per task
+TILE_A = 8  # default sublane tile: A-elements per task
 TILE_B = 128  # lane tile: B-elements per task
+TILE_A_CLASSES = (128, 32, 8)  # tall-first tile classes for the expand kernel
 
 
 @dataclasses.dataclass
 class OuterProductSchedule:
-    """Static task table for the dense-tile expand kernel plus the
-    light-k residue.
+    """Static task table for one dense-tile expand class plus bookkeeping.
 
     Task *t* computes the outer product of A-elements
-    ``[a_start[t], a_start[t] + TILE_A)`` (CSC flat order, masked to
+    ``[a_start[t], a_start[t] + tile_a)`` (CSC flat order, masked to
     ``a_len[t]``) with the 128-aligned B-block ``b_block[t]`` of the flat
     CSR arrays, masked to lanes ``[b_lo[t], b_hi[t])``.
     """
 
+    tile_a: int
     # int32[ntasks] each:
     a_start: np.ndarray
     a_len: np.ndarray
     b_block: np.ndarray  # index into b arrays viewed as (-1, 128)
     b_lo: np.ndarray
     b_hi: np.ndarray
-    # Pre-gathered A-side slices, shape (ntasks, TILE_A):
+    # Pre-gathered A-side slices, shape (ntasks, tile_a):
     a_rows_t: np.ndarray  # int32, output row of each A element
     a_vals_t: np.ndarray  # f32
-    # Which outer indices went to which path:
+    # Which outer indices this class covers:
     heavy_k: np.ndarray  # int32[]
-    light_k: np.ndarray  # int32[]
-    heavy_p: int  # true partial products in the heavy stream
-    light_p: int  # true partial products in the light stream
+    heavy_p: int  # true partial products in this class's stream
 
     @property
     def ntasks(self) -> int:
@@ -63,49 +63,47 @@ class OuterProductSchedule:
 
     @property
     def padded_heavy(self) -> int:
-        return self.ntasks * TILE_A * TILE_B
+        return self.ntasks * self.tile_a * TILE_B
 
 
-def plan_outer_tiles(
-    a_csc: CSC,
-    b_csr: CSR,
-    waste_limit: float = 2.0,
-    min_products: int = 0,
+@dataclasses.dataclass
+class ClassPlan:
+    """Multi-class schedule: one OuterProductSchedule per tile class plus
+    the light-k residue handled by the gather path."""
+
+    classes: list[OuterProductSchedule]
+    light_k: np.ndarray
+    light_p: int
+
+    @property
+    def heavy_p(self) -> int:
+        return sum(c.heavy_p for c in self.classes)
+
+    @property
+    def padded_heavy(self) -> int:
+        return sum(c.padded_heavy for c in self.classes)
+
+
+def _schedule_for_ks(
+    a_csc: CSC, b_csr: CSR, ks: np.ndarray, tile_a: int
 ) -> OuterProductSchedule:
-    """Classify outer indices and emit the dense-tile task table.
-
-    An index k is *heavy* when its (TILE_A, TILE_B)-padded tile count
-    wastes at most ``waste_limit``× the true product count.
-    """
-    k_dim = a_csc.shape[1]
+    """Emit the task table for outer indices ``ks`` at tile height
+    ``tile_a`` (vectorised)."""
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
-    prod = na * nb
-    na_t = -(-na // TILE_A)  # A-tiles per k
-    nb_t = -(-nb // TILE_B)  # B-tiles per k (row-span based, see below)
-    padded = na_t * TILE_A * nb_t * TILE_B
-    nonzero = prod > 0
-    heavy = nonzero & (padded <= waste_limit * prod) & (prod >= min_products)
-    light = nonzero & ~heavy
-    heavy_k = np.nonzero(heavy)[0].astype(np.int32)
-    light_k = np.nonzero(light)[0].astype(np.int32)
-
-    if heavy_k.shape[0] == 0:
-        empty_i = np.zeros(0, dtype=np.int32)
-        return OuterProductSchedule(
-            empty_i, empty_i, empty_i, empty_i, empty_i,
-            np.zeros((0, TILE_A), np.int32), np.zeros((0, TILE_A), np.float32),
-            heavy_k, light_k, 0, int(prod[light].sum()),
-        )
-
-    # --- per-k tile grids, flattened to a task list (vectorised) ---
-    hk = heavy_k.astype(np.int64)
     a_ptr = np.asarray(a_csc.indptr)
     b_ptr = np.asarray(b_csr.indptr)
+    empty_i = np.zeros(0, dtype=np.int32)
+    if ks.shape[0] == 0:
+        return OuterProductSchedule(
+            tile_a, empty_i, empty_i, empty_i, empty_i, empty_i,
+            np.zeros((0, tile_a), np.int32),
+            np.zeros((0, tile_a), np.float32),
+            ks.astype(np.int32), 0,
+        )
+    hk = ks.astype(np.int64)
     na_h, nb_h = na[hk], nb[hk]
-    nat_h = (-(-na_h // TILE_A)).astype(np.int64)
-    # B blocks are 128-aligned windows of the flat CSR arrays covering the
-    # row span [s, s+nb): first block floor(s/128), last covering s+nb-1.
+    nat_h = (-(-na_h // tile_a)).astype(np.int64)
     b_s = b_ptr[hk]
     b_e = b_s + nb_h
     b_blk0 = b_s // TILE_B
@@ -116,7 +114,6 @@ def plan_outer_tiles(
     np.cumsum(tasks_per_k, out=t_off[1:])
     ntasks = int(t_off[-1])
 
-    # owner[i] = which heavy-k task i belongs to
     owner = np.repeat(np.arange(hk.shape[0]), tasks_per_k)
     local = np.arange(ntasks) - t_off[owner]
     # B-major order within each k: consecutive tasks share the same
@@ -125,20 +122,21 @@ def plan_outer_tiles(
     ia = local % nat_h[owner]
     jb = local // nat_h[owner]
 
-    a_start = (a_ptr[hk][owner] + ia * TILE_A).astype(np.int64)
-    a_len = np.minimum(na_h[owner] - ia * TILE_A, TILE_A).astype(np.int32)
+    a_start = (a_ptr[hk][owner] + ia * tile_a).astype(np.int64)
+    a_len = np.minimum(na_h[owner] - ia * tile_a, tile_a).astype(np.int32)
     b_block = (b_blk0[owner] + jb).astype(np.int32)
     blk_lane0 = b_block.astype(np.int64) * TILE_B
     b_lo = np.maximum(b_s[owner] - blk_lane0, 0).astype(np.int32)
     b_hi = np.minimum(b_e[owner] - blk_lane0, TILE_B).astype(np.int32)
 
-    # Pre-gathered A slices (tiny: ntasks × 8), tail-padded with repeats.
-    gather_idx = a_start[:, None] + np.arange(TILE_A)[None, :]
-    gather_idx = np.minimum(gather_idx, a_ptr[-1] - 1)
+    gather_idx = a_start[:, None] + np.arange(tile_a)[None, :]
+    gather_idx = np.minimum(gather_idx, max(a_ptr[-1] - 1, 0))
     a_rows_t = np.asarray(a_csc.indices)[gather_idx].astype(np.int32)
     a_vals_t = np.asarray(a_csc.data)[gather_idx].astype(np.float32)
 
+    prod = (na_h * nb_h).sum()
     return OuterProductSchedule(
+        tile_a,
         a_start.astype(np.int32),
         a_len,
         b_block,
@@ -146,11 +144,67 @@ def plan_outer_tiles(
         b_hi,
         a_rows_t,
         a_vals_t,
-        heavy_k,
-        light_k,
-        int(prod[heavy].sum()),
-        int(prod[light].sum()),
+        ks.astype(np.int32),
+        int(prod),
     )
+
+
+def plan_outer_classes(
+    a_csc: CSC,
+    b_csr: CSR,
+    waste_limit: float = 2.0,
+    tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
+) -> ClassPlan:
+    """Assign every outer index to the tile class minimising its padded
+    work (subject to ``waste_limit``); leftovers become the light residue."""
+    na = a_csc.major_nnz().astype(np.int64)
+    nb = b_csr.major_nnz().astype(np.int64)
+    prod = na * nb
+    nonzero = prod > 0
+    # Tall classes first: per-grid-step overhead dominates the stream
+    # cost, so the goal is the FEWEST tasks whose padding stays under the
+    # waste limit — not the least padding.
+    best_class = np.full(na.shape[0], -1, dtype=np.int64)
+    for ci, ta in enumerate(tile_a_classes):
+        padded = (
+            (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+        )
+        ok = nonzero & (padded <= waste_limit * prod) & (best_class < 0)
+        best_class[ok] = ci
+    classes = []
+    for ci, ta in enumerate(tile_a_classes):
+        ks = np.nonzero(best_class == ci)[0]
+        classes.append(_schedule_for_ks(a_csc, b_csr, ks, ta))
+    light_k = np.nonzero(nonzero & (best_class < 0))[0].astype(np.int32)
+    light_p = int(prod[light_k].sum()) if light_k.shape[0] else 0
+    return ClassPlan(classes, light_k, light_p)
+
+
+def plan_outer_tiles(
+    a_csc: CSC,
+    b_csr: CSR,
+    waste_limit: float = 2.0,
+    tile_a: int = TILE_A,
+) -> "OuterProductScheduleLegacy":
+    """Single-class planner (kept for tests/compat): (tile_a, 128) tiles
+    for heavy k, everything else light."""
+    cp = plan_outer_classes(
+        a_csc, b_csr, waste_limit=waste_limit, tile_a_classes=(tile_a,)
+    )
+    sched = cp.classes[0]
+    return OuterProductScheduleLegacy(sched, cp.light_k, cp.light_p)
+
+
+class OuterProductScheduleLegacy:
+    """Single-class view exposing the original flat attributes."""
+
+    def __init__(self, sched: OuterProductSchedule, light_k, light_p):
+        self._sched = sched
+        self.light_k = light_k
+        self.light_p = light_p
+
+    def __getattr__(self, name):
+        return getattr(self._sched, name)
 
 
 def choose_strategy(
@@ -169,7 +223,10 @@ def choose_strategy(
     total = prod.sum()
     if total == 0:
         return "flat"
-    padded = (-(-na // TILE_A)) * TILE_A * (-(-nb // TILE_B)) * TILE_B
-    heavy = (prod > 0) & (padded <= 2 * prod)
-    frac = prod[heavy].sum() / total
+    frac = 0.0
+    covered = np.zeros(na.shape[0], dtype=bool)
+    for ta in TILE_A_CLASSES:
+        padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+        covered |= (prod > 0) & (padded <= 2 * prod)
+    frac = prod[covered].sum() / total
     return "tiles" if frac >= heavy_fraction_threshold else "flat"
