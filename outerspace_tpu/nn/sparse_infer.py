@@ -85,3 +85,66 @@ def mlp_forward_spmm(
         if i < len(layers) - 1:
             h = jnp.maximum(h, 0.0)
     return np.asarray(h)
+
+
+class SparseMLP:
+    """Production-shaped sparse MLP: block-ELL weights staged on device
+    once, whole forward chained through the MXU SpMM kernel under one
+    jit — the serving path the reference's act·Wᵀ simulations stood for.
+    """
+
+    def __init__(self, params, interpret: bool = False, tn: int = 128):
+        from outerspace_tpu.ops.pallas.spmm_kernel import (
+            blockell_to_device,
+            spmm_blockell_device,
+        )
+
+        self._interpret = interpret
+        self._tn = tn
+        self._spmm = spmm_blockell_device
+        self.layers = []
+        for name in sorted(k for k in params.keys() if k.startswith("Dense")):
+            w2d = dense_kernel_to_2d(params[name]["kernel"])  # (out, in)
+            w_ell = BlockELL.from_coo(
+                COO.from_dense(w2d), block_shape=(8, 128)
+            )
+            dev = blockell_to_device(w_ell)
+            self.layers.append(
+                dict(
+                    dev=dev,
+                    out_dim=w2d.shape[0],
+                    in_dim=w2d.shape[1],
+                    bias=jnp.asarray(params[name]["bias"]),
+                )
+            )
+
+        import jax
+
+        layers = self.layers
+        spmm_dev = self._spmm
+
+        def forward(x):  # shapes static per jit cache entry
+            batch = x.shape[0]
+            n_pad = -(-batch // tn) * tn
+            h = x.T  # (features, batch)
+            for li, layer in enumerate(layers):
+                k_pad = -(-layer["in_dim"] // 128) * 128
+                hp = jnp.zeros((k_pad, n_pad), jnp.float32)
+                hp = hp.at[: h.shape[0], :batch].set(h)
+                y = spmm_dev(
+                    layer["dev"]["meta"],
+                    layer["dev"]["blocks"],
+                    hp,
+                    tn=tn,
+                    interpret=interpret,
+                )
+                h = y[: layer["out_dim"], :batch] + layer["bias"][:, None]
+                if li < len(layers) - 1:
+                    h = jnp.maximum(h, 0.0)
+            return h.T
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.float32).reshape(x.shape[0], -1)
+        return self._forward(x)
