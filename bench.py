@@ -32,6 +32,16 @@ import numpy as np
 del os  # (persistent jax compilation cache hangs the axon remote-compile path)
 
 
+import os as _os
+
+_T0 = time.perf_counter()
+_DEADLINE_S = float(_os.environ.get("OUTERSPACE_BENCH_DEADLINE", "460"))
+
+
+def _time_left() -> float:
+    return _DEADLINE_S - (time.perf_counter() - _T0)
+
+
 def _sync_scalar(x) -> float:
     return float(np.asarray(x))
 
@@ -72,6 +82,14 @@ def bench_spgemm_suite() -> list[dict]:
     ]
     results = []
     for name, gen in workloads:
+        if results and _time_left() < 150:
+            # Soft deadline: cold remote compiles can eat minutes; a
+            # partial suite with a printed headline beats a timeout.
+            print(
+                json.dumps({"skipped": name, "reason": "deadline"}),
+                file=sys.stderr,
+            )
+            continue
         g = gen()
         s = g.to_scipy().tocsr()
         s.sort_indices()
@@ -262,8 +280,10 @@ def bench_triangles() -> dict:
 def main() -> None:
     results = bench_spgemm_suite()
     try:
-        bench_nn_inference()
-        bench_triangles()
+        if _time_left() > 120:
+            bench_nn_inference()
+        if _time_left() > 90:
+            bench_triangles()
     except Exception as e:  # auxiliary benches must not kill the headline
         print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
     ok = all(r["nnz_exact"] and r["values_match"] for r in results)

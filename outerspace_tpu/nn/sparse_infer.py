@@ -87,6 +87,67 @@ def mlp_forward_spmm(
     return np.asarray(h)
 
 
+def lenet_forward_spgemm(
+    params, x: np.ndarray, backend: str = "tpu"
+) -> np.ndarray:
+    """LeNet forward with every layer lowered to sparse GEMM: conv layers
+    run as im2col(input) @ Wᵀ (exactly the lowering the reference exported
+    for its simulator, ``get_mtx_files.py:117-133``), fc layers as
+    act @ Wᵀ — all through the SpGEMM pipeline.
+    """
+    import jax
+
+    from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
+
+    mult = spgemm if backend == "tpu" else spgemm_scipy
+
+    def sp_mm(dense_act: np.ndarray, w2d: np.ndarray) -> np.ndarray:
+        act = COO.from_dense(np.asarray(dense_act, dtype=np.float32))
+        wt = COO.from_dense(w2d).transpose()
+        return mult(act, wt).to_dense()
+
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.reshape(-1, 28, 28, 1)
+    elif x.ndim == 3:
+        x = x[..., None]
+    n = x.shape[0]
+
+    def maxpool2(h):
+        return np.asarray(
+            jax.numpy.max(
+                jnp.asarray(h)
+                .reshape(h.shape[0], h.shape[1] // 2, 2, h.shape[2] // 2, 2, -1)
+                .transpose(0, 1, 3, 2, 4, 5),
+                axis=(3, 4),
+            )
+        )
+
+    conv_layers = sorted(k for k in params.keys() if k.startswith("Conv"))
+    fc_layers = sorted(k for k in params.keys() if k.startswith("Dense"))
+
+    # conv1 (k5, pad 2) → relu → pool
+    p1 = np.asarray(im2col(jnp.asarray(x), 5, 2))
+    w1 = conv_kernel_to_2d(params[conv_layers[0]]["kernel"])
+    b1 = np.asarray(params[conv_layers[0]]["bias"])
+    h = np.maximum(sp_mm(p1, w1) + b1, 0.0).reshape(n, 28, 28, 6)
+    h = maxpool2(h)  # (n, 14, 14, 6)
+    # conv2 (k5, valid) → relu → pool
+    p2 = np.asarray(im2col(jnp.asarray(h), 5, 0))
+    w2 = conv_kernel_to_2d(params[conv_layers[1]]["kernel"])
+    b2 = np.asarray(params[conv_layers[1]]["bias"])
+    h = np.maximum(sp_mm(p2, w2) + b2, 0.0).reshape(n, 10, 10, 16)
+    h = maxpool2(h)  # (n, 5, 5, 16)
+    h = h.reshape(n, -1)  # 400
+    for i, layer in enumerate(fc_layers):
+        w2d = dense_kernel_to_2d(params[layer]["kernel"])
+        b = np.asarray(params[layer]["bias"])
+        h = sp_mm(h, w2d) + b
+        if i < len(fc_layers) - 1:
+            h = _relu(h)
+    return h
+
+
 class SparseMLP:
     """Production-shaped sparse MLP: block-ELL weights staged on device
     once, whole forward chained through the MXU SpMM kernel under one

@@ -206,6 +206,38 @@ class TestExportAndSparseInfer:
         w_fc1 = read_mtx(files["fc1_weight"], native=False)
         assert w_fc1.shape == (120, 400)
 
+    def test_sparse_mlp_class(self, mnist, mlp_params):
+        from outerspace_tpu.nn.prune import prune_params
+        from outerspace_tpu.nn.sparse_infer import SparseMLP, mlp_forward_dense
+
+        params = prune_params(mlp_params, sparsity_level=0.1)
+        x = mnist["test"][0][:32]
+        model = SparseMLP(params, interpret=True)
+        y = np.asarray(model(x))
+        np.testing.assert_allclose(
+            y, mlp_forward_dense(params, x), rtol=1e-4, atol=1e-4
+        )
+
+    def test_lenet_sparse_inference(self, mnist):
+        from outerspace_tpu.nn.prune import prune_params
+        from outerspace_tpu.nn.sparse_infer import lenet_forward_spgemm
+
+        model = LeNet()
+        params = model.init(
+            jax.random.PRNGKey(2), jnp.zeros((2, 28, 28, 1))
+        )["params"]
+        params = prune_params(params, 0.1, conv_sparsity_level=0.25)
+        x = mnist["test"][0][:4]
+        ref, _ = model.apply({"params": params}, jnp.asarray(x))
+        got = lenet_forward_spgemm(params, x, backend="tpu")
+        np.testing.assert_allclose(
+            got, np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+        got_cpu = lenet_forward_spgemm(params, x, backend="scipy")
+        np.testing.assert_allclose(
+            got_cpu, np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
     def test_sparse_inference_matches_dense(self, mnist, mlp_params):
         from outerspace_tpu.nn.prune import prune_params
         from outerspace_tpu.nn.sparse_infer import (
