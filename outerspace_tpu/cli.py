@@ -57,9 +57,16 @@ def cmd_spgemm(args) -> int:
             file=sys.stderr,
         )
         return 2
+    from outerspace_tpu.perf.roofline import (
+        predict_merge_time,
+        predict_multiply_time,
+    )
+
     flops = spgemm_flops(a_csc, b_csr)
     plan = expansion_plan(a_csc, b_csr)
-    roof = predict_spgemm_time(plan.padded_size(), m1.nnz, m2.nnz)
+    p_pad = plan.padded_size()
+    roof_mult = predict_multiply_time(p_pad, m1.nnz, m2.nnz)
+    roof_merge = predict_merge_time(p_pad)
     # Warm-up (compile), then measure.
     c = spgemm(a_csc, b_csr, strategy=args.strategy)
     t0 = time.perf_counter()
@@ -67,8 +74,28 @@ def cmd_spgemm(args) -> int:
     elapsed = time.perf_counter() - t0
     print(f"C shape: {c.shape}, nnz: {c.nnz}")
     print(f"multiply flops: {flops}")
-    print(f"analytical roofline: {roof * 1e3:.3f} ms")
-    print(f"measured: {elapsed * 1e3:.3f} ms")
+    # Both performance models, as the reference printed analytical AND
+    # cycle-accurate per phase (SimOuterSPACE.cpp:859-875).
+    print(f"analytical multiply (roofline): {roof_mult * 1e3:.3f} ms")
+    print(f"analytical merge (roofline):    {roof_merge * 1e3:.3f} ms")
+    try:
+        from outerspace_tpu.perf.perfsim import (
+            available,
+            simulate_expand_schedule,
+        )
+        from outerspace_tpu.sched.planner import plan_outer_classes
+
+        if available():
+            cp = plan_outer_classes(a_csc, b_csr)
+            cyc = sum(
+                simulate_expand_schedule(cl)["seconds"]
+                for cl in cp.classes
+                if cl.ntasks
+            )
+            print(f"event-model multiply:           {cyc * 1e3:.3f} ms")
+    except Exception:
+        pass
+    print(f"measured (end-to-end): {elapsed * 1e3:.3f} ms")
     print(f"GFlops: {flops / elapsed / 1e9:.4f}")
     if args.out:
         from outerspace_tpu.formats import write_mtx
