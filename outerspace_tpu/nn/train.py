@@ -188,7 +188,8 @@ def finetune(
 
 def save_params(path: str, params: Any) -> None:
     """Pickle a host copy of the params (reference ``save_model_weights``,
-    ``util.py:16-20``)."""
+    ``util.py:16-20``). For sharded/large states prefer the orbax
+    checkpointer below."""
     host = jax.tree_util.tree_map(np.asarray, params)
     with open(path, "wb") as f:
         pickle.dump(host, f)
@@ -197,6 +198,29 @@ def save_params(path: str, params: Any) -> None:
 def load_params(path: str) -> Any:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_checkpoint_orbax(path: str, state: Any) -> None:
+    """TPU-idiomatic checkpoint via orbax: works for sharded pytrees
+    (params + opt state) on multi-chip meshes — the capability the
+    reference's torch ``state_dict`` saves stood for. ``path`` must be
+    absolute."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, like: Any | None = None) -> Any:
+    """Restore an orbax checkpoint; ``like`` (an abstract/concrete pytree
+    of the same structure) enables sharded restoration."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(path, like)
+        return ckptr.restore(path)
 
 
 def save_training_stats(path: str, history: dict) -> None:

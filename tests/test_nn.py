@@ -255,3 +255,19 @@ class TestExportAndSparseInfer:
         np.testing.assert_allclose(scp, dense, rtol=1e-5, atol=1e-5)
         spm = mlp_forward_spmm(params, x, interpret=True)
         np.testing.assert_allclose(spm, dense, rtol=1e-4, atol=1e-4)
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path, mlp_params):
+        from outerspace_tpu.nn.train import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        p = str(tmp_path / "ckpt")
+        save_checkpoint_orbax(p, mlp_params)
+        back = load_checkpoint_orbax(p, like=mlp_params)
+        np.testing.assert_array_equal(
+            np.asarray(mlp_params["Dense_1"]["kernel"]),
+            np.asarray(back["Dense_1"]["kernel"]),
+        )
