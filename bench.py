@@ -35,7 +35,7 @@ del os  # (persistent jax compilation cache hangs the axon remote-compile path)
 import os as _os
 
 _T0 = time.perf_counter()
-_DEADLINE_S = float(_os.environ.get("OUTERSPACE_BENCH_DEADLINE", "460"))
+_DEADLINE_S = float(_os.environ.get("OUTERSPACE_BENCH_DEADLINE", "520"))
 
 
 def _time_left() -> float:
@@ -58,10 +58,17 @@ def _time_device(fn, reps: int = 5, warmup: int = 2):
 
 
 def _time_host(fn, reps: int = 3, warmup: int = 1):
-    for _ in range(warmup):
+    # Adaptive: a slow single run (>3 s) is its own measurement — repeating
+    # a minute-long CPU baseline would blow the bench deadline.
+    t0 = time.perf_counter()
+    fn()
+    first = time.perf_counter() - t0
+    if first > 3.0:
+        return first
+    for _ in range(max(warmup - 1, 0)):
         fn()
-    ts = []
-    for _ in range(reps):
+    ts = [first]
+    for _ in range(reps - 1):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
@@ -76,20 +83,27 @@ def bench_spgemm_suite() -> list[dict]:
     from outerspace_tpu.ops.symbolic import expansion_plan
 
     workloads = [
-        ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1)),
         ("rmat15_ef8", lambda: rmat(15, edge_factor=8, seed=2)),
+        ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1)),
         ("er_100k_d1e-4", lambda: erdos_renyi(100_000, 100_000, 1e-4, seed=3)),
+        # Production scale (P≈137M): the CPU reference degrades sharply
+        # here; listed last so the deadline guard sheds it first.
+        ("rmat16_ef8", lambda: rmat(16, edge_factor=8, seed=5)),
     ]
     results = []
+    last_cost = 0.0
     for name, gen in workloads:
-        if results and _time_left() < 150:
-            # Soft deadline: cold remote compiles can eat minutes; a
-            # partial suite with a printed headline beats a timeout.
+        # Soft deadline: cold remote compiles can eat minutes per
+        # workload; a partial suite with a printed headline beats a
+        # timeout. Estimate the next workload's cost from the last one.
+        est = max(120.0, 0.9 * last_cost)
+        if results and _time_left() < est:
             print(
                 json.dumps({"skipped": name, "reason": "deadline"}),
                 file=sys.stderr,
             )
             continue
+        _w0 = time.perf_counter()
         g = gen()
         s = g.to_scipy().tocsr()
         s.sort_indices()
@@ -189,6 +203,7 @@ def bench_spgemm_suite() -> list[dict]:
             values_match=val_ok,
         )
         results.append(rec)
+        last_cost = time.perf_counter() - _w0
         print(json.dumps(rec), file=sys.stderr, flush=True)
     return results
 

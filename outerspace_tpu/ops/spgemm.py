@@ -139,7 +139,9 @@ def merge_packed_keys(
 ):
     """Merge a stream of already-packed int32 keys (``row·n + col``,
     sentinel = INT32_MAX): sort, segmented-scan accumulate, unpack."""
-    key, vals = jax.lax.sort((key, vals), num_keys=1)
+    # Unstable sort is ~1.4x faster on TPU; stability only permutes the
+    # float accumulation order within equal keys (tolerance-covered).
+    key, vals = jax.lax.sort((key, vals), num_keys=1, is_stable=False)
     first = jnp.concatenate(
         [jnp.ones(1, dtype=jnp.bool_), key[1:] != key[:-1]]
     )
@@ -174,7 +176,9 @@ def merge_twokey(
     max_run: int | None = None,
 ):
     """Merge via a two-key variadic sort — general shapes."""
-    rows, cols, vals = jax.lax.sort((rows, cols, vals), num_keys=2)
+    rows, cols, vals = jax.lax.sort(
+        (rows, cols, vals), num_keys=2, is_stable=False
+    )
     first = jnp.concatenate(
         [
             jnp.ones(1, dtype=jnp.bool_),

@@ -146,7 +146,7 @@ def _local_shard_fn(
         offsets[0], p_total[0], p_pad, sentinel_row,
     )
     # ---- bucket by output-row owner (sort by row ⇒ owners monotone) ----
-    r, c, v = jax.lax.sort((r, c, v), num_keys=1)
+    r, c, v = jax.lax.sort((r, c, v), num_keys=1, is_stable=False)
     valid = r < sentinel_row
     dst = jnp.minimum(r // rows_per_dev, ndev - 1)
     # rank within bucket = position - bucket start
