@@ -58,13 +58,18 @@ def _time_device(fn, reps: int = 5, warmup: int = 2):
 
 
 def _time_host(fn, reps: int = 3, warmup: int = 1):
-    # Adaptive: a slow single run (>3 s) is its own measurement — repeating
-    # a minute-long CPU baseline would blow the bench deadline.
+    # Adaptive: don't blow the deadline repeating minute-long baselines,
+    # but never trust a single sample either (first-call page faults and
+    # the 1-core box's background tunnel processes inflate it).
     t0 = time.perf_counter()
     fn()
     first = time.perf_counter() - t0
-    if first > 3.0:
+    if first > 20.0:
         return first
+    if first > 3.0:
+        t0 = time.perf_counter()
+        fn()
+        return min(first, time.perf_counter() - t0)
     for _ in range(max(warmup - 1, 0)):
         fn()
     ts = [first]
