@@ -21,12 +21,9 @@ Usage: ``python -m outerspace_tpu.cli <subcommand> ...``
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
-
-import numpy as np
 
 # The axon TPU plugin overrides JAX_PLATFORMS at interpreter startup; honor
 # an explicit CPU request (tests, machines without the tunnel) via the
@@ -43,7 +40,6 @@ def cmd_spgemm(args) -> int:
     from outerspace_tpu.formats import read_mtx
     from outerspace_tpu.ops.reference import spgemm_flops
     from outerspace_tpu.ops.spgemm import spgemm
-    from outerspace_tpu.perf.roofline import predict_spgemm_time
     from outerspace_tpu.ops.symbolic import expansion_plan
 
     m1 = read_mtx(args.matrix1)

@@ -29,14 +29,13 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.ops.spgemm import (
     _I32_MAX,
     expand_partial_products,
     merge_twokey,
-    segmented_sum_sorted,
 )
 from outerspace_tpu.ops.symbolic import (
     expansion_plan_subset,
