@@ -271,3 +271,20 @@ class TestOrbaxCheckpoint:
             np.asarray(mlp_params["Dense_1"]["kernel"]),
             np.asarray(back["Dense_1"]["kernel"]),
         )
+
+
+class TestLeNetTrain:
+    def test_lenet_trains_and_prunes(self, mnist):
+        cfg = TrainConfig(model_type="LeNet", num_epochs=1, batch_size=256)
+        res = train(mnist, cfg, verbose=False)
+        assert np.isfinite(res.history["train_loss"][0])
+        pruned = prune_params(res.params, 0.1, conv_sparsity_level=0.25)
+        rep = sparsity_report(pruned)
+        conv_fracs = [v[2] for k, v in rep.items()
+                      if k.startswith("Conv") and "kernel" in k]
+        fc_fracs = [v[2] for k, v in rep.items()
+                    if k.startswith("Dense") and "kernel" in k]
+        # conv pruned to ~25% nnz, fc to ~10% (reference defaults,
+        # main.py:219-238)
+        assert all(abs(f - 0.25) < 0.05 for f in conv_fracs), conv_fracs
+        assert all(abs(f - 0.10) < 0.03 for f in fc_fracs), fc_fracs
