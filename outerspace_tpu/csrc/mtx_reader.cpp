@@ -88,13 +88,16 @@ void* osp_mtx_read(const char* path, int expand_symmetric) {
   const char* end = p + buf.size();
 
   bool symmetric = false;
+  bool skew = false;
   bool pattern = false;
   if (buf.size() > 14 && strncmp(p, "%%MatrixMarket", 14) == 0) {
     const char* line_end = p;
     while (line_end < end && *line_end != '\n') ++line_end;
     std::string header(p, line_end);
     for (auto& ch : header) ch = tolower(ch);
-    symmetric = header.find("symmetric") != std::string::npos;
+    bool skew_local = header.find("skew-symmetric") != std::string::npos;
+    symmetric = skew_local || header.find("symmetric") != std::string::npos;
+    skew = skew_local;
     pattern = header.find("pattern") != std::string::npos;
     p = skip_line(p, end);
   }
@@ -148,7 +151,7 @@ void* osp_mtx_read(const char* path, int expand_symmetric) {
     if (symmetric && expand_symmetric && r != c) {
       m->rows.push_back(static_cast<int32_t>(c - 1));
       m->cols.push_back(static_cast<int32_t>(r - 1));
-      m->vals.push_back(static_cast<float>(v));
+      m->vals.push_back(static_cast<float>(skew ? -v : v));
     }
   }
   return m;

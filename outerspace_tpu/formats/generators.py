@@ -29,8 +29,12 @@ def erdos_renyi(
         lin = rng.choice(total, size=target, replace=False)
     else:
         # Oversample + dedup for huge index spaces (choice w/o replacement
-        # would materialize the full range).
+        # would materialize the full range); iterate until the requested
+        # nnz is actually reached (birthday collisions can eat >10%).
         lin = np.unique(rng.integers(0, total, size=int(target * 1.2) + 16))
+        while lin.shape[0] < target:
+            extra = rng.integers(0, total, size=target - lin.shape[0] + 16)
+            lin = np.unique(np.concatenate([lin, extra]))
         lin = rng.permutation(lin)[:target]
     rows = (lin // n_cols).astype(INDEX_DTYPE)
     cols = (lin % n_cols).astype(INDEX_DTYPE)

@@ -25,6 +25,7 @@ def _read_mtx_python(path: str, expand_symmetric: bool = True) -> COO:
     cols: list[int] = []
     vals: list[float] = []
     symmetric = False
+    skew = False
     pattern = False
     header_seen = False
     nrow = ncol = nnz = 0
@@ -32,7 +33,8 @@ def _read_mtx_python(path: str, expand_symmetric: bool = True) -> COO:
         first = f.readline()
         if first.startswith("%%MatrixMarket"):
             tokens = first.lower().split()
-            symmetric = "symmetric" in tokens or "skew-symmetric" in tokens
+            skew = "skew-symmetric" in tokens
+            symmetric = skew or "symmetric" in tokens
             pattern = "pattern" in tokens
         else:
             f.seek(0)
@@ -54,7 +56,7 @@ def _read_mtx_python(path: str, expand_symmetric: bool = True) -> COO:
             if symmetric and expand_symmetric and r != c:
                 rows.append(c)
                 cols.append(r)
-                vals.append(v)
+                vals.append(-v if skew else v)
     if not header_seen:
         raise ValueError(f"{path}: no Matrix Market size header found")
     del nnz

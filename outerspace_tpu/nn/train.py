@@ -95,7 +95,7 @@ def eval_step(params, x, y, *, apply_fn):
 def evaluate(params, apply_fn, x, y, batch_size: int = 1024):
     """Full-split evaluation (reference ``eval``, ``main.py:26-63``)."""
     losses, accs, n = [], [], 0
-    nb = max(x.shape[0] // batch_size, 1)
+    nb = -(-x.shape[0] // batch_size)  # ceil: include the ragged tail
     for i in range(nb):
         xb = x[i * batch_size : (i + 1) * batch_size]
         yb = y[i * batch_size : (i + 1) * batch_size]

@@ -522,6 +522,8 @@ def spgemm(
 
     ``strategy``: "auto" lets the scheduler pick; "flat" forces the XLA
     gather pipeline; "tiles" forces the Pallas dense-tile expand.
+    A caller-pinned ``p_pad`` implies the flat pipeline (tile padding is
+    structural and cannot honor an arbitrary size).
     End-to-end: symbolic plan (host) → expand+sort+merge (device) →
     compaction to CSR (host fetch).
     """
@@ -538,8 +540,15 @@ def spgemm(
     if strategy == "auto":
         from outerspace_tpu.sched.planner import choose_strategy
 
-        strategy = choose_strategy(a_csc, b_csr)
+        strategy = "flat" if p_pad is not None else choose_strategy(
+            a_csc, b_csr
+        )
     if strategy == "tiles":
+        if p_pad is not None:
+            raise ValueError(
+                "p_pad is only honored by the flat strategy; tile padding "
+                "is structural (use strategy='flat' or drop p_pad)"
+            )
         tplan = plan_tiled(a_csc, b_csr, interpret=interpret)
         return spgemm_padded_tiled(tplan, packed=packed, interpret=interpret).to_csr()
     return spgemm_padded(plan, p_pad, packed=packed).to_csr()

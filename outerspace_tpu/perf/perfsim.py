@@ -110,14 +110,15 @@ def simulate_kernel(
 def simulate_expand_schedule(sched, clock_hz: float = 0.94e9) -> dict:
     """Predict the dense-tile expand kernel's runtime from its task table
     (the scheduler's cost model for tile-size decisions)."""
-    from outerspace_tpu.sched.planner import TILE_A, TILE_B
+    from outerspace_tpu.sched.planner import TILE_B
 
     n = sched.ntasks
     if n == 0:
         return dict(cycles=0, seconds=0.0, util=0.0)
-    in_bytes = np.full(n, (TILE_A * 8) + (8 * TILE_B * 8), dtype=np.int64)
-    out_bytes = np.full(n, TILE_A * TILE_B * 12, dtype=np.int64)
-    flops = np.full(n, TILE_A * TILE_B, dtype=np.int64)
+    tile_a = getattr(sched, "tile_a", 8)
+    in_bytes = np.full(n, (tile_a * 8) + (8 * TILE_B * 8), dtype=np.int64)
+    out_bytes = np.full(n, tile_a * TILE_B * 12, dtype=np.int64)
+    flops = np.full(n, tile_a * TILE_B, dtype=np.int64)
     cycles, util = simulate_kernel(in_bytes, out_bytes, flops)
     return dict(cycles=cycles, seconds=cycles / clock_hz, util=util)
 

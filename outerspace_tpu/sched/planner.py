@@ -207,26 +207,40 @@ class OuterProductScheduleLegacy:
         return getattr(self._sched, name)
 
 
-def choose_strategy(
+def class_coverage(
     a_csc: CSC,
     b_csr: CSR,
-    heavy_fraction_threshold: float = 0.5,
-) -> str:
-    """Pick the expand strategy for these operands.
-
-    ``"tiles"`` — dense-tile Pallas expand for heavy k + gather residue;
-    ``"flat"``  — pure XLA gather expand (uniform/sparse operands).
-    """
+    waste_limit: float = 2.0,
+    tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
+) -> float:
+    """Fraction of the expansion work coverable by the dense-tile classes
+    under ``waste_limit`` — the shared predicate behind both the class
+    planner and the strategy chooser."""
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
     prod = na * nb
     total = prod.sum()
     if total == 0:
-        return "flat"
-    frac = 0.0
+        return 0.0
     covered = np.zeros(na.shape[0], dtype=bool)
-    for ta in TILE_A_CLASSES:
+    for ta in tile_a_classes:
         padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
-        covered |= (prod > 0) & (padded <= 2 * prod)
-    frac = prod[covered].sum() / total
+        covered |= (prod > 0) & (padded <= waste_limit * prod)
+    return float(prod[covered].sum() / total)
+
+
+def choose_strategy(
+    a_csc: CSC,
+    b_csr: CSR,
+    heavy_fraction_threshold: float = 0.5,
+    waste_limit: float = 2.0,
+    tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
+) -> str:
+    """Pick the expand strategy for these operands.
+
+    ``"tiles"`` — dense-tile Pallas expand for heavy k + gather residue;
+    ``"flat"``  — pure XLA gather expand (uniform/sparse operands).
+    Uses the same waste-limit predicate as ``plan_outer_classes``.
+    """
+    frac = class_coverage(a_csc, b_csr, waste_limit, tile_a_classes)
     return "tiles" if frac >= heavy_fraction_threshold else "flat"

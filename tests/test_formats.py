@@ -224,3 +224,35 @@ class TestGenerators:
         c = banded(32, 2)
         d = c.to_dense()
         assert d[0, 3] == 0 and d[5, 5] != 0
+
+
+class TestSkewSymmetric:
+    def _write(self, path):
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real skew-symmetric\n")
+            f.write("3 3 2\n2 1 4.0\n3 2 -1.5\n")
+
+    def test_python_reader_sign(self, tmp_path):
+        p = str(tmp_path / "skew.mtx")
+        self._write(p)
+        d = read_mtx(p, native=False).to_dense()
+        assert d[1, 0] == 4.0 and d[0, 1] == -4.0
+        assert d[2, 1] == -1.5 and d[1, 2] == 1.5
+
+    def test_native_reader_sign(self, tmp_path):
+        from outerspace_tpu.runtime.native import native_available
+
+        if not native_available():
+            pytest.skip("native lib not built")
+        p = str(tmp_path / "skew.mtx")
+        self._write(p)
+        d = read_mtx(p, native=True).to_dense()
+        assert d[1, 0] == 4.0 and d[0, 1] == -4.0
+
+    def test_matches_scipy(self, tmp_path):
+        import scipy.io
+
+        p = str(tmp_path / "skew.mtx")
+        self._write(p)
+        ref = scipy.io.mmread(p).toarray()
+        np.testing.assert_allclose(read_mtx(p, native=False).to_dense(), ref)
