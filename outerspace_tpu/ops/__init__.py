@@ -7,3 +7,11 @@ from outerspace_tpu.ops.reference import (  # noqa: F401
     spgemm_scipy,
     spgemm_tasks,
 )
+from outerspace_tpu.ops.spgemm import (  # noqa: F401
+    MergedCOO,
+    spgemm,
+    spgemm_coo,
+    spgemm_padded,
+    spgemm_padded_tiled,
+)
+from outerspace_tpu.ops.symbolic import expansion_plan  # noqa: F401
