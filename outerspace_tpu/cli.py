@@ -37,10 +37,13 @@ if os.environ.get("OUTERSPACE_FORCE_CPU") or os.environ.get(
 
 
 def cmd_spgemm(args) -> int:
+    from outerspace_tpu.config import DEFAULT
     from outerspace_tpu.formats import read_mtx
     from outerspace_tpu.ops.reference import spgemm_flops
     from outerspace_tpu.ops.spgemm import spgemm
     from outerspace_tpu.ops.symbolic import expansion_plan
+
+    cfg = DEFAULT.override(args.set or [])
 
     m1 = read_mtx(args.matrix1)
     m2 = read_mtx(args.matrix2)
@@ -64,9 +67,9 @@ def cmd_spgemm(args) -> int:
     roof_mult = predict_multiply_time(p_pad, m1.nnz, m2.nnz)
     roof_merge = predict_merge_time(p_pad)
     # Warm-up (compile), then measure.
-    c = spgemm(a_csc, b_csr, strategy=args.strategy)
+    c = spgemm(a_csc, b_csr, strategy=args.strategy, config=cfg)
     t0 = time.perf_counter()
-    c = spgemm(a_csc, b_csr, strategy=args.strategy)
+    c = spgemm(a_csc, b_csr, strategy=args.strategy, config=cfg)
     elapsed = time.perf_counter() - t0
     print(f"C shape: {c.shape}, nnz: {c.nnz}")
     print(f"multiply flops: {flops}")
@@ -82,7 +85,9 @@ def cmd_spgemm(args) -> int:
         from outerspace_tpu.sched.planner import plan_outer_classes
 
         if available():
-            cp = plan_outer_classes(a_csc, b_csr)
+            cp = plan_outer_classes(
+                a_csc, b_csr, waste_limit=cfg.waste_limit
+            )
             cyc = sum(
                 simulate_expand_schedule(cl)["seconds"]
                 for cl in cp.classes
@@ -228,6 +233,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-transpose", action="store_true",
                    help="compute M1 · M2 instead of M1 · M2ᵀ")
     p.add_argument("--out", default=None, help="write result .mtx here")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a Config field (e.g. --set waste_limit=3.0)")
     p.set_defaults(fn=cmd_spgemm)
 
     p = sub.add_parser("nn", help="NN pipeline (train/prune/finetune/eval/pf)")

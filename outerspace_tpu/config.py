@@ -4,8 +4,9 @@ The reference split its configuration between compile-time constants
 (``OuterSPACEConfig``, ``SimOuterSPACE.cpp:17-27``), a ramulator INI file
 (``HBM-config.cfg`` — including the case-mismatch landmine at
 ``SimOuterSPACE.cpp:691``), and argparse flags (``NN_models/main.py:
-246-254``). Here it is one dataclass, overridable from any CLI via
-``--set key=value``.
+246-254``). Here it is one dataclass; the ``spgemm`` CLI exposes
+``--set key=value`` overrides that thread into the scheduler
+(``ops.spgemm.spgemm(config=...)``).
 """
 
 from __future__ import annotations

@@ -146,6 +146,11 @@ def train(
         val_loss, val_acc = evaluate(
             params, model.apply, *data["val"], cfg.batch_size
         )
+        # Capture best-val params NOW, before this epoch's training mutates
+        # them — the reference saves best_weights during the val phase
+        # (main.py:169-172), i.e. the exact weights that scored val_acc.
+        if val_acc > best_val_acc:
+            best_val_acc, best_params = val_acc, params
         ep_loss, ep_acc, nb = 0.0, 0.0, 0
         for xb, yb in batches(
             *data["train"], cfg.batch_size, seed=cfg.seed + epoch
@@ -160,8 +165,6 @@ def train(
         history["train_acc"].append(ep_acc / max(nb, 1))
         history["val_loss"].append(val_loss)
         history["val_acc"].append(val_acc)
-        if val_acc > best_val_acc:
-            best_val_acc, best_params = val_acc, params
         if verbose:
             print(
                 f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f} "

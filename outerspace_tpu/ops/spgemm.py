@@ -200,7 +200,8 @@ def merge_twokey(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("p_pad", "sentinel_row", "n_cols", "packed")
+    jax.jit,
+    static_argnames=("p_pad", "sentinel_row", "n_cols", "packed", "max_run"),
 )
 def _spgemm_device(
     a_rows,
@@ -216,14 +217,15 @@ def _spgemm_device(
     sentinel_row: int,
     n_cols: int,
     packed: bool,
+    max_run: int | None = None,
 ):
     r, c, v = expand_partial_products(
         a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
         p_pad, sentinel_row,
     )
     if packed:
-        return merge_packed(r, c, v, n_cols, sentinel_row)
-    return merge_twokey(r, c, v, sentinel_row)
+        return merge_packed(r, c, v, n_cols, sentinel_row, max_run)
+    return merge_twokey(r, c, v, sentinel_row, max_run)
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad",))
@@ -274,8 +276,28 @@ class MergedCOO:
         return c.to_coo()
 
 
+def max_duplicate_run(plan: ExpansionPlan) -> int:
+    """Host bound on duplicates per output coordinate — at most the max
+    nnz of any output row of A — rounded up to a power of two so the
+    segmented scan's (static) pass count caches across similar operands.
+    Pass-count equivalence: ceil(log2(r)) == ceil(log2(next_pow2(r)))."""
+    if plan.a_rows.shape[0] == 0:
+        return 1
+    r = int(np.bincount(plan.a_rows, minlength=plan.m).max(initial=1))
+    return 1 << (max(r, 1) - 1).bit_length()
+
+
 def plan_to_device(plan: ExpansionPlan) -> dict[str, jax.Array]:
-    """Ship a symbolic plan's arrays to the default device (int32-narrowed)."""
+    """Ship a symbolic plan's arrays to the default device (int32-narrowed).
+
+    Raises if the expansion exceeds the int32 index space the device
+    pipeline is built on (ADVICE: fail loudly instead of silently wrong).
+    """
+    if plan.expansion_size >= 2**31:
+        raise ValueError(
+            f"expansion size {plan.expansion_size} exceeds int32 index "
+            "space; shard the operands (shard/spgemm_sharded.py)"
+        )
     return dict(
         a_rows=jnp.asarray(plan.a_rows, dtype=jnp.int32),
         a_vals=jnp.asarray(plan.a_vals, dtype=jnp.float32),
@@ -297,8 +319,13 @@ def spgemm_padded(
     p_pad: int | None = None,
     device_args: dict | None = None,
     packed: bool | None = None,
+    max_run: int | None = None,
 ) -> MergedCOO:
-    """Run SpGEMM on device; returns the padded device-resident result."""
+    """Run SpGEMM on device; returns the padded device-resident result.
+
+    ``max_run`` bounds duplicates per output coordinate (defaults to the
+    exact host bound): it truncates the segmented scan's pass count.
+    """
     if p_pad is None:
         p_pad = plan.padded_size()
     if plan.expansion_size > p_pad:
@@ -307,6 +334,8 @@ def spgemm_padded(
         )
     if packed is None:
         packed = can_pack(plan)
+    if max_run is None:
+        max_run = max_duplicate_run(plan)
     dev = device_args if device_args is not None else plan_to_device(plan)
     rows, cols, vals, valid, nnz = _spgemm_device(
         **dev,
@@ -314,6 +343,7 @@ def spgemm_padded(
         sentinel_row=int(plan.m),
         n_cols=int(plan.n),
         packed=bool(packed),
+        max_run=int(max_run),
     )
     return MergedCOO((plan.m, plan.n), rows, cols, vals, valid, nnz)
 
@@ -347,12 +377,17 @@ class TiledPlan:
         return self.class_plan.padded_heavy + self.light_pad
 
 
-def plan_tiled(a_csc: CSC, b_csr: CSR, interpret: bool = False) -> TiledPlan:
+def plan_tiled(
+    a_csc: CSC,
+    b_csr: CSR,
+    interpret: bool = False,
+    waste_limit: float = 2.0,
+) -> TiledPlan:
     from outerspace_tpu.ops.symbolic import expansion_plan_subset
     from outerspace_tpu.ops.pallas.expand import schedule_to_device
     from outerspace_tpu.sched.planner import plan_outer_classes
 
-    cp = plan_outer_classes(a_csc, b_csr)
+    cp = plan_outer_classes(a_csc, b_csr, waste_limit=waste_limit)
     dev = {
         "classes": [
             schedule_to_device(c, b_csr.indices, b_csr.data)
@@ -370,6 +405,9 @@ def plan_tiled(a_csc: CSC, b_csr: CSR, interpret: bool = False) -> TiledPlan:
     a_row_nnz_max = int(
         np.bincount(a_csc.indices, minlength=a_csc.shape[0]).max(initial=1)
     )
+    # Power-of-two so the merge jit's static pass count caches across
+    # operands (pass-count equivalent: ceil(log2) is unchanged).
+    a_row_nnz_max = 1 << (max(a_row_nnz_max, 1) - 1).bit_length()
     return TiledPlan(
         a_csc.shape[0], b_csr.shape[1], cp, light_plan, light_pad, dev,
         max_run=a_row_nnz_max,
@@ -517,6 +555,7 @@ def spgemm(
     packed: bool | None = None,
     strategy: str = "auto",
     interpret: bool = False,
+    config=None,
 ) -> CSR:
     """C = A @ B on TPU; returns a host CSR with exact nnz.
 
@@ -524,9 +563,15 @@ def spgemm(
     gather pipeline; "tiles" forces the Pallas dense-tile expand.
     A caller-pinned ``p_pad`` implies the flat pipeline (tile padding is
     structural and cannot honor an arbitrary size).
+    ``config``: an ``outerspace_tpu.config.Config`` whose ``waste_limit``
+    and ``heavy_fraction_threshold`` steer the scheduler (the CLI's
+    ``--set key=value`` lands here).
     End-to-end: symbolic plan (host) → expand+sort+merge (device) →
     compaction to CSR (host fetch).
     """
+    from outerspace_tpu.config import DEFAULT
+
+    cfg = config if config is not None else DEFAULT
     a_csc = a if isinstance(a, CSC) else a.to_csc()
     b_csr = b if isinstance(b, CSR) else b.to_csr()
     plan = expansion_plan(a_csc, b_csr)
@@ -541,7 +586,10 @@ def spgemm(
         from outerspace_tpu.sched.planner import choose_strategy
 
         strategy = "flat" if p_pad is not None else choose_strategy(
-            a_csc, b_csr
+            a_csc,
+            b_csr,
+            heavy_fraction_threshold=cfg.heavy_fraction_threshold,
+            waste_limit=cfg.waste_limit,
         )
     if strategy == "tiles":
         if p_pad is not None:
@@ -549,7 +597,9 @@ def spgemm(
                 "p_pad is only honored by the flat strategy; tile padding "
                 "is structural (use strategy='flat' or drop p_pad)"
             )
-        tplan = plan_tiled(a_csc, b_csr, interpret=interpret)
+        tplan = plan_tiled(
+            a_csc, b_csr, interpret=interpret, waste_limit=cfg.waste_limit
+        )
         return spgemm_padded_tiled(tplan, packed=packed, interpret=interpret).to_csr()
     return spgemm_padded(plan, p_pad, packed=packed).to_csr()
 

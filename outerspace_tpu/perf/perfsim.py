@@ -2,9 +2,9 @@
 
 See ``csrc/perfsim.cpp`` — the native re-design of the reference's
 cycle-accurate simulator (``SimCycle.h`` + ``SimOuterSPACE.cpp:240-857``).
-Used by the scheduler to predict kernel cycle counts for tile-size
-decisions, and cross-checked against the analytical roofline the same way
-the reference always printed both models (``SimOuterSPACE.cpp:859-875``).
+Consumed by the CLI's dual-model report and cross-checked against the
+analytical roofline the same way the reference always printed both models
+(``SimOuterSPACE.cpp:859-875``).
 """
 
 from __future__ import annotations

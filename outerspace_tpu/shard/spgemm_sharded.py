@@ -35,6 +35,7 @@ from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.ops.spgemm import (
     _I32_MAX,
     expand_partial_products,
+    merge_packed_keys,
     merge_twokey,
 )
 from outerspace_tpu.ops.symbolic import (
@@ -65,6 +66,10 @@ class ShardedPlan:
     b_indptr: np.ndarray
     b_cols: np.ndarray
     b_vals: np.ndarray
+    # Merge hints: single-key packed sort where m·n fits int32, and the
+    # host bound on duplicates per output coordinate (pow2-rounded).
+    packed: bool = False
+    max_run: int = 1
 
 
 def shard_plan(a_csc: CSC, b_csr: CSR, ndev: int) -> ShardedPlan:
@@ -83,7 +88,13 @@ def shard_plan(a_csc: CSC, b_csr: CSR, ndev: int) -> ShardedPlan:
         plans.append(expansion_plan_subset(a_csc, b_csr, ks))
 
     max_nnz_a = max(max(p.a_rows.shape[0] for p in plans), 1)
-    p_pad = round_up_bucket(max(max(p.expansion_size for p in plans), 1))
+    max_p = max(max(p.expansion_size for p in plans), 1)
+    if max_p >= 2**31:
+        raise ValueError(
+            f"per-device expansion size {max_p} exceeds int32 index space; "
+            "use more devices or split the operands"
+        )
+    p_pad = round_up_bucket(max_p)
 
     def pad_stack(field, fill):
         out = np.full((ndev, max_nnz_a), fill, dtype=np.int32)
@@ -131,12 +142,24 @@ def shard_plan(a_csc: CSC, b_csr: CSR, ndev: int) -> ShardedPlan:
         b_indptr=np.asarray(b_csr.indptr, dtype=np.int32),
         b_cols=np.asarray(b_csr.indices, dtype=np.int32),
         b_vals=np.asarray(b_csr.data, dtype=np.float32),
+        packed=bool(m * n < 2**31),
+        max_run=1
+        << (
+            max(
+                int(
+                    np.bincount(a_csc.indices, minlength=m).max(initial=1)
+                ),
+                1,
+            )
+            - 1
+        ).bit_length(),
     )
 
 
 def _local_shard_fn(
     a_rows, a_vals, a_k, offsets, p_total, b_indptr, b_cols, b_vals,
     *, p_pad, sentinel_row, rows_per_dev, ndev, capacity, axis,
+    n_cols, packed, max_run,
 ):
     """Per-device program under shard_map (leading dim 1 stripped)."""
     # ---- multiply phase over the local k-slice ----
@@ -175,7 +198,22 @@ def _local_shard_fn(
         send_v.reshape(ndev, capacity), axis, 0, 0, tiled=False
     ).reshape(ndev * capacity)
     # ---- local merge of owned rows ----
-    mr, mc, mv, mvalid, nnz = merge_twokey(recv_r, recv_c, recv_v, _I32_MAX)
+    # Single-key packed sort where m·n fits int32 (the known-faster
+    # variant the single-chip pipeline prefers); max_run truncates the
+    # segmented scan either way.
+    if packed:
+        key = jnp.where(
+            recv_r < sentinel_row,
+            recv_r * np.int32(n_cols) + recv_c,
+            _I32_MAX,
+        )
+        mr, mc, mv, mvalid, nnz = merge_packed_keys(
+            key, recv_v, n_cols, _I32_MAX, max_run
+        )
+    else:
+        mr, mc, mv, mvalid, nnz = merge_twokey(
+            recv_r, recv_c, recv_v, _I32_MAX, max_run
+        )
     return (
         mr[None], mc[None], mv[None], mvalid[None], nnz[None],
     )
@@ -196,6 +234,9 @@ def spgemm_sharded(plan: ShardedPlan, mesh: Mesh, axis: str = "x"):
         ndev=plan.ndev,
         capacity=plan.capacity,
         axis=axis,
+        n_cols=plan.n,
+        packed=plan.packed,
+        max_run=plan.max_run,
     )
     sharded = shard_map(
         fn,

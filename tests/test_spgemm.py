@@ -130,3 +130,58 @@ class TestSpGEMM:
         cols, vals = c.row_slice(2)
         np.testing.assert_array_equal(cols, [1])
         np.testing.assert_allclose(vals, [10.0])
+
+
+class TestRound2Guards:
+    def test_int32_overflow_guard(self):
+        # ADVICE: expansion >= 2^31 must fail loudly, not silently wrap.
+        from outerspace_tpu.ops.spgemm import plan_to_device
+
+        a = erdos_renyi(16, 16, 0.3, seed=80)
+        plan = expansion_plan(a.to_csc(), a.to_csr())
+        plan.offsets = plan.offsets.copy()
+        plan.offsets[-1] = 2**31  # forge an over-scale expansion
+        with pytest.raises(ValueError, match="int32"):
+            plan_to_device(plan)
+
+    def test_max_duplicate_run_pow2(self):
+        from outerspace_tpu.ops.spgemm import max_duplicate_run
+
+        a = erdos_renyi(64, 64, 0.2, seed=81)
+        plan = expansion_plan(a.to_csc(), a.to_csr())
+        r = max_duplicate_run(plan)
+        assert r >= 1 and (r & (r - 1)) == 0
+        true_max = int(np.bincount(plan.a_rows, minlength=plan.m).max())
+        assert r >= true_max
+
+    def test_config_threads_into_spgemm(self):
+        from outerspace_tpu.config import Config
+
+        a = erdos_renyi(48, 48, 0.15, seed=82)
+        cfg = Config().override(["waste_limit=8.0", "heavy_fraction_threshold=0.0"])
+        # Forces the tile strategy via config; result must stay exact.
+        c = spgemm(a, a, config=cfg, interpret=True)
+        assert_csr_allclose(c, spgemm_scipy(a, a), rtol=1e-5)
+
+
+class TestBestCheckpoint:
+    def test_best_params_match_val_epoch(self):
+        # ADVICE(medium): best_params must be the weights that SCORED
+        # best_val_acc (captured before that epoch's training), mirroring
+        # the reference's val-phase save (main.py:169-172).
+        import jax.numpy as jnp
+
+        from outerspace_tpu.nn.train import TrainConfig, evaluate, train
+        from outerspace_tpu.nn.models import make_model
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(256, 784)).astype(np.float32)
+        y = (rng.integers(0, 10, size=256)).astype(np.int32)
+        data = {"train": (x, y), "val": (x[:128], y[:128]), "test": (x, y)}
+        cfg = TrainConfig(model_type="MLP1", num_epochs=2, batch_size=64)
+        res = train(data, cfg, verbose=False)
+        model = make_model("MLP1")
+        _, acc = evaluate(
+            res.best_params, model.apply, *data["val"], cfg.batch_size
+        )
+        assert abs(acc - res.best_val_acc) < 1e-6
