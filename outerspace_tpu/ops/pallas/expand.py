@@ -12,10 +12,13 @@ by the scheduler (``sched/planner.py``):
 All reads/writes are contiguous blocks (BlockSpec-indexed via scalar
 prefetch); there are **no gathers** — the skew-heavy >90% of the partial
 products is produced at HBM streaming bandwidth instead of ~10 cycles per
-element through XLA gather. When ``m·n < 2³¹`` the kernel emits merged
-sort keys directly (packed mode: two output streams instead of three),
-fusing the merge phase's key construction. Masked lanes carry the int32
-sentinel that sorts past every real key.
+element through XLA gather. When ``m·n ≤ 2³²`` the kernel emits merged
+biased-uint32 sort keys directly (packed mode: two output streams instead
+of three), fusing the merge phase's key construction. Masked lanes carry
+either the int32 sentinel (bounded duplicate runs, for the XLA scan) or —
+with ``clamp_pad`` — a replicated real in-tile coordinate with value 0,
+keeping every flattened tile a fully sorted run (the property the Pallas
+merge kernels exploit).
 
 Mosaic layout notes: TPU block shapes must be (8k, 128)-aligned in their
 last two dimensions, so the A-side task slices are fetched in (8, tile_a)
@@ -38,6 +41,7 @@ from outerspace_tpu.sched.planner import TILE_B, OuterProductSchedule
 
 _A_GROUP = 8  # tasks per A-side fetch group (sublane alignment)
 _I32_MAX = np.int32(2**31 - 1)
+_KEY_BIAS = np.int32(-(2**31))  # see ops.spgemm.pack_key_biased
 
 
 def _expand_kernel_packed(
@@ -51,6 +55,7 @@ def _expand_kernel_packed(
     *,
     tile_a: int,
     n_cols: int,
+    clamp_pad: bool,
 ):
     t = pl.program_id(0)
     a_len = task_ref[t * 4]
@@ -66,11 +71,39 @@ def _expand_kernel_packed(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 1)
-    mask = (sub < a_len) & (lane >= b_lo) & (lane < b_hi)
+    amask = sub < a_len
+    lmask = (lane >= b_lo) & (lane < b_hi)
+    mask = amask & lmask
 
-    keys = a_rows * np.int32(n_cols) + b_cols
+    rows_b = jnp.broadcast_to(a_rows, (tile_a, TILE_B))
+    cols_b = jnp.broadcast_to(b_cols, (tile_a, TILE_B))
     vals = a_vals * b_vals  # (tile_a, TILE_B) outer product on the VPU
-    out_keys_ref[0] = jnp.where(mask, keys, _I32_MAX)
+    if clamp_pad:
+        # Sentinel-free padding: masked slots replicate a real in-tile
+        # coordinate with value 0 — a no-op under accumulation — chosen
+        # so the flattened tile stays a fully sorted run (the property
+        # the Pallas merge kernels exploit):
+        #   lanes < b_lo  → first valid column of this B-row window,
+        #   lanes ≥ b_hi  → last valid column,
+        #   sublanes ≥ a_len → (last valid row, last valid column).
+        col_lo = jnp.min(jnp.where(lmask, cols_b, _I32_MAX))
+        col_hi = jnp.max(jnp.where(lmask, cols_b, -1))
+        row_hi = jnp.max(jnp.where(amask, rows_b, -1))
+        cols_c = jnp.where(
+            lane < b_lo, col_lo, jnp.where(lane >= b_hi, col_hi, cols_b)
+        )
+        key_valid = rows_b * np.int32(n_cols) + cols_c
+        key_tail = row_hi * np.int32(n_cols) + col_hi
+        keys = jnp.where(amask, key_valid, key_tail) + _KEY_BIAS
+    else:
+        # Sentinel padding: masked slots sort past every real key; the
+        # merge discards them (with the 2^32-corner correction in
+        # ops.spgemm.merge_biased_keys). Keeps duplicate runs bounded by
+        # max_run for the XLA segmented scan.
+        keys = jnp.where(
+            mask, rows_b * np.int32(n_cols) + cols_b + _KEY_BIAS, _I32_MAX
+        )
+    out_keys_ref[0] = keys
     out_vals_ref[0] = jnp.where(mask, vals, 0.0)
 
 
@@ -150,7 +183,7 @@ def _grid_spec(ntasks: int, tile_a: int, n_outputs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ntasks", "tile_a", "n_cols", "interpret"),
+    static_argnames=("ntasks", "tile_a", "n_cols", "interpret", "clamp_pad"),
 )
 def expand_tiles_packed(
     tasks: jax.Array,
@@ -163,16 +196,22 @@ def expand_tiles_packed(
     tile_a: int,
     n_cols: int,
     interpret: bool = False,
+    clamp_pad: bool = False,
 ):
-    """Dense-tile expand with fused key packing; returns flat (keys, vals)
-    of length ntasks·tile_a·TILE_B (sentinel-masked)."""
+    """Dense-tile expand with fused biased-uint32 key packing; returns
+    flat (keys, vals) of length ntasks·tile_a·TILE_B. ``clamp_pad``
+    selects sentinel-free padding (fully-sorted tiles, for the Pallas
+    merge) vs sentinel padding (bounded runs, for the XLA scan)."""
     out_shape = [
         jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.int32),
         jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.float32),
     ]
     keys, vals = pl.pallas_call(
         functools.partial(
-            _expand_kernel_packed, tile_a=tile_a, n_cols=n_cols
+            _expand_kernel_packed,
+            tile_a=tile_a,
+            n_cols=n_cols,
+            clamp_pad=clamp_pad,
         ),
         grid_spec=_grid_spec(ntasks, tile_a, 2),
         out_shape=out_shape,

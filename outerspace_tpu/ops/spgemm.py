@@ -15,11 +15,16 @@ device stages, all static-shape and jit-compiled:
    O(P) gathers into two cheap cumsums; only the B-side lookups remain
    true gathers.
 2. **merge/sort** — partial products sort by output coordinate. When
-   ``m·n < 2^31`` the (row, col) pair packs into one int32 key (single-key
-   two-operand sort, cheapest); otherwise a two-key variadic sort is used.
-   This replaces the per-row concat+sort of the merge PEs (``PEMerger``,
-   ``SimOuterSPACE.cpp:554-606``): on a TPU one large sort beats many tiny
-   ones.
+   ``m·n ≤ 2^32`` the (row, col) pair packs into one *biased-uint32*
+   int32 key (``row·n + col - 2^31`` with wraparound: signed int32 order
+   equals unsigned order of ``row·n + col``), giving the cheapest
+   single-key two-operand sort; only larger shapes fall back to a two-key
+   variadic sort. Packed streams are **sentinel-free**: padding slots
+   replicate a real in-stream coordinate with value 0 (a no-op under
+   accumulation), so every slot is a genuine coordinate and validity is
+   just run-last-ness. This replaces the per-row concat+sort of the merge
+   PEs (``PEMerger``, ``SimOuterSPACE.cpp:554-606``): on a TPU one large
+   sort beats many tiny ones.
 3. **merge/accumulate** — duplicate coordinates are summed with a
    Hillis–Steele *segmented* inclusive scan (log₂ P shift/select passes —
    contiguous vector ops, no scatter), keeping the last element of every
@@ -46,6 +51,23 @@ from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.ops.symbolic import ExpansionPlan, expansion_plan
 
 _I32_MAX = np.int32(2**31 - 1)
+# Biased-uint32 key packing: key = row·n + col - 2^31 with int32
+# wraparound. Signed int32 order of the biased key == unsigned uint32
+# order of row·n + col, so one int32 sort covers every m·n ≤ 2^32.
+KEY_BIAS = np.int32(-(2**31))
+
+
+def pack_key_biased(rows: jax.Array, cols: jax.Array, n_cols: int) -> jax.Array:
+    """Pack (row, col) into one biased-uint32 int32 sort key (m·n ≤ 2^32)."""
+    return rows * np.int32(n_cols) + cols + KEY_BIAS
+
+
+def unpack_key_biased(key: jax.Array, n_cols: int):
+    """Inverse of :func:`pack_key_biased` (uint32 div/mod)."""
+    ku = jax.lax.bitcast_convert_type(key, jnp.uint32) ^ np.uint32(2**31)
+    row = (ku // np.uint32(n_cols)).astype(jnp.int32)
+    col = (ku % np.uint32(n_cols)).astype(jnp.int32)
+    return row, col
 
 
 # --------------------------------------------------------------------------
@@ -162,10 +184,50 @@ def merge_packed(
     sentinel_row: int,
     max_run: int | None = None,
 ):
-    """Merge via a single packed int32 key — requires m·n < 2³¹."""
+    """Merge via a single packed int32 key — requires m·n < 2³¹
+    (legacy sentinel-keyed variant; the main pipeline uses
+    :func:`merge_biased_keys`)."""
     valid = rows < sentinel_row
     key = jnp.where(valid, rows * np.int32(n_cols) + cols, _I32_MAX)
     return merge_packed_keys(key, vals, n_cols, sentinel_row, max_run)
+
+
+def merge_biased_keys(
+    key: jax.Array,
+    vals: jax.Array,
+    n_cols: int,
+    sentinel_row: int,
+    max_run: int | None = None,
+    pad_count: jax.Array | int = 0,
+):
+    """Merge a stream of biased-uint32 packed keys
+    (:func:`pack_key_biased`): sort, segmented-scan accumulate, unpack.
+
+    Padding slots carry the sentinel ``INT32_MAX`` with value 0. At
+    m·n = 2^32 exactly, the real corner coordinate (m-1, n-1) *is* the
+    sentinel bit pattern; it is recovered exactly: its run total is an
+    order-invariant masked sum (immune to ``max_run`` truncation — the
+    sentinel run can exceed any duplicate bound), and it is real iff the
+    stream holds more sentinel slots than the ``pad_count`` known padding
+    slots. For m·n < 2^32 no real key reaches the sentinel and this
+    reduces to plain discard-the-padding.
+    """
+    key, vals = jax.lax.sort((key, vals), num_keys=1, is_stable=False)
+    first = jnp.concatenate(
+        [jnp.ones(1, dtype=jnp.bool_), key[1:] != key[:-1]]
+    )
+    summed, is_last = segmented_sum_sorted(vals, first, max_run)
+    is_sent = key == _I32_MAX
+    corner_sum = jnp.sum(jnp.where(is_sent, vals, 0.0))
+    corner_real = jnp.sum(is_sent.astype(jnp.int32)) > pad_count
+    summed = jnp.where(is_sent, corner_sum, summed)
+    valid_out = is_last & (~is_sent | corner_real)
+    row, col = unpack_key_biased(key, n_cols)
+    out_row = jnp.where(valid_out, row, sentinel_row)
+    out_col = jnp.where(valid_out, col, 0)
+    out_val = jnp.where(valid_out, summed, 0.0)
+    nnz = jnp.sum(valid_out.astype(jnp.int32))
+    return out_row, out_col, out_val, valid_out, nnz
 
 
 def merge_twokey(
@@ -224,7 +286,12 @@ def _spgemm_device(
         p_pad, sentinel_row,
     )
     if packed:
-        return merge_packed(r, c, v, n_cols, sentinel_row, max_run)
+        valid = jnp.arange(p_pad, dtype=jnp.int32) < p_total
+        key = jnp.where(valid, pack_key_biased(r, c, n_cols), _I32_MAX)
+        return merge_biased_keys(
+            key, v, n_cols, sentinel_row, max_run,
+            pad_count=np.int32(p_pad) - p_total,
+        )
     return merge_twokey(r, c, v, sentinel_row, max_run)
 
 
@@ -311,7 +378,8 @@ def plan_to_device(plan: ExpansionPlan) -> dict[str, jax.Array]:
 
 
 def can_pack(plan: ExpansionPlan) -> bool:
-    return plan.m * plan.n < 2**31
+    """Biased-uint32 packing covers every m·n ≤ 2^32 (e.g. 65536²)."""
+    return plan.m * plan.n <= 2**32
 
 
 def spgemm_padded(
@@ -424,7 +492,7 @@ def spgemm_padded_tiled(
     )
 
     if packed is None:
-        packed = tplan.m * tplan.n < 2**31
+        packed = tplan.m * tplan.n <= 2**32
     sentinel = int(tplan.m)
     n_cols = int(tplan.n)
     class_devs = [
@@ -465,8 +533,15 @@ def spgemm_padded_tiled(
             )
             keys_l.append(k)
             vals_l.append(v)
+        # Known padding slots across all streams (sentinel-keyed, val 0):
+        # tile-class padding + light-path tail.
+        pad_count = sum(
+            sched.padded_heavy - sched.heavy_p for sched, _ in class_devs
+        )
+        if tplan.light_plan is not None:
+            pad_count += tplan.light_pad - tplan.light_plan.expansion_size
         r, c, v, valid, nnz = _merge_packed_keys_jit(
-            tuple(keys_l), tuple(vals_l),
+            tuple(keys_l), tuple(vals_l), jnp.int32(pad_count),
             n_cols=n_cols, sentinel_row=sentinel, max_run=tplan.max_run,
         )
     else:
@@ -519,21 +594,22 @@ def _expand_light_packed(
         a_rows, a_vals, a_k, b_indptr, b_cols, b_vals, offsets, p_total,
         p_pad, sentinel_row,
     )
-    key = jnp.where(
-        r < sentinel_row, r * np.int32(n_cols) + c, _I32_MAX
-    )
-    return key, v
+    valid = jnp.arange(p_pad, dtype=jnp.int32) < p_total
+    return jnp.where(valid, pack_key_biased(r, c, n_cols), _I32_MAX), v
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_cols", "sentinel_row", "max_run")
 )
 def _merge_packed_keys_jit(
-    keys_t, vals_t, *, n_cols: int, sentinel_row: int, max_run: int | None
+    keys_t, vals_t, pad_count,
+    *, n_cols: int, sentinel_row: int, max_run: int | None
 ):
     key = jnp.concatenate(keys_t) if len(keys_t) > 1 else keys_t[0]
     vals = jnp.concatenate(vals_t) if len(vals_t) > 1 else vals_t[0]
-    return merge_packed_keys(key, vals, n_cols, sentinel_row, max_run)
+    return merge_biased_keys(
+        key, vals, n_cols, sentinel_row, max_run, pad_count=pad_count
+    )
 
 
 @functools.partial(

@@ -185,3 +185,51 @@ class TestBestCheckpoint:
             res.best_params, model.apply, *data["val"], cfg.batch_size
         )
         assert abs(acc - res.best_val_acc) < 1e-6
+
+
+class TestBiasedKeys:
+    def test_pack_unpack_roundtrip_extremes(self):
+        import jax.numpy as jnp
+
+        from outerspace_tpu.ops.spgemm import (
+            pack_key_biased,
+            unpack_key_biased,
+        )
+
+        m = n = 65536  # m·n = 2^32 exactly (the rmat16 shape)
+        rows = jnp.array([0, 0, 1, 32767, 32768, 65535, 65535], jnp.int32)
+        cols = jnp.array([0, 1, 0, 65535, 0, 0, 65535], jnp.int32)
+        key = pack_key_biased(rows, cols, n)
+        # Signed order of biased keys == lexicographic (row, col) order.
+        assert bool(jnp.all(key[1:] > key[:-1]))
+        r2, c2 = unpack_key_biased(key, n)
+        np.testing.assert_array_equal(np.asarray(r2), np.asarray(rows))
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(cols))
+        del m
+
+    def test_packed_u32_boundary_shape(self):
+        # 65536² output space: previously forced the two-key sort; the
+        # biased-u32 packing must handle it exactly, including the
+        # (m-1, n-1) corner coordinate.
+        m = 65536
+        a = COO(
+            (m, m),
+            [0, 0, m - 1, m - 1, 7, 7],
+            [0, m - 1, 0, m - 1, 9, 11],
+            [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        )
+        b = COO(
+            (m, m),
+            [0, m - 1, m - 1, 9, 11],
+            [0, m - 1, 0, m - 1, m - 1],
+            [10.0, 20.0, 30.0, 40.0, 50.0],
+        )
+        for strategy in ("flat", "tiles"):
+            c = spgemm(a, b, strategy=strategy, packed=True, interpret=True)
+            assert_csr_allclose(c, spgemm_scipy(a, b), rtol=1e-6)
+
+    def test_packed_matches_twokey_rmat(self):
+        g = rmat(8, edge_factor=6, seed=90)
+        c_packed = spgemm(g, g, strategy="tiles", packed=True, interpret=True)
+        c_two = spgemm(g, g, strategy="tiles", packed=False, interpret=True)
+        assert_csr_allclose(c_packed, c_two, rtol=1e-6)
