@@ -192,6 +192,11 @@ def merge_packed(
     return merge_packed_keys(key, vals, n_cols, sentinel_row, max_run)
 
 
+def _scan_kernel_applicable(n: int) -> bool:
+    """The Pallas epilogue needs a pow2 chunk divisor ≥ 1024."""
+    return (n & -n) >= 1024 and n >= 4096
+
+
 def merge_biased_keys(
     key: jax.Array,
     vals: jax.Array,
@@ -199,6 +204,8 @@ def merge_biased_keys(
     sentinel_row: int,
     max_run: int | None = None,
     pad_count: jax.Array | int = 0,
+    epilogue: str | None = None,
+    interpret: bool = False,
 ):
     """Merge a stream of biased-uint32 packed keys
     (:func:`pack_key_biased`): sort, segmented-scan accumulate, unpack.
@@ -211,8 +218,27 @@ def merge_biased_keys(
     stream holds more sentinel slots than the ``pad_count`` known padding
     slots. For m·n < 2^32 no real key reaches the sentinel and this
     reduces to plain discard-the-padding.
+
+    ``epilogue``: "pallas" fuses everything after the sort into one
+    HBM pass (``ops.pallas.scan``); "xla" keeps the shift/select passes;
+    None auto-picks pallas on a TPU backend when the shape allows.
     """
+    n = key.shape[0]
+    if epilogue is None:
+        epilogue = (
+            "pallas"
+            if jax.default_backend() == "tpu" and _scan_kernel_applicable(n)
+            else "xla"
+        )
     key, vals = jax.lax.sort((key, vals), num_keys=1, is_stable=False)
+    if epilogue == "pallas":
+        from outerspace_tpu.ops.pallas.scan import merge_epilogue_scan
+
+        return merge_epilogue_scan(
+            key, vals, jnp.asarray(pad_count, jnp.int32),
+            n_cols=n_cols, sentinel_row=sentinel_row, max_run=max_run,
+            interpret=interpret,
+        )
     first = jnp.concatenate(
         [jnp.ones(1, dtype=jnp.bool_), key[1:] != key[:-1]]
     )
@@ -468,7 +494,9 @@ def plan_tiled(
     light_pad = 0
     if cp.light_k.shape[0] > 0 and cp.light_p > 0:
         light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
-        light_pad = light_plan.padded_size(min_size=1024)
+        # 1024-multiple: class streams already are, so the whole merged
+        # stream keeps the pow2 chunk divisor the Pallas epilogue needs.
+        light_pad = -(-light_plan.padded_size(min_size=1024) // 1024) * 1024
         dev["light"] = plan_to_device(light_plan)
     a_row_nnz_max = int(
         np.bincount(a_csc.indices, minlength=a_csc.shape[0]).max(initial=1)
