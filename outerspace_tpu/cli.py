@@ -229,7 +229,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("spgemm", help="C = M1 · M2ᵀ from .mtx operands")
     p.add_argument("matrix1")
     p.add_argument("matrix2")
-    p.add_argument("--strategy", default="auto", choices=["auto", "flat", "tiles"])
+    p.add_argument("--strategy", default="auto",
+                   choices=["auto", "flat", "tiles", "gather"])
     p.add_argument("--no-transpose", action="store_true",
                    help="compute M1 · M2 instead of M1 · M2ᵀ")
     p.add_argument("--out", default=None, help="write result .mtx here")

@@ -1,0 +1,223 @@
+"""Row-split SpGEMM pipeline over the windowed-gather expand kernel.
+
+The packed-uint32 merge key covers m·n ≤ 2^32. For larger output spaces
+(e.g. the 100k×100k ER workload, m·n = 10^10), the outer-product stream is
+**partitioned by output-row ranges** chosen so each part's span×n fits the
+key space (``sched.gplanner.row_partition``). Each part expands with the
+windowed-gather kernel (exact P, no tile padding — ``ops.pallas.gexpand``)
+plus the XLA flat path for window-incompatible elements, merges with the
+single-key packed sort, and the parts concatenate into one device-resident
+``MergedCOO`` that is globally row-major by construction.
+
+This is the TPU-native form of the reference's multiply→merge exchange for
+the uniform/low-skew regime: the row ranges play the role output-row
+ownership played across the reference's merge PEs
+(``SimOuterSPACE.cpp:554-606``), with zero expansion padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outerspace_tpu.formats.csr import CSC, CSR
+from outerspace_tpu.ops.pallas.gexpand import (
+    expand_gather_packed,
+    gather_plan_to_device,
+)
+from outerspace_tpu.ops.spgemm import (
+    MergedCOO,
+    _expand_light_packed,
+    merge_biased_keys,
+    plan_to_device,
+)
+from outerspace_tpu.ops.symbolic import round_up_bucket
+from outerspace_tpu.sched.gplanner import (
+    plan_gather_from_csr,
+    row_partition,
+)
+
+
+@dataclasses.dataclass
+class GatherPart:
+    row_base: int
+    span: int
+    ngroups: int
+    p_out: int  # gather stream length
+    p_real: int
+    fb_pad: int  # fallback stream padded length (0 = no fallback)
+    fb_real: int
+    merge_pad: int  # bucketed total merge stream length
+    max_run: int
+    dev: dict  # device arrays
+
+
+@dataclasses.dataclass
+class GatherPipelinePlan:
+    m: int
+    n: int
+    parts: list[GatherPart]
+
+    @property
+    def flops(self) -> int:
+        return sum(p.p_real + p.fb_real for p in self.parts)
+
+    @property
+    def padded_total(self) -> int:
+        return sum(p.merge_pad for p in self.parts)
+
+
+def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
+    """Host planning: row partition + per-part gather plans + staging."""
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    bounds = row_partition(a_csc, b_csr)
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        lo, hi = int(lo), int(hi)
+        plan, fb = plan_gather_from_csr(
+            a_csc, b_csr, row_range=(lo, hi) if len(bounds) > 2 else None,
+            row_base=lo,
+        )
+        if plan is None and fb is None:
+            continue
+        dev = {}
+        p_out = p_real = ngroups = 0
+        if plan is not None:
+            dev.update(gather_plan_to_device(plan))
+            p_out, p_real, ngroups = plan.p_out, plan.p_real, plan.ngroups
+        fb_pad = fb_real = 0
+        if fb is not None:
+            fb_pad = -(-fb.padded_size(min_size=1024) // 1024) * 1024
+            fb_real = fb.expansion_size
+            dev["fb"] = plan_to_device(fb)
+        total = p_out + fb_pad
+        # bucket values >= 4096 always keep a pow2 divisor >= 1024,
+        # which is what the Pallas epilogue's chunking needs
+        merge_pad = round_up_bucket(max(total, 4096), min_size=4096)
+        rows_here = np.asarray(a_csc.indices)
+        sel = (rows_here >= lo) & (rows_here < hi)
+        mr = int(np.bincount(rows_here[sel] - lo, minlength=1).max(initial=1))
+        parts.append(
+            GatherPart(
+                row_base=lo,
+                span=hi - lo,
+                ngroups=ngroups,
+                p_out=p_out,
+                p_real=p_real,
+                fb_pad=fb_pad,
+                fb_real=fb_real,
+                merge_pad=merge_pad,
+                max_run=1 << (max(mr, 1) - 1).bit_length(),
+                dev=dev,
+            )
+        )
+    return GatherPipelinePlan(m, n, parts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ngroups", "fb_pad", "merge_pad", "n_cols", "sentinel_row",
+        "max_run", "interpret",
+    ),
+)
+def _part_device(
+    dev: dict,
+    *,
+    ngroups: int,
+    fb_pad: int,
+    merge_pad: int,
+    n_cols: int,
+    sentinel_row: int,
+    max_run: int,
+    interpret: bool = False,
+):
+    # dev may carry "val_bump": a traced f32 scalar added to the value
+    # stream (+0.0 in practice). Benchmarks chain iterations through it so
+    # XLA cannot common-subexpression-eliminate repeated pipelines.
+    keys_l, vals_l, real = [], [], 0
+    if ngroups:
+        k, v = expand_gather_packed(
+            dev["bases"], dev["table"], dev["a_pack"], dev["b_pack"],
+            ngroups=ngroups, interpret=interpret,
+        )
+        keys_l.append(k)
+        vals_l.append(v)
+    if fb_pad:
+        k, v = _expand_light_packed(
+            **dev["fb"], p_pad=fb_pad, sentinel_row=sentinel_row,
+            n_cols=n_cols,
+        )
+        keys_l.append(k)
+        vals_l.append(v)
+    key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
+    vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
+    if "val_bump" in dev:
+        vals = vals + dev["val_bump"]
+    extra = merge_pad - key.shape[0]
+    if extra:
+        key = jnp.concatenate(
+            [key, jnp.full(extra, np.int32(2**31 - 1), jnp.int32)]
+        )
+        vals = jnp.concatenate([vals, jnp.zeros(extra, jnp.float32)])
+    pad_count = jnp.int32(merge_pad) - dev["p_real_total"]
+    return merge_biased_keys(
+        key, vals, n_cols, sentinel_row, max_run, pad_count,
+        interpret=interpret,
+        epilogue="pallas" if interpret else None,
+    )
+
+
+def spgemm_gather_padded(
+    plan: GatherPipelinePlan, interpret: bool = False
+) -> MergedCOO:
+    """Run all row parts and concatenate into one MergedCOO."""
+    rows_l, cols_l, vals_l, valid_l, nnz = [], [], [], [], jnp.int32(0)
+    for p in plan.parts:
+        dev = dict(p.dev)
+        dev["p_real_total"] = jnp.int32(p.p_real + p.fb_real)
+        r, c, v, valid, pn = _part_device(
+            dev,
+            ngroups=p.ngroups,
+            fb_pad=p.fb_pad,
+            merge_pad=p.merge_pad,
+            n_cols=plan.n,
+            sentinel_row=p.span,  # relative-row sentinel within the part
+            max_run=p.max_run,
+            interpret=interpret,
+        )
+        rows_l.append(
+            jnp.where(valid, r + np.int32(p.row_base), np.int32(plan.m))
+        )
+        cols_l.append(c)
+        vals_l.append(v)
+        valid_l.append(valid)
+        nnz = nnz + pn
+    cat = (lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0])
+    return MergedCOO(
+        (plan.m, plan.n),
+        cat(rows_l), cat(cols_l), cat(vals_l), cat(valid_l), nnz,
+    )
+
+
+def spgemm_gather(a, b, interpret: bool = False) -> CSR:
+    """C = A @ B via the row-split windowed-gather pipeline."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    a_csc = a if isinstance(a, CSC) else a.to_csc()
+    b_csr = b if isinstance(b, CSR) else b.to_csr()
+    plan = plan_spgemm_gather(a_csc, b_csr)
+    if not plan.parts:
+        from outerspace_tpu.formats.coo import INDEX_DTYPE, VALUE_DTYPE
+
+        return CSR(
+            (plan.m, plan.n),
+            np.zeros(plan.m + 1, dtype=np.int64),
+            np.zeros(0, dtype=INDEX_DTYPE),
+            np.zeros(0, dtype=VALUE_DTYPE),
+        )
+    return spgemm_gather_padded(plan, interpret=interpret).to_csr()

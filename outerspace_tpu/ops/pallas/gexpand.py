@@ -1,0 +1,224 @@
+"""Windowed-gather expand kernel: exact-P multiply phase for low-skew k.
+
+Counterpart of the dense-tile expand (``ops.pallas.expand``) for outer
+indices whose (nnz_A(k) × nnz_B(k)) tiles would pad away the win: instead
+of dense tiles, each grid step resolves 8×1024 consecutive partial
+products with VMEM-local single-vreg gathers over small aligned windows
+(see ``sched.gplanner`` for the windowing argument and constraints).
+Output is the packed (biased-uint32 key, value) stream of the merge phase
+— **zero padding** beyond the ≤SUB_P tail of each subtile.
+
+Per subtile: an 8-step in-register binary search over the window's
+product-prefix array finds each slot's owning A-element (exploiting that
+the prefix is strictly increasing), then four owner-indexed gathers fetch
+(row, a_val, jb, cum) and two j-indexed gathers fetch (b_col, b_val).
+
+Reference capability matched: the multiply PEs' element streaming
+(``PEMultiplier``, ``SimOuterSPACE.cpp:501-552``) at full VPU width
+without the ~10 cycle/element cost of global XLA gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from outerspace_tpu.sched.gplanner import (
+    A_WIN,
+    B_WIN,
+    GROUP_SUBS,
+    SUB_P,
+    SUPER,
+    GatherPlan,
+)
+
+_I32_MAX = np.int32(2**31 - 1)
+_KEY_BIAS = np.int32(-(2**31))
+_BLK = 128
+
+
+def _win_gather(win_rows, idx):
+    """Gather ``win_rows`` (list of (8?,128) lane-vectors as (1,128) or
+    (128,) arrays broadcastable to idx's shape) at flat indices ``idx`` ∈
+    [0, len*128): single-vreg take_along_axis per 128-lane piece + select."""
+    out = None
+    lane = idx & (_BLK - 1)
+    blk = idx >> 7
+    for i, w in enumerate(win_rows):
+        wb = jnp.broadcast_to(w.reshape(1, _BLK), idx.shape)
+        g = jnp.take_along_axis(wb, lane, axis=1)
+        out = g if out is None else jnp.where(blk == i, g, out)
+    return out
+
+
+def _expand_gather_kernel(
+    bases_ref,  # SMEM int32[ngroups*2]: (a_base8, b_base8)
+    tab_ref,  # VMEM int32[1, GROUP_SUBS, 128] per-subtile table
+    a0_ref,  # VMEM int32[1, 8, 4, 128]   a_pack blocks [a_base8*8 .. +8)
+    a1_ref,  # VMEM int32[1, 8, 4, 128]   next 8 blocks
+    a2_ref,  # VMEM int32[1, 8, 4, 128]   next 8 blocks
+    b0_ref,  # VMEM int32[1, 8, 2, 128]
+    b1_ref,
+    b2_ref,
+    okey_ref,  # VMEM int32[1, GROUP_SUBS*8, 128]
+    oval_ref,  # VMEM f32[1, GROUP_SUBS*8, 128]
+    s_row,  # scratch VMEM int32[24, 128]  (a fields, super-window copies)
+    s_aval,  # scratch VMEM int32[24, 128]
+    s_jb,  # scratch VMEM int32[24, 128]
+    s_cum,  # scratch VMEM int32[24, 128]
+    s_bcol,  # scratch VMEM int32[24, 128]
+    s_bval,  # scratch VMEM int32[24, 128]
+):
+    g = pl.program_id(0)
+    b_super_blk = bases_ref[g * 2 + 1] * 8  # absolute block of b0_ref
+    # Stage the super-windows field-major in scratch so subtile windows
+    # become dynamically-offset *ref* slices (Mosaic has no dynamic_slice
+    # on values).
+    for fi, ref in enumerate((s_row, s_aval, s_jb, s_cum)):
+        ref[:] = jnp.concatenate(
+            [a0_ref[0, :, fi, :], a1_ref[0, :, fi, :], a2_ref[0, :, fi, :]],
+            axis=0,
+        )
+    for fi, ref in enumerate((s_bcol, s_bval)):
+        ref[:] = jnp.concatenate(
+            [b0_ref[0, :, fi, :], b1_ref[0, :, fi, :], b2_ref[0, :, fi, :]],
+            axis=0,
+        )
+    n_cols = tab_ref[0, 0, 5]
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, _BLK), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, _BLK), 1)
+    slot = sub_i * _BLK + lane_i  # 0..1023
+
+    for s in range(GROUP_SUBS):
+        r_a = tab_ref[0, s, 0]
+        r_b = tab_ref[0, s, 1]
+        p0 = tab_ref[0, s, 2]
+        plen = tab_ref[0, s, 3]
+
+        awin = [
+            (
+                s_row[pl.ds(r_a, A_WIN), :],
+                s_aval[pl.ds(r_a, A_WIN), :],
+                s_jb[pl.ds(r_a, A_WIN), :],
+                s_cum[pl.ds(r_a, A_WIN), :],
+            )
+        ][0]
+        bwin = (
+            s_bcol[pl.ds(r_b, B_WIN), :],
+            s_bval[pl.ds(r_b, B_WIN), :],
+        )
+        cum_w = [awin[3][i] for i in range(A_WIN)]
+        p = p0 + slot
+
+        # Binary search: largest candidate e in [0, 256) with cum[e] <= p.
+        # cum is strictly increasing (zero-product elements are excluded
+        # by the planner) and cum[0] <= p0 for every slot of the subtile.
+        ow = jnp.zeros((8, _BLK), jnp.int32)
+        for bit in (128, 64, 32, 16, 8, 4, 2, 1):
+            probe = ow + bit
+            v = _win_gather(cum_w, probe)
+            ow = jnp.where(v <= p, probe, ow)
+
+        row = _win_gather([awin[0][i] for i in range(A_WIN)], ow)
+        aval = pltpu.bitcast(
+            _win_gather([awin[1][i] for i in range(A_WIN)], ow), jnp.float32
+        )
+        jbase = _win_gather([awin[2][i] for i in range(A_WIN)], ow)
+        cum_e = _win_gather(cum_w, ow)
+
+        jloc = jbase + (p - cum_e) - (b_super_blk + r_b) * _BLK
+        jloc = jnp.clip(jloc, 0, B_WIN * _BLK - 1)
+        bcol = _win_gather([bwin[0][i] for i in range(B_WIN)], jloc)
+        bval = pltpu.bitcast(
+            _win_gather([bwin[1][i] for i in range(B_WIN)], jloc), jnp.float32
+        )
+
+        live = slot < plen
+        key = jnp.where(
+            live, row * n_cols + bcol + _KEY_BIAS, _I32_MAX
+        )
+        val = jnp.where(live, aval * bval, 0.0)
+        okey_ref[0, s * 8 : (s + 1) * 8, :] = key
+        oval_ref[0, s * 8 : (s + 1) * 8, :] = val
+
+
+def _clamp_spec(side: str, ref_i: int, nblocks8: int, nfields: int):
+    col = 0 if side == "a" else 1
+
+    def index_map(g, bases):
+        base = bases[g * 2 + col]
+        return (jnp.minimum(base + ref_i, nblocks8 - 1), 0, 0, 0)
+
+    return pl.BlockSpec(
+        (1, 8, nfields, _BLK), index_map, memory_space=pltpu.VMEM
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ngroups", "interpret"))
+def expand_gather_packed(
+    bases: jax.Array,  # int32[ngroups*2]
+    table: jax.Array,  # int32[ngroups, GROUP_SUBS, 128]
+    a_pack: jax.Array,  # int32[NAB/8, 8, 4, 128]
+    b_pack: jax.Array,  # int32[NBB/8, 8, 2, 128]
+    *,
+    ngroups: int,
+    interpret: bool = False,
+):
+    """Returns flat (keys, vals) of length ngroups·GROUP_SUBS·SUB_P."""
+    nab8 = a_pack.shape[0]
+    nbb8 = b_pack.shape[0]
+    rows_out = GROUP_SUBS * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, GROUP_SUBS, _BLK),
+                lambda g, bases: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [_clamp_spec("a", i, nab8, 4) for i in range(SUPER)]
+        + [_clamp_spec("b", i, nbb8, 2) for i in range(SUPER)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, rows_out, _BLK),
+                lambda g, bases: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 2,
+        scratch_shapes=[pltpu.VMEM((8 * SUPER, _BLK), jnp.int32)] * 6,
+    )
+    keys, vals = pl.pallas_call(
+        _expand_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ngroups, rows_out, _BLK), jnp.int32),
+            jax.ShapeDtypeStruct((ngroups, rows_out, _BLK), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bases, table, a_pack, a_pack, a_pack, b_pack, b_pack, b_pack)
+    n = ngroups * rows_out * _BLK
+    return keys.reshape(n), vals.reshape(n)
+
+
+def gather_plan_to_device(plan: GatherPlan) -> dict[str, jax.Array]:
+    """Ship a GatherPlan's arrays (a/b packs reshaped to 8-block refs)."""
+    nab = plan.a_pack.shape[0]
+    nbb = plan.b_pack.shape[0]
+    n_cols_lane = np.zeros((plan.ngroups, GROUP_SUBS, 1), np.int32)
+    table = plan.table.copy()
+    table[:, :, 5] = plan.n  # n_cols broadcast into the table
+    del n_cols_lane
+    return dict(
+        bases=jnp.asarray(plan.bases.reshape(-1)),
+        table=jnp.asarray(table),
+        a_pack=jnp.asarray(plan.a_pack.reshape(nab // 8, 8, 4, _BLK)),
+        b_pack=jnp.asarray(plan.b_pack.reshape(nbb // 8, 8, 2, _BLK)),
+    )

@@ -465,10 +465,18 @@ class TiledPlan:
     # Host bound on duplicates per output coordinate (max nnz per A row):
     # truncates the segmented scan's pass count.
     max_run: int | None = None
+    # Windowed-gather residue (``ops.pallas.gexpand``): exact-P expansion
+    # of the light k's the dense tiles would pad away; the remaining
+    # window-incompatible elements stay in ``light_plan`` (XLA flat).
+    gather_ngroups: int = 0
+    gather_p_out: int = 0
+    gather_p_real: int = 0
 
     @property
     def padded_total(self) -> int:
-        return self.class_plan.padded_heavy + self.light_pad
+        return (
+            self.class_plan.padded_heavy + self.light_pad + self.gather_p_out
+        )
 
 
 def plan_tiled(
@@ -492,12 +500,36 @@ def plan_tiled(
     }
     light_plan = None
     light_pad = 0
+    gather_ngroups = gather_p_out = gather_p_real = 0
     if cp.light_k.shape[0] > 0 and cp.light_p > 0:
-        light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
-        # 1024-multiple: class streams already are, so the whole merged
-        # stream keeps the pow2 chunk divisor the Pallas epilogue needs.
-        light_pad = -(-light_plan.padded_size(min_size=1024) // 1024) * 1024
-        dev["light"] = plan_to_device(light_plan)
+        m, n = a_csc.shape[0], b_csr.shape[1]
+        if m * n <= 2**32:
+            # Route the residue through the windowed-gather kernel (exact
+            # P); only window-incompatible elements stay on the XLA path.
+            from outerspace_tpu.ops.pallas.gexpand import (
+                gather_plan_to_device,
+            )
+            from outerspace_tpu.sched.gplanner import plan_gather_from_csr
+
+            gplan, fb_plan = plan_gather_from_csr(
+                a_csc, b_csr, k_subset=cp.light_k
+            )
+            if gplan is not None:
+                dev["gather"] = gather_plan_to_device(gplan)
+                gather_ngroups = gplan.ngroups
+                gather_p_out = gplan.p_out
+                gather_p_real = gplan.p_real
+            light_plan = fb_plan
+        else:
+            light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
+        if light_plan is not None:
+            # 1024-multiple: class streams already are, so the whole
+            # merged stream keeps the pow2 chunk divisor the Pallas
+            # epilogue needs.
+            light_pad = (
+                -(-light_plan.padded_size(min_size=1024) // 1024) * 1024
+            )
+            dev["light"] = plan_to_device(light_plan)
     a_row_nnz_max = int(
         np.bincount(a_csc.indices, minlength=a_csc.shape[0]).max(initial=1)
     )
@@ -507,6 +539,9 @@ def plan_tiled(
     return TiledPlan(
         a_csc.shape[0], b_csr.shape[1], cp, light_plan, light_pad, dev,
         max_run=a_row_nnz_max,
+        gather_ngroups=gather_ngroups,
+        gather_p_out=gather_p_out,
+        gather_p_real=gather_p_real,
     )
 
 
@@ -530,7 +565,11 @@ def spgemm_padded_tiled(
         )
         if dev is not None
     ]
-    if not class_devs and tplan.light_plan is None:
+    if (
+        not class_devs
+        and tplan.light_plan is None
+        and not tplan.gather_ngroups
+    ):
         z = jnp.zeros(1, jnp.int32)
         return MergedCOO(
             (tplan.m, tplan.n),
@@ -552,6 +591,18 @@ def spgemm_padded_tiled(
             )
             keys_l.append(k)
             vals_l.append(v)
+        if tplan.gather_ngroups:
+            from outerspace_tpu.ops.pallas.gexpand import (
+                expand_gather_packed,
+            )
+
+            gd = tplan.device_args["gather"]
+            k, v = expand_gather_packed(
+                gd["bases"], gd["table"], gd["a_pack"], gd["b_pack"],
+                ngroups=tplan.gather_ngroups, interpret=interpret,
+            )
+            keys_l.append(k)
+            vals_l.append(v)
         if tplan.light_plan is not None:
             k, v = _expand_light_packed(
                 **tplan.device_args["light"],
@@ -562,10 +613,11 @@ def spgemm_padded_tiled(
             keys_l.append(k)
             vals_l.append(v)
         # Known padding slots across all streams (sentinel-keyed, val 0):
-        # tile-class padding + light-path tail.
+        # tile-class padding + gather subtile tails + light-path tail.
         pad_count = sum(
             sched.padded_heavy - sched.heavy_p for sched, _ in class_devs
         )
+        pad_count += tplan.gather_p_out - tplan.gather_p_real
         if tplan.light_plan is not None:
             pad_count += tplan.light_pad - tplan.light_plan.expansion_size
         r, c, v, valid, nnz = _merge_packed_keys_jit(
@@ -584,6 +636,29 @@ def spgemm_padded_tiled(
             rows_l.append(rr)
             cols_l.append(cc)
             vals_l.append(vv)
+        if tplan.gather_ngroups:
+            # gexpand emits packed keys; unpack for the two-key sort
+            # (the gather plan only exists when m·n ≤ 2^32).
+            if tplan.m * tplan.n == 2**32:
+                raise ValueError(
+                    "packed=False with a gather residue cannot recover "
+                    "the (m-1, n-1) corner at m*n == 2^32; use the packed "
+                    "merge (default)"
+                )
+            from outerspace_tpu.ops.pallas.gexpand import (
+                expand_gather_packed,
+            )
+
+            gd = tplan.device_args["gather"]
+            k, v = expand_gather_packed(
+                gd["bases"], gd["table"], gd["a_pack"], gd["b_pack"],
+                ngroups=tplan.gather_ngroups, interpret=interpret,
+            )
+            gr, gc = unpack_key_biased(k, n_cols)
+            live = k != _I32_MAX
+            rows_l.append(jnp.where(live, gr, sentinel))
+            cols_l.append(jnp.where(live, gc, 0))
+            vals_l.append(v)
         if tplan.light_plan is not None:
             rr, cc, vv = _expand_light(
                 **tplan.device_args["light"],
@@ -664,7 +739,9 @@ def spgemm(
     """C = A @ B on TPU; returns a host CSR with exact nnz.
 
     ``strategy``: "auto" lets the scheduler pick; "flat" forces the XLA
-    gather pipeline; "tiles" forces the Pallas dense-tile expand.
+    gather pipeline; "tiles" forces the Pallas dense-tile expand;
+    "gather" forces the row-split windowed-gather Pallas pipeline
+    (``ops.gather_pipeline``).
     A caller-pinned ``p_pad`` implies the flat pipeline (tile padding is
     structural and cannot honor an arbitrary size).
     ``config``: an ``outerspace_tpu.config.Config`` whose ``waste_limit``
@@ -676,6 +753,9 @@ def spgemm(
     from outerspace_tpu.config import DEFAULT
 
     cfg = config if config is not None else DEFAULT
+    # Pallas kernels only run interpreted off-TPU (tests, CPU users).
+    if jax.default_backend() == "cpu":
+        interpret = True
     a_csc = a if isinstance(a, CSC) else a.to_csc()
     b_csr = b if isinstance(b, CSR) else b.to_csr()
     plan = expansion_plan(a_csc, b_csr)
@@ -695,16 +775,20 @@ def spgemm(
             heavy_fraction_threshold=cfg.heavy_fraction_threshold,
             waste_limit=cfg.waste_limit,
         )
+    if strategy in ("tiles", "gather") and p_pad is not None:
+        raise ValueError(
+            "p_pad is only honored by the flat strategy; tile/gather "
+            "padding is structural (use strategy='flat' or drop p_pad)"
+        )
     if strategy == "tiles":
-        if p_pad is not None:
-            raise ValueError(
-                "p_pad is only honored by the flat strategy; tile padding "
-                "is structural (use strategy='flat' or drop p_pad)"
-            )
         tplan = plan_tiled(
             a_csc, b_csr, interpret=interpret, waste_limit=cfg.waste_limit
         )
         return spgemm_padded_tiled(tplan, packed=packed, interpret=interpret).to_csr()
+    if strategy == "gather":
+        from outerspace_tpu.ops.gather_pipeline import spgemm_gather
+
+        return spgemm_gather(a_csc, b_csr, interpret=interpret)
     return spgemm_padded(plan, p_pad, packed=packed).to_csr()
 
 

@@ -1,0 +1,304 @@
+"""Host planner for the windowed-gather expand kernel (``ops.pallas.gexpand``).
+
+The XLA gather path expands uniform/low-skew operands at ~10 cycles per
+element because its B-side lookups are *global* gathers. The key
+observation (measured on ER/R-MAT A²): the expansion stream visits B's
+flat arrays almost monotonically — within any window of ~1024 consecutive
+partial products, the B elements touched span only ~100-300 consecutive
+flat positions, and the owning A-elements span ~100 consecutive positions.
+So the expansion can run as *windowed* gathers: each 1024-product subtile
+loads one small aligned A-window and one small aligned B-window into
+VMEM and resolves everything with single-vreg gathers.
+
+This planner cuts the element stream into subtiles subject to three
+monotone window constraints (products, B-span, A-span), packs 8 subtiles
+per grid step under super-window constraints, and stages the field-stacked
+device arrays. All cuts are computed with vectorized prefix arrays +
+searchsorted; the only Python loops are over subtiles/groups (~P/1024).
+
+Elements the windows cannot serve (rows of B wider than the window, or
+zero-product elements) are returned as a fallback mask for the XLA path.
+
+Replaces the reference's per-element multiply-task streaming
+(``PEMultiplier``, ``SimOuterSPACE.cpp:501-552``) for the low-skew regime
+the dense-tile classes can't cover without padding blowup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+SUB_P = 1024  # products per subtile (one (8,128) output vreg-tile)
+GROUP_SUBS = 8  # subtiles per grid step
+A_WIN = 2  # A-window blocks per subtile (256 candidates)
+B_WIN = 3  # B-window blocks per subtile (384 elements)
+SUPER = 3  # super-window fetch: 3 refs of 8 blocks = 24 blocks per side
+_BLK = 128
+
+
+@dataclasses.dataclass
+class GatherPlan:
+    """Device-shippable plan for one gexpand call."""
+
+    m: int
+    n: int
+    ngroups: int
+    p_out: int  # output stream length = nsubtiles * SUB_P
+    p_real: int  # true products covered (rest sentinel-padded)
+    # A side, field-stacked (NAB, 4, 128) int32:
+    #   [a_rows, a_val_bits, jb, cumprod]
+    a_pack: np.ndarray
+    # B side, field-stacked (NBB, 2, 128) int32: [b_cols, b_val_bits]
+    b_pack: np.ndarray
+    # per-group scalar prefetch (ngroups, 2): [a_base8, b_base8]
+    bases: np.ndarray
+    # per-group VMEM table (ngroups, 8, 128) int32; per subtile s lanes:
+    #   [0]=r_a (blocks, rel. to a_base8*8), [1]=r_b, [2]=p0_local? no —
+    #   [2]=cum0 (cumprod at window base offset), [3]=plen,
+    #   [4]=p0 (absolute product index of subtile start)
+    table: np.ndarray
+
+
+def plan_gather(
+    a_rows: np.ndarray,  # int32[nA] output row per kept element
+    a_vals: np.ndarray,  # f32[nA]
+    jb: np.ndarray,  # int64[nA] flat B start per element
+    nb: np.ndarray,  # int64[nA] B-row length per element
+    b_cols: np.ndarray,
+    b_vals: np.ndarray,
+    m: int,
+    n: int,
+) -> tuple[GatherPlan | None, np.ndarray]:
+    """Build the gather plan. Returns (plan, fallback_mask) where
+    fallback_mask marks input elements the windows cannot serve."""
+    nA = a_rows.shape[0]
+    nb = nb.astype(np.int64)
+    jb = jb.astype(np.int64)
+    # Window-servable elements: nonzero products, B row fits a subtile
+    # window with room for alignment slack.
+    ok = (nb > 0) & (nb <= (B_WIN - 1) * _BLK)
+    fallback = ~ok & (nb > 0)
+    if not ok.any():
+        return None, fallback
+    a_rows = a_rows[ok].astype(np.int32)
+    a_vals = a_vals[ok].astype(np.float32)
+    jb = jb[ok]
+    nb = nb[ok]
+    nk = a_rows.shape[0]
+    jend = jb + nb  # monotone: jb = b_indptr[k] rows, full rows
+    cum = np.zeros(nk + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum[1:])
+    p_real = int(cum[-1])
+
+    # --- earliest feasible subtile start per element (all monotone) ---
+    e_p = np.searchsorted(cum, cum[1:] - SUB_P, side="left")
+    jb_floor = ((jend - 1) // _BLK - (B_WIN - 1)) * _BLK
+    e_b = np.searchsorted(jb, jb_floor, side="left")
+    e_a = np.arange(nk, dtype=np.int64) - (A_WIN - 1) * _BLK
+    earliest = np.maximum.reduce([e_p, e_b, np.maximum(e_a, 0)])
+    earliest = np.maximum.accumulate(earliest)
+
+    # --- greedy cuts: ~P/1024 iterations ---
+    starts = []
+    s = 0
+    while s < nk:
+        starts.append(s)
+        last = int(np.searchsorted(earliest, s, side="right")) - 1
+        s = last + 1
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.concatenate([starts[1:], [nk]])  # exclusive
+    nsub = starts.shape[0]
+
+    a_blk = starts // _BLK
+    b_blk = jb[starts] // _BLK
+    p0 = cum[starts]
+    plen = cum[ends] - p0
+    assert int(plen.max(initial=0)) <= SUB_P
+
+    # --- group packing: 8 subtiles sharing 24-block super-windows ---
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    a_lo = b_lo = 0
+    for t in range(nsub):
+        al, bl = int(a_blk[t]), int(b_blk[t])
+        if cur:
+            a0, b0 = a_lo, b_lo
+            fits = (
+                len(cur) < GROUP_SUBS
+                and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER
+                and bl + B_WIN <= (b0 // 8) * 8 + 8 * SUPER
+            )
+            if not fits:
+                groups.append(cur)
+                cur = []
+        if not cur:
+            a_lo, b_lo = al, bl
+        cur.append(t)
+    if cur:
+        groups.append(cur)
+    # Bucket the group count so differently-sized operands share the
+    # kernel executable (empty groups emit pure sentinel padding).
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+
+    ngroups = round_up_bucket(len(groups), min_size=1)
+
+    # --- stage device arrays ---
+    def _pack_fields(fields, blocks_pad):
+        k = len(fields)
+        npad = blocks_pad * _BLK
+        out = np.zeros((blocks_pad, k, _BLK), dtype=np.int32)
+        for fi, (arr, fill) in enumerate(fields):
+            buf = np.full(npad, fill, dtype=np.int32)
+            buf[: arr.shape[0]] = arr
+            out[:, fi, :] = buf.reshape(blocks_pad, _BLK)
+        return out
+
+    # cumprod per candidate: strictly increasing; pad with p_real so
+    # out-of-range candidates never win the owner search.
+    cum32 = cum[:nk].astype(np.int64)
+    if p_real >= 2**31:
+        raise ValueError("gather plan exceeds int32 product space")
+    nab = -(-nk // _BLK) + (8 * SUPER)  # slack so base8+2 refs stay in range
+    nab = -(-nab // 8) * 8
+    a_pack = _pack_fields(
+        [
+            (a_rows, 0),
+            (a_vals.view(np.int32), 0),
+            (jb.astype(np.int32), int(min(jb[-1], 2**31 - 1))),
+            (cum32.astype(np.int32), p_real),
+        ],
+        nab,
+    )
+    nnz_b = b_cols.shape[0]
+    nbb = -(-nnz_b // _BLK) + (8 * SUPER)
+    nbb = -(-nbb // 8) * 8
+    b_pack = _pack_fields(
+        [
+            (b_cols.astype(np.int32), 0),
+            (b_vals.astype(np.float32).view(np.int32), 0),
+        ],
+        nbb,
+    )
+
+    bases = np.zeros((ngroups, 2), dtype=np.int32)
+    table = np.zeros((ngroups, GROUP_SUBS, _BLK), dtype=np.int32)
+    for gi, g in enumerate(groups):
+        a_base8 = int(a_blk[g[0]]) // 8
+        b_base8 = int(b_blk[g[0]]) // 8
+        bases[gi] = (a_base8, b_base8)
+        for si, t in enumerate(g):
+            table[gi, si, 0] = int(a_blk[t]) - a_base8 * 8
+            table[gi, si, 1] = int(b_blk[t]) - b_base8 * 8
+            table[gi, si, 2] = int(p0[t])
+            table[gi, si, 3] = int(plen[t])
+
+    plan = GatherPlan(
+        m=m,
+        n=n,
+        ngroups=ngroups,
+        p_out=ngroups * GROUP_SUBS * SUB_P,
+        p_real=p_real,
+        a_pack=a_pack,
+        b_pack=b_pack,
+        bases=bases,
+        table=table,
+    )
+    return plan, fallback
+
+
+def plan_gather_from_csr(
+    a_csc, b_csr, k_subset=None, row_range=None, row_base: int = 0
+):
+    """Convenience: build a GatherPlan for C = A@B (optionally restricted
+    to outer indices ``k_subset`` and/or output rows in ``row_range``);
+    ``row_base`` is subtracted from every row so packed keys stay within
+    uint32 for row-split pipelines. Returns (plan, fallback_element_plan)
+    where the second item is an ExpansionPlan for the fallback elements
+    (row-rebased the same way; None when all elements are servable)."""
+    from outerspace_tpu.ops.symbolic import expansion_plan, expansion_plan_subset
+
+    if k_subset is None:
+        ep = expansion_plan(a_csc, b_csr)
+    else:
+        ep = expansion_plan_subset(a_csc, b_csr, k_subset)
+    if row_range is not None:
+        lo, hi = row_range
+        rows = np.asarray(ep.a_rows)
+        ep = _element_subset(ep, np.nonzero((rows >= lo) & (rows < hi))[0])
+    if row_base:
+        import dataclasses as _dc
+
+        ep = _dc.replace(ep, a_rows=np.asarray(ep.a_rows) - row_base)
+    nb = np.diff(ep.offsets)
+    jb = np.asarray(ep.b_indptr)[ep.a_k]
+    plan, fb = plan_gather(
+        np.asarray(ep.a_rows),
+        np.asarray(ep.a_vals),
+        jb,
+        nb,
+        np.asarray(ep.b_cols),
+        np.asarray(ep.b_vals),
+        ep.m,
+        ep.n,
+    )
+    fb_plan = _element_subset(ep, np.nonzero(fb)[0]) if fb.any() else None
+    return plan, fb_plan
+
+
+def _element_subset(ep, keep):
+    """ExpansionPlan restricted to A-nonzero indices ``keep``."""
+    import dataclasses as _dc
+
+    nb = np.diff(ep.offsets)
+    counts = nb[keep]
+    offs = np.zeros(keep.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return _dc.replace(
+        ep,
+        a_rows=np.asarray(ep.a_rows)[keep],
+        a_vals=np.asarray(ep.a_vals)[keep],
+        a_k=np.asarray(ep.a_k)[keep],
+        offsets=offs,
+    )
+
+
+def row_partition(a_csc, b_csr, key_space: int = 2**32) -> np.ndarray:
+    """Output-row range boundaries such that each part's rows_span × n
+    fits the packed-uint32 key space, product-balanced across parts.
+    Returns int64[nparts+1] row bounds (nparts == 1 when m·n fits)."""
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    if m * n <= key_space:
+        return np.array([0, m], dtype=np.int64)
+    max_span = max(key_space // max(n, 1), 1)
+    # per-row product counts: sum over A nonzeros in that row of nnz_B(k)
+    nb_per_k = b_csr.major_nnz().astype(np.int64)
+    a_k = np.repeat(
+        np.arange(a_csc.shape[1], dtype=np.int64),
+        a_csc.major_nnz().astype(np.int64),
+    )
+    per_row = np.bincount(
+        np.asarray(a_csc.indices, dtype=np.int64),
+        weights=nb_per_k[a_k].astype(np.float64),
+        minlength=m,
+    )
+    cum = np.concatenate([[0.0], np.cumsum(per_row)])
+    nparts = max(int(-(-(m) // max_span)), int(np.ceil(m * n / key_space)))
+    bounds = [0]
+    for p in range(1, nparts):
+        target = cum[-1] * p / nparts
+        r = int(np.searchsorted(cum, target))
+        r = min(max(r, bounds[-1] + 1), bounds[-1] + max_span)
+        bounds.append(min(r, m))
+    bounds.append(m)
+    # enforce span cap strictly (balance is secondary)
+    out = [0]
+    for b in bounds[1:]:
+        while b - out[-1] > max_span:
+            out.append(out[-1] + max_span)
+        if b > out[-1]:
+            out.append(b)
+    if out[-1] != m:
+        out.append(m)
+    return np.asarray(out, dtype=np.int64)

@@ -229,6 +229,18 @@ def class_coverage(
     return float(prod[covered].sum() / total)
 
 
+def gather_coverage(a_csc: CSC, b_csr: CSR, max_nb: int = 256) -> float:
+    """Fraction of the expansion servable by the windowed-gather kernel
+    (B rows ≤ its subtile window; see ``sched.gplanner``)."""
+    na = a_csc.major_nnz().astype(np.int64)
+    nb = b_csr.major_nnz().astype(np.int64)
+    prod = na * nb
+    total = prod.sum()
+    if total == 0:
+        return 0.0
+    return float(prod[nb <= max_nb].sum() / total)
+
+
 def choose_strategy(
     a_csc: CSC,
     b_csr: CSR,
@@ -238,9 +250,17 @@ def choose_strategy(
 ) -> str:
     """Pick the expand strategy for these operands.
 
-    ``"tiles"`` — dense-tile Pallas expand for heavy k + gather residue;
-    ``"flat"``  — pure XLA gather expand (uniform/sparse operands).
+    ``"tiles"``  — dense-tile Pallas expand for heavy k + gather residue;
+    ``"gather"`` — windowed-gather Pallas expand, exact P, row-split
+                   packed keys (uniform/low-skew operands);
+    ``"flat"``   — pure XLA gather expand (fallback).
     Uses the same waste-limit predicate as ``plan_outer_classes``.
     """
     frac = class_coverage(a_csc, b_csr, waste_limit, tile_a_classes)
-    return "tiles" if frac >= heavy_fraction_threshold else "flat"
+    if frac >= heavy_fraction_threshold:
+        return "tiles"
+    # Low tile coverage: the windowed-gather kernel wins whenever its
+    # window constraint covers most of the work.
+    if gather_coverage(a_csc, b_csr) >= 0.75:
+        return "gather"
+    return "flat"
