@@ -1,4 +1,4 @@
-"""Benchmark driver: SpGEMM A² suite on TPU vs the CPU (scipy) reference.
+"""Benchmark driver: SpGEMM A² suite on TPU vs the CPU reference.
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -10,32 +10,39 @@ BASELINE.json north star: ">=10x CPU-reference wall-clock with nnz-exact
 outputs". "CPU reference" is the reference's own outer-product pipeline
 (TaskProvider multiply+merge, SimOuterSPACE.cpp:29-144) as a correct,
 -O3 C++ program (csrc/ref_spgemm.cpp); the speedup against scipy's
-csr_matmat (a different, Gustavson-based algorithm) is reported alongside
-in the per-workload details for transparency. Timing methodology:
-operands are staged on device once (as a production pipeline would hold
-them), each timed run executes the full expand+sort+merge and is synced
-by fetching the scalar nnz; correctness (nnz-exact + checksum values vs
-scipy) is validated outside the timed region. Note:
-``jax.block_until_ready`` does not actually block on tunneled devices,
-hence the scalar-fetch sync.
+csr_matmat (Gustavson) is reported alongside for transparency.
+
+Timing methodology: operands are staged on device once (as a production
+pipeline would hold them). The tunneled device link has a ~30 ms RPC
+floor and `jax.block_until_ready` does not block, so each timed sample
+runs K=4 *chained* full pipelines per scalar-fetch sync and divides: the
+chain passes a provably-opaque zero (min(nnz, 0)) from each iteration
+into the next iteration's kernel inputs, so XLA cannot CSE the repeats —
+every sample is K genuinely executed expand+sort+merge pipelines.
+Correctness is validated outside the timed region: nnz-exact plus
+order-invariant placement-sensitive checksums per workload, and one full
+element-wise comparison on the .mtx fixture workload (small enough to
+fetch over the slow tunnel).
+
+CPU baselines run on a background thread overlapping the TPU compiles
+(scipy/C++ release the GIL), which is how all four workloads + NN +
+triangles fit the driver's deadline.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
-del os  # (persistent jax compilation cache hangs the axon remote-compile path)
-
-
-import os as _os
-
 _T0 = time.perf_counter()
-_DEADLINE_S = float(_os.environ.get("OUTERSPACE_BENCH_DEADLINE", "520"))
+_DEADLINE_S = float(os.environ.get("OUTERSPACE_BENCH_DEADLINE", "520"))
+_CHAIN_K = 4
 
 
 def _time_left() -> float:
@@ -46,21 +53,7 @@ def _sync_scalar(x) -> float:
     return float(np.asarray(x))
 
 
-def _time_device(fn, reps: int = 5, warmup: int = 2):
-    for _ in range(warmup):
-        _sync_scalar(fn())
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync_scalar(fn())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def _time_host(fn, reps: int = 3, warmup: int = 1):
-    # Adaptive: don't blow the deadline repeating minute-long baselines,
-    # but never trust a single sample either (first-call page faults and
-    # the 1-core box's background tunnel processes inflate it).
+def _time_host(fn, reps: int = 3):
     t0 = time.perf_counter()
     fn()
     first = time.perf_counter() - t0
@@ -70,8 +63,6 @@ def _time_host(fn, reps: int = 3, warmup: int = 1):
         t0 = time.perf_counter()
         fn()
         return min(first, time.perf_counter() - t0)
-    for _ in range(max(warmup - 1, 0)):
-        fn()
     ts = [first]
     for _ in range(reps - 1):
         t0 = time.perf_counter()
@@ -80,133 +71,281 @@ def _time_host(fn, reps: int = 3, warmup: int = 1):
     return min(ts)
 
 
-def bench_spgemm_suite() -> list[dict]:
-    import jax
+def _cpu_baselines_async(g):
+    """scipy + C++ reference timings on a background thread (overlaps the
+    TPU compiles; both baselines release the GIL)."""
+    out = {}
 
-    from outerspace_tpu.formats import erdos_renyi, rmat
-    from outerspace_tpu.ops.spgemm import plan_to_device, spgemm_padded
-    from outerspace_tpu.ops.symbolic import expansion_plan
-
-    workloads = [
-        ("rmat15_ef8", lambda: rmat(15, edge_factor=8, seed=2)),
-        ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1)),
-        ("er_100k_d1e-4", lambda: erdos_renyi(100_000, 100_000, 1e-4, seed=3)),
-        # Production scale (P≈137M): the CPU reference degrades sharply
-        # here; listed last so the deadline guard sheds it first.
-        ("rmat16_ef8", lambda: rmat(16, edge_factor=8, seed=5)),
-    ]
-    results = []
-    last_cost = 0.0
-    for name, gen in workloads:
-        # Soft deadline: cold remote compiles can eat minutes per
-        # workload; a partial suite with a printed headline beats a
-        # timeout. Estimate the next workload's cost from the last one.
-        est = max(120.0, 0.9 * last_cost)
-        if results and _time_left() < est:
-            print(
-                json.dumps({"skipped": name, "reason": "deadline"}),
-                file=sys.stderr,
-            )
-            continue
-        _w0 = time.perf_counter()
-        g = gen()
+    def work():
         s = g.to_scipy().tocsr()
         s.sort_indices()
-        t_scipy = _time_host(lambda: s @ s)
+        out["t_scipy"] = _time_host(lambda: s @ s)
         c_ref = s @ s
         c_ref.sum_duplicates()
         c_ref.sort_indices()
-
-        # Primary baseline: the reference's own pipeline in C++.
+        out["c_ref"] = c_ref
         from outerspace_tpu.runtime.native import ref_spgemm_native
 
         a_csc0, b_csr0 = g.to_csc(), g.to_csr()
-        have_native = ref_spgemm_native(a_csc0, b_csr0) is not None
-        if have_native:
-            t_cpu = _time_host(
-                lambda: ref_spgemm_native(a_csc0, b_csr0), reps=2, warmup=1
+        if ref_spgemm_native(a_csc0, b_csr0) is not None:
+            out["t_cpu"] = _time_host(
+                lambda: ref_spgemm_native(a_csc0, b_csr0), reps=2
             )
         else:
-            t_cpu = t_scipy
+            out["t_cpu"] = out["t_scipy"]
 
-        from outerspace_tpu.ops.spgemm import plan_tiled, spgemm_padded_tiled
-        from outerspace_tpu.sched.planner import choose_strategy
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    return th, out
 
-        a_csc, b_csr = g.to_csc(), g.to_csr()
-        plan = expansion_plan(a_csc, b_csr)
-        strategy = choose_strategy(a_csc, b_csr)
-        if strategy == "tiles":
-            tplan = plan_tiled(a_csc, b_csr)
-            p_pad = tplan.padded_total
 
-            def merged_fn():
-                return spgemm_padded_tiled(tplan)
+def _chain_k(flops: int) -> int:
+    """Chain length per sync: the ~30 ms RPC floor needs amortizing only
+    when the pipeline itself is fast; long chains quadruple XLA compile
+    time on huge programs for no benefit."""
+    if flops < 3e7:
+        return _CHAIN_K
+    if flops < 8e7:
+        return 2
+    return 1
 
-        else:
-            p_pad = plan.padded_size()
-            dev = plan_to_device(plan)
-            jax.block_until_ready(list(dev.values()))
 
-            def merged_fn():
-                return spgemm_padded(plan, p_pad, device_args=dev)
+def _chain_jit(make_once, k):
+    import jax
+    import jax.numpy as jnp
 
-        def run():
-            return merged_fn().nnz
+    @jax.jit
+    def run():
+        nnz = jnp.int32(0)
+        for _ in range(k):
+            bump_i = jnp.minimum(nnz, 0)  # 0 at runtime, opaque to XLA
+            bump_f = bump_i.astype(jnp.float32)
+            nnz = nnz + make_once(bump_i, bump_f)
+        return nnz
 
-        t_tpu = _time_device(run)
-        t_plan = _time_host(lambda: expansion_plan(g.to_csc(), g.to_csr()))
+    return run
 
-        # Validation (untimed): nnz-exact + order-invariant moment checksums
-        # computed on device (fetching the full result over the device
-        # tunnel is pathologically slow; full element-wise validation is in
-        # tests/ and in the small-workload path below).
-        import jax.numpy as jnp
 
-        merged = merged_fn()
-        nnz_ok = int(merged.nnz) == c_ref.nnz
-        if nnz_ok:
-            v = jnp.where(merged.valid, merged.vals, 0.0)
-            r = jnp.where(merged.valid, merged.rows, 0)
-            c = jnp.where(merged.valid, merged.cols, 0)
-            dev_sums = np.array(
-                [
-                    _sync_scalar(jnp.sum(v, dtype=jnp.float32)),
-                    _sync_scalar(jnp.sum(jnp.abs(v), dtype=jnp.float32)),
-                    _sync_scalar(jnp.sum(r * v, dtype=jnp.float32)),
-                    _sync_scalar(jnp.sum(c * v, dtype=jnp.float32)),
-                ]
-            )
-            rr, cc = c_ref.tocoo().row, c_ref.tocoo().col
-            host_sums = np.array(
-                [
-                    c_ref.data.sum(dtype=np.float64),
-                    np.abs(c_ref.data).sum(dtype=np.float64),
-                    (rr * c_ref.data).sum(dtype=np.float64),
-                    (cc * c_ref.data).sum(dtype=np.float64),
-                ]
-            )
-            val_ok = bool(
-                np.allclose(dev_sums, host_sums, rtol=3e-3, atol=1e-2)
-            )
-        else:
-            val_ok = False
+def _bump_tiled(tplan, bump_i, bump_f):
+    """Thread the chain dependency into every expand kernel's inputs."""
+    src = tplan.device_args
+    dev = {
+        "classes": [
+            dict(d, a_vals_t=d["a_vals_t"] + bump_f) if d is not None else None
+            for d in src["classes"]
+        ]
+    }
+    if "gather" in src:
+        dev["gather"] = dict(src["gather"], bases=src["gather"]["bases"] + bump_i)
+    if "light" in src:
+        dev["light"] = dict(src["light"], a_vals=src["light"]["a_vals"] + bump_f)
+    return dataclasses.replace(tplan, device_args=dev)
 
-        rec = dict(
-            name=name,
-            nnz_in=g.nnz,
-            nnz_out=int(c_ref.nnz),
-            flops=plan.expansion_size,
-            p_pad=p_pad,
-            t_cpu_ref_s=round(t_cpu, 5),
-            t_scipy_s=round(t_scipy, 5),
-            t_tpu_s=round(t_tpu, 5),
-            t_plan_s=round(t_plan, 5),
-            speedup=round(t_cpu / t_tpu, 3),
-            speedup_vs_scipy=round(t_scipy / t_tpu, 3),
-            tpu_gflops=round(plan.expansion_size / t_tpu / 1e9, 3),
-            nnz_exact=nnz_ok,
-            values_match=val_ok,
+
+def _validate(merged, c_ref):
+    """nnz-exact + order-invariant placement-sensitive checksums."""
+    import jax.numpy as jnp
+
+    nnz_ok = int(merged.nnz) == c_ref.nnz
+    if not nnz_ok:
+        return False, False
+    v = jnp.where(merged.valid, merged.vals, 0.0)
+    r = jnp.where(merged.valid, merged.rows, 0)
+    c = jnp.where(merged.valid, merged.cols, 0)
+    dev_sums = np.array(
+        [
+            _sync_scalar(jnp.sum(v, dtype=jnp.float32)),
+            _sync_scalar(jnp.sum(jnp.abs(v), dtype=jnp.float32)),
+            _sync_scalar(jnp.sum(r * v, dtype=jnp.float32)),
+            _sync_scalar(jnp.sum(c * v, dtype=jnp.float32)),
+        ]
+    )
+    co = c_ref.tocoo()
+    host_sums = np.array(
+        [
+            c_ref.data.sum(dtype=np.float64),
+            np.abs(c_ref.data).sum(dtype=np.float64),
+            (co.row * c_ref.data).sum(dtype=np.float64),
+            (co.col * c_ref.data).sum(dtype=np.float64),
+        ]
+    )
+    return True, bool(np.allclose(dev_sums, host_sums, rtol=3e-3, atol=1e-2))
+
+
+def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
+    """One A² workload end-to-end; returns the result record."""
+    import jax
+    import jax.numpy as jnp
+
+    from outerspace_tpu.ops.spgemm import plan_tiled, spgemm_padded_tiled
+    from outerspace_tpu.sched.planner import choose_strategy
+
+    th, cpu = _cpu_baselines_async(g)
+    a_csc, b_csr = g.to_csc(), g.to_csr()
+    t0 = time.perf_counter()
+    strategy = force_strategy or choose_strategy(a_csc, b_csr)
+    if strategy == "flat":
+        # XLA-only pipeline: used by the small .mtx fixture so it doesn't
+        # add Mosaic compiles of fixture-sized kernel shapes to the suite.
+        from outerspace_tpu.ops.spgemm import (
+            max_duplicate_run,
+            plan_to_device,
+            spgemm_padded,
         )
+        from outerspace_tpu.ops.symbolic import expansion_plan
+
+        plan = expansion_plan(a_csc, b_csr)
+        p_pad = plan.padded_size()
+        flops = plan.expansion_size
+        dev = plan_to_device(plan)
+        mr = max_duplicate_run(plan)
+
+        def make_once(bump_i, bump_f):
+            d = dict(dev, a_vals=dev["a_vals"] + bump_f)
+            return spgemm_padded(
+                plan, p_pad, device_args=d, max_run=mr
+            ).nnz
+
+        def merged_fn():
+            return spgemm_padded(plan, p_pad, device_args=dev, max_run=mr)
+
+    elif strategy == "gather":
+        from outerspace_tpu.ops.gather_pipeline import (
+            _part_device,
+            plan_spgemm_gather,
+            spgemm_gather_padded,
+        )
+
+        plan = plan_spgemm_gather(a_csc, b_csr)
+        p_pad = plan.padded_total
+        flops = plan.flops
+
+        def make_once(bump_i, bump_f):
+            nnz = jnp.int32(0)
+            for p in plan.parts:
+                dev = dict(p.dev)
+                dev["p_real_total"] = jnp.int32(p.p_real + p.fb_real)
+                dev["bases"] = dev["bases"] + bump_i
+                if "fb" in dev:
+                    dev["fb"] = dict(
+                        dev["fb"], a_vals=dev["fb"]["a_vals"] + bump_f
+                    )
+                out = _part_device(
+                    dev, ngroups=p.ngroups, fb_pad=p.fb_pad,
+                    merge_pad=p.merge_pad, n_cols=plan.n,
+                    sentinel_row=p.span, max_run=p.max_run,
+                )
+                nnz = nnz + out[4]
+            return nnz
+
+        def merged_fn():
+            return spgemm_gather_padded(plan)
+
+    else:
+        tplan = plan_tiled(a_csc, b_csr)
+        p_pad = tplan.padded_total
+        from outerspace_tpu.ops.symbolic import expansion_plan
+
+        flops = expansion_plan(a_csc, b_csr).expansion_size
+
+        def make_once(bump_i, bump_f):
+            return spgemm_padded_tiled(_bump_tiled(tplan, bump_i, bump_f)).nnz
+
+        def merged_fn():
+            return spgemm_padded_tiled(tplan)
+
+    t_plan = time.perf_counter() - t0
+    k = _chain_k(flops)
+    run = _chain_jit(make_once, k)
+    t0 = time.perf_counter()
+    _sync_scalar(run())  # compile + warm
+    t_compile = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync_scalar(run())
+        ts.append(time.perf_counter() - t0)
+    t_tpu = min(ts) / k
+
+    th.join(timeout=max(_time_left() - 30, 5))
+    c_ref = cpu.get("c_ref")
+    if c_ref is None:  # baseline thread still running out of budget
+        return dict(name=name, error="cpu baseline timeout")
+
+    merged = merged_fn()
+    nnz_ok, val_ok = _validate(merged, c_ref)
+    exact_ok = None
+    if exact_check and nnz_ok:
+        got = merged.to_csr()  # full fetch: only for the small fixture
+        ref = c_ref
+        exact_ok = bool(
+            np.array_equal(got.indptr, ref.indptr)
+            and np.array_equal(got.indices, ref.indices)
+            and np.allclose(got.data, ref.data, rtol=1e-5, atol=1e-6)
+        )
+
+    rec = dict(
+        name=name,
+        strategy=strategy,
+        nnz_in=g.nnz,
+        nnz_out=int(c_ref.nnz),
+        flops=int(flops),
+        p_pad=int(p_pad),
+        t_cpu_ref_s=round(cpu["t_cpu"], 5),
+        t_scipy_s=round(cpu["t_scipy"], 5),
+        t_tpu_s=round(t_tpu, 5),
+        t_plan_s=round(t_plan, 4),
+        t_compile_s=round(t_compile, 1),
+        speedup=round(cpu["t_cpu"] / t_tpu, 3),
+        speedup_vs_scipy=round(cpu["t_scipy"] / t_tpu, 3),
+        tpu_gflops=round(flops / t_tpu / 1e9, 3),
+        tpu_mnnz_per_s=round(c_ref.nnz / t_tpu / 1e6, 1),
+        nnz_exact=nnz_ok,
+        values_match=val_ok,
+    )
+    if exact_ok is not None:
+        rec["elementwise_exact"] = exact_ok
+    return rec
+
+
+def bench_spgemm_suite() -> list[dict]:
+    from outerspace_tpu.formats import erdos_renyi, read_mtx, rmat
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "mtx",
+        "rmat10_ef8.mtx",
+    )
+    workloads = [
+        # small→large: the first pays the (slab-shared) kernel compiles
+        ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1), False, None),
+        ("er_100k_d1e-4",
+         lambda: erdos_renyi(100_000, 100_000, 1e-4, seed=3), False, None),
+        ("rmat15_ef8", lambda: rmat(15, edge_factor=8, seed=2), False, None),
+        ("rmat16_ef8", lambda: rmat(16, edge_factor=8, seed=5), False, None),
+    ]
+    if os.path.exists(fixture):
+        # file-based A² (BASELINE configs[0] stand-in) + the one full
+        # element-wise validation of a hardware run (XLA-only path: no
+        # fixture-sized Mosaic compiles)
+        workloads.insert(
+            0, ("mtx_rmat10_a2", lambda: read_mtx(fixture), True, "flat")
+        )
+    results = []
+    last_cost = 60.0
+    for name, gen, exact, forced in workloads:
+        # reserve ~80 s so the NN + triangle benches always run
+        est = max(60.0, 0.8 * last_cost) + 80.0
+        if results and _time_left() < est:
+            print(json.dumps({"skipped": name, "reason": "deadline"}),
+                  file=sys.stderr, flush=True)
+            continue
+        _w0 = time.perf_counter()
+        try:
+            rec = bench_one_spgemm(
+                name, gen(), exact_check=exact, force_strategy=forced
+            )
+        except Exception as e:  # pragma: no cover - report and continue
+            rec = dict(name=name, error=str(e)[:300])
         results.append(rec)
         last_cost = time.perf_counter() - _w0
         print(json.dumps(rec), file=sys.stderr, flush=True)
@@ -215,7 +354,7 @@ def bench_spgemm_suite() -> list[dict]:
 
 def bench_nn_inference() -> dict:
     """Sparse-MLP inference (BASELINE configs[2]): pruned weights, the
-    act·Wᵀ chain through the TPU SpGEMM pipeline vs the same chain on the
+    act·Wᵀ chain through the TPU SpMM pipeline vs the same chain on the
     scipy CPU oracle, with 1e-6-level parity checked."""
     import jax
     import jax.numpy as jnp
@@ -224,37 +363,40 @@ def bench_nn_inference() -> dict:
     from outerspace_tpu.nn.models import MLP1
     from outerspace_tpu.nn.prune import prune_params
     from outerspace_tpu.nn.sparse_infer import (
+        SparseMLP,
         mlp_forward_dense,
         mlp_forward_spgemm,
     )
 
-    from outerspace_tpu.nn.sparse_infer import SparseMLP
-
     data = load_mnist() if find_mnist_dir() else synthetic_mnist(2048)
     x = data["test"][0][:1024].reshape(-1, 784).astype(np.float32)
-    params = MLP1().init(
-        jax.random.PRNGKey(0), jnp.zeros((4, 784))
-    )["params"]
+    params = MLP1().init(jax.random.PRNGKey(0), jnp.zeros((4, 784)))["params"]
     params = prune_params(params, sparsity_level=0.1)
-    # Production path: device-resident block-ELL weights, one jitted
-    # chain. Amortise the device-link round-trip (~30 ms on tunneled
-    # setups) over 20 chained forwards per sync.
     model = SparseMLP(params)
+    xd = jnp.asarray(x)
     K = 20
 
+    @jax.jit
     def run_k():
-        tot = 0.0
+        tot = jnp.float32(0)
+        xx = xd
         for _ in range(K):
-            tot = tot + jnp.sum(model(x))
+            out = model(xx)
+            tot = tot + jnp.sum(out)
+            xx = xd + jnp.minimum(tot, 0.0)  # opaque zero: defeat CSE
         return tot
 
-    t_tpu = _time_device(run_k, reps=3, warmup=1) / K
+    _sync_scalar(run_k())
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync_scalar(run_k())
+        ts.append(time.perf_counter() - t0)
+    t_tpu = min(ts) / K
     t_cpu = _time_host(lambda: mlp_forward_spgemm(params, x, "scipy"), reps=3)
     dense = mlp_forward_dense(params, x)
-    got = np.asarray(model(x))
-    err = float(
-        np.max(np.abs(got - dense)) / max(np.max(np.abs(dense)), 1e-9)
-    )
+    got = np.asarray(model(xd))
+    err = float(np.max(np.abs(got - dense)) / max(np.max(np.abs(dense)), 1e-9))
     rec = dict(
         name="sparse_mlp_infer_b1024_spmm",
         t_tpu_s=round(t_tpu, 5),
@@ -270,17 +412,16 @@ def bench_nn_inference() -> dict:
 def bench_triangles() -> dict:
     """Triangle counting via A² (BASELINE configs[3])."""
     from outerspace_tpu.formats import rmat
-    from outerspace_tpu.ops.graph import triangle_count
-
     from outerspace_tpu.ops.graph import (
         _symmetrize_simple,
+        triangle_count,
         triangle_count_device,
         triangle_prepare,
     )
 
     g = rmat(13, edge_factor=8, seed=4)
     sym = _symmetrize_simple(g)
-    prep = triangle_prepare(sym)  # planning + transfers staged once
+    prep = triangle_prepare(sym)
     n_tpu = triangle_count_device(prep)  # warm + compile
     t_tpu = _time_host(lambda: triangle_count_device(prep), reps=3)
     t_cpu = _time_host(lambda: triangle_count(g, backend="scipy"), reps=2)
@@ -300,17 +441,23 @@ def bench_triangles() -> dict:
 def main() -> None:
     results = bench_spgemm_suite()
     try:
-        if _time_left() > 120:
-            bench_nn_inference()
         if _time_left() > 90:
+            bench_nn_inference()
+        if _time_left() > 60:
             bench_triangles()
     except Exception as e:  # auxiliary benches must not kill the headline
         print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
-    ok = all(r["nnz_exact"] and r["values_match"] for r in results)
-    speedups = [r["speedup"] for r in results]
-    median = float(np.median(speedups))
+    good = [r for r in results if "error" not in r]
+    ok = bool(good) and all(
+        r["nnz_exact"] and r["values_match"] for r in good
+    )
+    # headline over the four A² workloads; the tiny .mtx fixture exists
+    # for the file path + element-wise validation, not throughput
+    speedups = [
+        r["speedup"] for r in good if not r["name"].startswith("mtx_")
+    ] or [r["speedup"] for r in good]
+    median = float(np.median(speedups)) if speedups else 0.0
     value = median if ok else 0.0
-    # Baseline = CPU reference wall-clock (1.0x); value is the multiple.
     print(
         json.dumps(
             {

@@ -25,10 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from outerspace_tpu.formats.csr import CSC, CSR
-from outerspace_tpu.ops.pallas.gexpand import (
-    expand_gather_packed,
-    gather_plan_to_device,
-)
+from outerspace_tpu.ops.pallas.gexpand import gather_plan_to_device
 from outerspace_tpu.ops.spgemm import (
     MergedCOO,
     _expand_light_packed,
@@ -139,14 +136,13 @@ def _part_device(
     # dev may carry "val_bump": a traced f32 scalar added to the value
     # stream (+0.0 in practice). Benchmarks chain iterations through it so
     # XLA cannot common-subexpression-eliminate repeated pipelines.
-    keys_l, vals_l, real = [], [], 0
+    keys_l, vals_l = [], []
     if ngroups:
-        k, v = expand_gather_packed(
-            dev["bases"], dev["table"], dev["a_pack"], dev["b_pack"],
-            ngroups=ngroups, interpret=interpret,
+        from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
+
+        keys_l, vals_l = expand_gather_slabbed(
+            dev, ngroups, interpret=interpret
         )
-        keys_l.append(k)
-        vals_l.append(v)
     if fb_pad:
         k, v = _expand_light_packed(
             **dev["fb"], p_pad=fb_pad, sentinel_row=sentinel_row,

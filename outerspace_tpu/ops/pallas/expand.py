@@ -273,17 +273,25 @@ def schedule_to_device(
     b_csr_cols: np.ndarray,
     b_csr_vals: np.ndarray,
 ) -> dict[str, jax.Array]:
-    """Stage one class's task table and 128-padded flat B arrays."""
-    tasks = (
-        np.stack(
-            [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
-        )
-        .astype(np.int32)
-        .reshape(-1)
-    )
+    """Stage one class's task table and 128-padded flat B arrays.
+
+    Task arrays pad to a whole number of slabs (``sched.slab_tasks``) so
+    the kernel runs as fixed-shape calls whose executables are shared
+    across operands; empty padding tasks (a_len = 0) emit pure sentinel
+    output. B arrays pad to a bucketed block count (memory-only waste)
+    for the same executable-sharing reason.
+    """
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+
     ntasks = sched.ntasks
+    ntasks_pad = sched.ntasks_padded
     tile_a = sched.tile_a
-    pad_t = (-ntasks) % _A_GROUP
+    pad_t = ntasks_pad - ntasks
+    tasks = np.zeros((ntasks_pad, 4), np.int32)
+    if ntasks:
+        tasks[:ntasks] = np.stack(
+            [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
+        ).astype(np.int32)
     a_rows_t = np.pad(sched.a_rows_t, ((0, pad_t), (0, 0)))
     a_vals_t = np.pad(sched.a_vals_t, ((0, pad_t), (0, 0)))
     if a_rows_t.shape[0] == 0:
@@ -291,12 +299,15 @@ def schedule_to_device(
         a_vals_t = np.zeros((_A_GROUP, tile_a), np.float32)
     nnz_b = b_csr_cols.shape[0]
     nblocks = -(-max(nnz_b, 1) // TILE_B)
-    nblocks_pad = -(-nblocks // _A_GROUP) * _A_GROUP
+    nblocks_pad = round_up_bucket(
+        -(-nblocks // _A_GROUP) * _A_GROUP, min_size=_A_GROUP
+    )
+    nblocks_pad = -(-nblocks_pad // _A_GROUP) * _A_GROUP
     pad_b = nblocks_pad * TILE_B - nnz_b
     cols_p = np.pad(b_csr_cols, (0, pad_b)).reshape(nblocks_pad, TILE_B)
     vals_p = np.pad(b_csr_vals, (0, pad_b)).reshape(nblocks_pad, TILE_B)
     return dict(
-        tasks=jnp.asarray(tasks),
+        tasks=jnp.asarray(tasks.reshape(-1)),
         a_rows_t=jnp.asarray(a_rows_t.astype(np.int32)),
         a_vals_t=jnp.asarray(a_vals_t.astype(np.float32)),
         b_cols_blk=jnp.asarray(cols_p.astype(np.int32)),

@@ -208,6 +208,33 @@ def expand_gather_packed(
     return keys.reshape(n), vals.reshape(n)
 
 
+def expand_gather_slabbed(
+    dev: dict, ngroups: int, interpret: bool = False
+):
+    """Run the gather expand as fixed-shape slab calls (``GROUP_SLAB``
+    groups each) so the executable is compiled once and reused across
+    operands and workloads; returns lists of (keys, vals) streams."""
+    from outerspace_tpu.sched.gplanner import GROUP_SLAB
+
+    slab = GROUP_SLAB if ngroups >= GROUP_SLAB else ngroups
+    keys_l, vals_l = [], []
+    for g0 in range(0, ngroups, slab):
+        k, v = expand_gather_packed(
+            jax.lax.slice(dev["bases"], (g0 * 2,), ((g0 + slab) * 2,)),
+            jax.lax.slice(
+                dev["table"], (g0, 0, 0),
+                (g0 + slab, dev["table"].shape[1], dev["table"].shape[2]),
+            ),
+            dev["a_pack"],
+            dev["b_pack"],
+            ngroups=slab,
+            interpret=interpret,
+        )
+        keys_l.append(k)
+        vals_l.append(v)
+    return keys_l, vals_l
+
+
 def gather_plan_to_device(plan: GatherPlan) -> dict[str, jax.Array]:
     """Ship a GatherPlan's arrays (a/b packs reshaped to 8-block refs)."""
     nab = plan.a_pack.shape[0]

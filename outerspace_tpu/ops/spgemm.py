@@ -580,29 +580,48 @@ def spgemm_padded_tiled(
             jnp.zeros((), jnp.int32),
         )
 
+    def _class_slabs(sched, dev, fn, **kw):
+        """Fixed-shape slab calls over the padded task table (executable
+        shared across operands; see OuterProductSchedule.slab_tasks)."""
+        slab = min(sched.slab_tasks, sched.ntasks_padded)
+        outs = []
+        for s0 in range(0, sched.ntasks_padded, slab):
+            outs.append(
+                fn(
+                    jax.lax.slice(
+                        dev["tasks"], (s0 * 4,), ((s0 + slab) * 4,)
+                    ),
+                    dev["a_rows_t"][s0 : s0 + slab],
+                    dev["a_vals_t"][s0 : s0 + slab],
+                    dev["b_cols_blk"],
+                    dev["b_vals_blk"],
+                    ntasks=slab,
+                    tile_a=sched.tile_a,
+                    interpret=interpret,
+                    **kw,
+                )
+            )
+        return outs
+
     if packed:
         keys_l, vals_l = [], []
         for sched, dev in class_devs:
-            k, v = expand_tiles_packed(
-                dev["tasks"], dev["a_rows_t"], dev["a_vals_t"],
-                dev["b_cols_blk"], dev["b_vals_blk"],
-                ntasks=sched.ntasks, tile_a=sched.tile_a, n_cols=n_cols,
-                interpret=interpret,
-            )
-            keys_l.append(k)
-            vals_l.append(v)
+            for k, v in _class_slabs(
+                sched, dev, expand_tiles_packed, n_cols=n_cols
+            ):
+                keys_l.append(k)
+                vals_l.append(v)
         if tplan.gather_ngroups:
             from outerspace_tpu.ops.pallas.gexpand import (
-                expand_gather_packed,
+                expand_gather_slabbed,
             )
 
-            gd = tplan.device_args["gather"]
-            k, v = expand_gather_packed(
-                gd["bases"], gd["table"], gd["a_pack"], gd["b_pack"],
-                ngroups=tplan.gather_ngroups, interpret=interpret,
+            gk, gv = expand_gather_slabbed(
+                tplan.device_args["gather"], tplan.gather_ngroups,
+                interpret=interpret,
             )
-            keys_l.append(k)
-            vals_l.append(v)
+            keys_l.extend(gk)
+            vals_l.extend(gv)
         if tplan.light_plan is not None:
             k, v = _expand_light_packed(
                 **tplan.device_args["light"],
@@ -627,15 +646,12 @@ def spgemm_padded_tiled(
     else:
         rows_l, cols_l, vals_l = [], [], []
         for sched, dev in class_devs:
-            rr, cc, vv = expand_tiles_coords(
-                dev["tasks"], dev["a_rows_t"], dev["a_vals_t"],
-                dev["b_cols_blk"], dev["b_vals_blk"],
-                ntasks=sched.ntasks, tile_a=sched.tile_a,
-                sentinel_row=sentinel, interpret=interpret,
-            )
-            rows_l.append(rr)
-            cols_l.append(cc)
-            vals_l.append(vv)
+            for rr, cc, vv in _class_slabs(
+                sched, dev, expand_tiles_coords, sentinel_row=sentinel
+            ):
+                rows_l.append(rr)
+                cols_l.append(cc)
+                vals_l.append(vv)
         if tplan.gather_ngroups:
             # gexpand emits packed keys; unpack for the two-key sort
             # (the gather plan only exists when m·n ≤ 2^32).
@@ -646,19 +662,19 @@ def spgemm_padded_tiled(
                     "merge (default)"
                 )
             from outerspace_tpu.ops.pallas.gexpand import (
-                expand_gather_packed,
+                expand_gather_slabbed,
             )
 
-            gd = tplan.device_args["gather"]
-            k, v = expand_gather_packed(
-                gd["bases"], gd["table"], gd["a_pack"], gd["b_pack"],
-                ngroups=tplan.gather_ngroups, interpret=interpret,
+            gk, gv = expand_gather_slabbed(
+                tplan.device_args["gather"], tplan.gather_ngroups,
+                interpret=interpret,
             )
-            gr, gc = unpack_key_biased(k, n_cols)
-            live = k != _I32_MAX
-            rows_l.append(jnp.where(live, gr, sentinel))
-            cols_l.append(jnp.where(live, gc, 0))
-            vals_l.append(v)
+            for k, v in zip(gk, gv):
+                gr, gc = unpack_key_biased(k, n_cols)
+                live = k != _I32_MAX
+                rows_l.append(jnp.where(live, gr, sentinel))
+                cols_l.append(jnp.where(live, gc, 0))
+                vals_l.append(v)
         if tplan.light_plan is not None:
             rr, cc, vv = _expand_light(
                 **tplan.device_args["light"],

@@ -32,6 +32,7 @@ import numpy as np
 
 SUB_P = 1024  # products per subtile (one (8,128) output vreg-tile)
 GROUP_SUBS = 8  # subtiles per grid step
+GROUP_SLAB = 128  # groups per kernel call (fixed-shape executable slabs)
 A_WIN = 2  # A-window blocks per subtile (256 candidates)
 B_WIN = 3  # B-window blocks per subtile (384 elements)
 SUPER = 3  # super-window fetch: 3 refs of 8 blocks = 24 blocks per side
@@ -138,11 +139,15 @@ def plan_gather(
         cur.append(t)
     if cur:
         groups.append(cur)
-    # Bucket the group count so differently-sized operands share the
-    # kernel executable (empty groups emit pure sentinel padding).
+    # Pad the group count so the kernel runs as fixed-shape slab calls
+    # whose executables are shared across operands (empty groups emit
+    # pure sentinel padding); small plans use one bucketed call.
     from outerspace_tpu.ops.symbolic import round_up_bucket
 
-    ngroups = round_up_bucket(len(groups), min_size=1)
+    if len(groups) >= GROUP_SLAB:
+        ngroups = -(-len(groups) // GROUP_SLAB) * GROUP_SLAB
+    else:
+        ngroups = round_up_bucket(len(groups), min_size=1)
 
     # --- stage device arrays ---
     def _pack_fields(fields, blocks_pad):
@@ -161,7 +166,8 @@ def plan_gather(
     if p_real >= 2**31:
         raise ValueError("gather plan exceeds int32 product space")
     nab = -(-nk // _BLK) + (8 * SUPER)  # slack so base8+2 refs stay in range
-    nab = -(-nab // 8) * 8
+    nab = round_up_bucket(-(-nab // 8) * 8, min_size=8)
+    nab = -(-nab // 8) * 8  # bucketed block count: executable sharing
     a_pack = _pack_fields(
         [
             (a_rows, 0),
@@ -173,6 +179,7 @@ def plan_gather(
     )
     nnz_b = b_cols.shape[0]
     nbb = -(-nnz_b // _BLK) + (8 * SUPER)
+    nbb = round_up_bucket(-(-nbb // 8) * 8, min_size=8)
     nbb = -(-nbb // 8) * 8
     b_pack = _pack_fields(
         [

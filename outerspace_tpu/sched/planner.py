@@ -62,8 +62,30 @@ class OuterProductSchedule:
         return int(self.a_start.shape[0])
 
     @property
+    def slab_tasks(self) -> int:
+        """Tasks per fixed-size kernel call (~2^20 stream elements): the
+        expand executable is compiled once per (tile_a, slab) shape and
+        reused across every operand and workload."""
+        s = max(1 << 20, self.tile_a * TILE_B) // (self.tile_a * TILE_B)
+        return max(8, -(-s // 8) * 8)
+
+    @property
+    def ntasks_padded(self) -> int:
+        """Task count padded to a whole number of slabs (empty tasks emit
+        pure sentinel padding); small schedules fall back to one bucketed
+        call so tiny operands don't pay a whole slab."""
+        if self.ntasks == 0:
+            return 0
+        if self.ntasks < self.slab_tasks:
+            from outerspace_tpu.ops.symbolic import round_up_bucket
+
+            n = round_up_bucket(self.ntasks, min_size=8)
+            return -(-n // 8) * 8
+        return -(-self.ntasks // self.slab_tasks) * self.slab_tasks
+
+    @property
     def padded_heavy(self) -> int:
-        return self.ntasks * self.tile_a * TILE_B
+        return self.ntasks_padded * self.tile_a * TILE_B
 
 
 @dataclasses.dataclass

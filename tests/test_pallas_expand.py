@@ -52,8 +52,10 @@ class TestPlanner:
     def test_choose_strategy(self):
         dense = _dense_ish(200, 200, 5)
         assert choose_strategy(dense.to_csc(), dense.to_csr()) == "tiles"
+        # uniform/low-skew operands now route to the windowed-gather
+        # Pallas pipeline instead of the XLA flat path
         sparse = erdos_renyi(200, 200, 0.005, seed=6)
-        assert choose_strategy(sparse.to_csc(), sparse.to_csr()) == "flat"
+        assert choose_strategy(sparse.to_csc(), sparse.to_csr()) == "gather"
 
 
 class TestTiledSpGEMM:
