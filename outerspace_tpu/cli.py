@@ -150,6 +150,10 @@ def cmd_nn(args) -> int:
         if args.saved_model_name:
             save_params(args.saved_model_name, res.best_params)
             save_training_stats(args.saved_model_name + ".stats", res.history)
+            from outerspace_tpu.nn.train import plot_training_stats
+
+            for p in plot_training_stats(args.saved_model_name, res.history):
+                print(f"  wrote {p}")
     elif args.mode == "eval":
         assert params is not None, "--load_model_name required"
         report_eval(params, "eval")

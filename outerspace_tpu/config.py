@@ -20,8 +20,9 @@ class Config:
     tile_a: int = 8
     tile_b: int = 128
     spmm_tn: int = 128
-    # Scheduler
-    waste_limit: float = 2.0
+    # Scheduler (waste_limit None = per-operand cost-model autotune,
+    # sched/autotune.py)
+    waste_limit: float | None = None
     heavy_fraction_threshold: float = 0.5
     pad_min_size: int = 256
     # Mesh
@@ -41,6 +42,13 @@ class Config:
             if not hasattr(out, key):
                 raise KeyError(f"unknown config key {key!r}")
             current = getattr(out, key)
+            if current is None:
+                try:
+                    parsed = float(value)
+                except ValueError:
+                    parsed = value
+                setattr(out, key, parsed)
+                continue
             if isinstance(current, bool):
                 parsed = value.lower() in ("1", "true", "yes")
             elif isinstance(current, int):

@@ -239,3 +239,29 @@ def save_training_stats(path: str, history: dict) -> None:
             ),
             f,
         )
+
+
+def plot_training_stats(path_prefix: str, history: dict) -> list[str]:
+    """Loss/accuracy curves as PNGs — the reference's
+    ``plot_training_stats`` (``util.py:40-58``: one figure for losses,
+    one for accuracies, train vs validation). Returns the file paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = range(len(history["train_loss"]))
+    paths = []
+    for kind in ("loss", "acc"):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(epochs, history[f"train_{kind}"], label=f"train {kind}")
+        ax.plot(epochs, history[f"val_{kind}"], label=f"val {kind}")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(kind)
+        ax.legend()
+        ax.set_title(f"training {kind}")
+        out = f"{path_prefix}_{kind}.png"
+        fig.savefig(out, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(out)
+    return paths

@@ -172,6 +172,8 @@ def spgemm_gather_padded(
     plan: GatherPipelinePlan, interpret: bool = False
 ) -> MergedCOO:
     """Run all row parts and concatenate into one MergedCOO."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # Pallas kernels only run interpreted off-TPU
     rows_l, cols_l, vals_l, valid_l, nnz = [], [], [], [], jnp.int32(0)
     for p in plan.parts:
         dev = dict(p.dev)

@@ -141,6 +141,34 @@ def markov_cluster(
     ).deduplicated()
     flow = _col_normalize(m.to_csr())
 
+    if backend == "tpu" and expansion == 2 and n * n <= 2**32:
+        # Device-resident chain (ops.chain): the flow matrix never
+        # round-trips to host between iterations — only two sizing
+        # scalars per squaring cross the link.
+        import jax.numpy as jnp
+
+        from outerspace_tpu.ops.chain import markov_cluster_device
+        from outerspace_tpu.ops.spgemm import MergedCOO
+
+        c0 = flow.to_coo()
+        pad = -(-max(c0.nnz, 1) // 1024) * 1024
+        rows = np.full(pad, n, np.int32)
+        cols = np.zeros(pad, np.int32)
+        vals = np.zeros(pad, np.float32)
+        rows[: c0.nnz] = c0.row
+        cols[: c0.nnz] = c0.col
+        vals[: c0.nnz] = c0.val
+        merged0 = MergedCOO(
+            (n, n),
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            jnp.asarray(rows < n), jnp.int32(c0.nnz),
+        )
+        out = markov_cluster_device(
+            merged0, inflation=inflation, iters=iters,
+            prune_threshold=prune_threshold,
+        )
+        return out.to_csr()
+
     def mult(a, b):
         if backend == "tpu":
             return spgemm(a, b)

@@ -483,12 +483,18 @@ def plan_tiled(
     a_csc: CSC,
     b_csr: CSR,
     interpret: bool = False,
-    waste_limit: float = 2.0,
+    waste_limit: float | None = None,
 ) -> TiledPlan:
+    """Build the hybrid (tiles + gather residue + flat remainder) plan;
+    ``waste_limit=None`` lets the cost model pick it per operand."""
     from outerspace_tpu.ops.symbolic import expansion_plan_subset
     from outerspace_tpu.ops.pallas.expand import schedule_to_device
     from outerspace_tpu.sched.planner import plan_outer_classes
 
+    if waste_limit is None:
+        from outerspace_tpu.sched.autotune import autotune
+
+        waste_limit = autotune(a_csc, b_csr)[1]
     cp = plan_outer_classes(a_csc, b_csr, waste_limit=waste_limit)
     dev = {
         "classes": [
@@ -549,6 +555,8 @@ def spgemm_padded_tiled(
     tplan: TiledPlan, packed: bool | None = None, interpret: bool = False
 ) -> MergedCOO:
     """Expand via Pallas dense tiles (+ gather residue), then merge."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # Pallas kernels only run interpreted off-TPU
     from outerspace_tpu.ops.pallas.expand import (
         expand_tiles_coords,
         expand_tiles_packed,

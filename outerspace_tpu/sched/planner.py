@@ -174,11 +174,20 @@ def _schedule_for_ks(
 def plan_outer_classes(
     a_csc: CSC,
     b_csr: CSR,
-    waste_limit: float = 2.0,
+    waste_limit: float = 1.1,
     tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
+    rescue_limit: float = 6.0,
+    gather_max_nb: int = 256,
 ) -> ClassPlan:
     """Assign every outer index to the tile class minimising its padded
-    work (subject to ``waste_limit``); leftovers become the light residue."""
+    work (subject to ``waste_limit``); leftovers become the light residue.
+
+    Second pass: k's the windowed-gather kernel cannot serve (B row wider
+    than its window, ``gather_max_nb``) are *rescued* into their least-bad
+    tile class up to ``rescue_limit`` — tile padding flows through the
+    ~900 M elem/s sort, while the XLA flat fallback expands at ~10 cycles
+    per element, so even heavily padded tiles beat it.
+    """
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
     prod = na * nb
@@ -193,6 +202,18 @@ def plan_outer_classes(
         )
         ok = nonzero & (padded <= waste_limit * prod) & (best_class < 0)
         best_class[ok] = ci
+    # Rescue pass: wide-B-row residue picks its minimum-padding class.
+    need_rescue = nonzero & (best_class < 0) & (nb > gather_max_nb)
+    if need_rescue.any():
+        best_pad = np.full(na.shape[0], np.iinfo(np.int64).max)
+        best_ci = np.zeros(na.shape[0], dtype=np.int64)
+        for ci, ta in enumerate(tile_a_classes):
+            padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+            better = padded < best_pad
+            best_pad = np.where(better, padded, best_pad)
+            best_ci = np.where(better, ci, best_ci)
+        ok = need_rescue & (best_pad <= rescue_limit * prod)
+        best_class[ok] = best_ci[ok]
     classes = []
     for ci, ta in enumerate(tile_a_classes):
         ks = np.nonzero(best_class == ci)[0]
@@ -205,7 +226,7 @@ def plan_outer_classes(
 def plan_outer_tiles(
     a_csc: CSC,
     b_csr: CSR,
-    waste_limit: float = 2.0,
+    waste_limit: float = 1.1,
     tile_a: int = TILE_A,
 ) -> "OuterProductScheduleLegacy":
     """Single-class planner (kept for tests/compat): (tile_a, 128) tiles
@@ -232,7 +253,7 @@ class OuterProductScheduleLegacy:
 def class_coverage(
     a_csc: CSC,
     b_csr: CSR,
-    waste_limit: float = 2.0,
+    waste_limit: float = 1.1,
     tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
 ) -> float:
     """Fraction of the expansion work coverable by the dense-tile classes
@@ -267,22 +288,22 @@ def choose_strategy(
     a_csc: CSC,
     b_csr: CSR,
     heavy_fraction_threshold: float = 0.5,
-    waste_limit: float = 2.0,
+    waste_limit: float = 1.1,
     tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
 ) -> str:
     """Pick the expand strategy for these operands.
 
-    ``"tiles"``  — dense-tile Pallas expand for heavy k + gather residue;
-    ``"gather"`` — windowed-gather Pallas expand, exact P, row-split
-                   packed keys (uniform/low-skew operands);
+    ``"tiles"``  — the hybrid: dense-tile Pallas expand for heavy k +
+                   windowed-gather residue + XLA flat remainder;
+    ``"gather"`` — pure windowed-gather pipeline with row-split packed
+                   keys (uniform/low-skew operands; works for any m·n);
     ``"flat"``   — pure XLA gather expand (fallback).
-    Uses the same waste-limit predicate as ``plan_outer_classes``.
+
+    Decision = the calibrated per-element cost model
+    (``sched.autotune``); the threshold knobs are retained for API
+    compatibility but the model's argmin wins.
     """
-    frac = class_coverage(a_csc, b_csr, waste_limit, tile_a_classes)
-    if frac >= heavy_fraction_threshold:
-        return "tiles"
-    # Low tile coverage: the windowed-gather kernel wins whenever its
-    # window constraint covers most of the work.
-    if gather_coverage(a_csc, b_csr) >= 0.75:
-        return "gather"
-    return "flat"
+    from outerspace_tpu.sched.autotune import autotune
+
+    del heavy_fraction_threshold, waste_limit, tile_a_classes
+    return autotune(a_csc, b_csr)[0]

@@ -281,3 +281,277 @@ def sharded_result_to_csr(plan: ShardedPlan, out) -> "CSR":
         np.concatenate(vals_l),
     )
     return coo.to_csr()
+
+
+# --------------------------------------------------------------------------
+# 2-D partition: outer-product index space k × output-column space
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedPlan2D:
+    """Host-side static plan for the 2-D sharded SpGEMM.
+
+    SURVEY §2.3 / BASELINE configs[4]: the outer-product index space is
+    partitioned 2-D over a (kx × ny) mesh — axis "x" splits k (and output
+    rows for the merge), axis "y" splits B's columns — so **B is sharded
+    over both axes and never replicated** (device (i,j) holds only B's
+    k-slice i restricted to column range j). The multiply→merge exchange
+    rides ICI along "x" only (column ranges are independent), the role
+    simulated DRAM played in the reference (``SimOuterSPACE.cpp:139``).
+    """
+
+    m: int
+    n: int
+    kx: int
+    ny: int
+    rows_per_dev: int  # output-row ownership granularity along x
+    p_pad: int
+    capacity: int
+    max_run: int
+    col_bounds: np.ndarray  # int64[ny+1]
+    # Stacked per-device arrays, leading dims [kx, ny, ...]:
+    a_rows: np.ndarray
+    a_vals: np.ndarray
+    a_k_local: np.ndarray  # k localised to the device's B shard rows
+    offsets: np.ndarray
+    p_total: np.ndarray  # [kx, ny]
+    b_indptr: np.ndarray  # [kx, ny, klocal_max+1]
+    b_cols: np.ndarray  # [kx, ny, nnzb_max]
+    b_vals: np.ndarray
+
+
+def shard_plan_2d(a_csc: CSC, b_csr: CSR, kx: int, ny: int) -> ShardedPlan2D:
+    """Split k into ``kx`` FLOP-balanced ranges and B's columns into
+    ``ny`` nnz-balanced ranges; compute exact exchange capacities."""
+    if a_csc.shape[1] != b_csr.shape[0]:
+        raise ValueError("inner dimensions differ")
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    flops = per_outer_index_flops(a_csc, b_csr)
+    k_bounds = balanced_contiguous_partition(flops.astype(np.float64), kx)
+    col_hist = np.bincount(
+        np.asarray(b_csr.indices, dtype=np.int64), minlength=n
+    ).astype(np.float64)
+    col_bounds = balanced_contiguous_partition(col_hist, ny)
+    rows_per_dev = -(-m // kx)
+
+    b_ptr = np.asarray(b_csr.indptr)
+    b_cols_all = np.asarray(b_csr.indices, dtype=np.int64)
+    b_vals_all = np.asarray(b_csr.data, dtype=np.float32)
+    a_ptr = np.asarray(a_csc.indptr)
+    a_rows_all = np.asarray(a_csc.indices)
+    a_vals_all = np.asarray(a_csc.data, dtype=np.float32)
+
+    parts = {}
+    max_nnz_a = max_nnz_b = max_kloc = 1
+    max_p = 1
+    for i in range(kx):
+        k_lo, k_hi = int(k_bounds[i]), int(k_bounds[i + 1])
+        kloc = k_hi - k_lo
+        max_kloc = max(max_kloc, kloc)
+        # A's k-slice (same for every j)
+        e0, e1 = int(a_ptr[k_lo]), int(a_ptr[k_hi])
+        a_rows_i = a_rows_all[e0:e1].astype(np.int32)
+        a_vals_i = a_vals_all[e0:e1]
+        a_k_i = (
+            np.repeat(
+                np.arange(k_lo, k_hi, dtype=np.int64),
+                np.diff(a_ptr[k_lo : k_hi + 1]).astype(np.int64),
+            )
+            - k_lo
+        ).astype(np.int32)
+        max_nnz_a = max(max_nnz_a, a_rows_i.shape[0])
+        for j in range(ny):
+            c_lo, c_hi = int(col_bounds[j]), int(col_bounds[j + 1])
+            # B shard: rows [k_lo, k_hi), cols [c_lo, c_hi)
+            rows_sel = []
+            ptr_loc = np.zeros(kloc + 1, dtype=np.int64)
+            for kk in range(k_lo, k_hi):
+                s, e = int(b_ptr[kk]), int(b_ptr[kk + 1])
+                cols_k = b_cols_all[s:e]
+                sel = (cols_k >= c_lo) & (cols_k < c_hi)
+                idx = np.nonzero(sel)[0] + s
+                rows_sel.append(idx)
+                ptr_loc[kk - k_lo + 1] = ptr_loc[kk - k_lo] + idx.shape[0]
+            sel_idx = (
+                np.concatenate(rows_sel)
+                if rows_sel
+                else np.zeros(0, np.int64)
+            )
+            b_cols_ij = b_cols_all[sel_idx].astype(np.int32)
+            b_vals_ij = b_vals_all[sel_idx]
+            counts = ptr_loc[a_k_i + 1] - ptr_loc[a_k_i]
+            offs = np.zeros(a_k_i.shape[0] + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            p_ij = int(offs[-1])
+            max_p = max(max_p, p_ij)
+            max_nnz_b = max(max_nnz_b, b_cols_ij.shape[0])
+            parts[(i, j)] = (
+                a_rows_i, a_vals_i, a_k_i, ptr_loc, b_cols_ij, b_vals_ij,
+                offs, p_ij,
+            )
+    if max_p >= 2**31:
+        raise ValueError("per-device expansion exceeds int32 index space")
+    p_pad = round_up_bucket(max_p)
+
+    a_rows = np.zeros((kx, ny, max_nnz_a), np.int32)
+    a_vals = np.zeros((kx, ny, max_nnz_a), np.float32)
+    a_k_local = np.zeros((kx, ny, max_nnz_a), np.int32)
+    offsets = np.zeros((kx, ny, max_nnz_a + 1), np.int32)
+    p_total = np.zeros((kx, ny), np.int32)
+    b_indptr = np.zeros((kx, ny, max_kloc + 1), np.int32)
+    b_cols = np.zeros((kx, ny, max(max_nnz_b, 1)), np.int32)
+    b_vals = np.zeros((kx, ny, max(max_nnz_b, 1)), np.float32)
+    capacity = 1
+    for (i, j), (ar, av, ak, ptr, bc, bv, offs, p_ij) in parts.items():
+        na = ar.shape[0]
+        a_rows[i, j, :na] = ar
+        a_vals[i, j, :na] = av
+        a_k_local[i, j, :na] = ak
+        offsets[i, j, : na + 1] = offs.astype(np.int32)
+        offsets[i, j, na + 1 :] = offs[-1]
+        p_total[i, j] = p_ij
+        b_indptr[i, j, : ptr.shape[0]] = ptr.astype(np.int32)
+        b_indptr[i, j, ptr.shape[0] :] = ptr[-1]
+        b_cols[i, j, : bc.shape[0]] = bc
+        b_vals[i, j, : bv.shape[0]] = bv
+        if na:
+            counts = np.diff(offs)
+            owners = ar // rows_per_dev
+            per_dst = np.bincount(owners, weights=counts, minlength=kx)
+            capacity = max(capacity, int(per_dst.max()))
+    capacity = round_up_bucket(capacity, min_size=128)
+    max_run = int(
+        np.bincount(a_rows_all, minlength=m).max(initial=1)
+    )
+    max_run = 1 << (max(max_run, 1) - 1).bit_length()
+
+    return ShardedPlan2D(
+        m=m, n=n, kx=kx, ny=ny, rows_per_dev=rows_per_dev,
+        p_pad=int(p_pad), capacity=int(capacity), max_run=max_run,
+        col_bounds=col_bounds,
+        a_rows=a_rows, a_vals=a_vals, a_k_local=a_k_local,
+        offsets=offsets, p_total=p_total,
+        b_indptr=b_indptr, b_cols=b_cols, b_vals=b_vals,
+    )
+
+
+def _local_shard_fn_2d(
+    a_rows, a_vals, a_k, offsets, p_total, b_indptr, b_cols, b_vals,
+    *, p_pad, sentinel_row, rows_per_dev, kx, capacity, axis, n_cols,
+    packed, max_run,
+):
+    """Per-(i,j)-device program (leading [1,1] dims stripped). Identical
+    dataflow to the 1-D version, but B arrays are the device's own 2-D
+    shard and the exchange rides only the k/row axis."""
+    r, c, v = expand_partial_products(
+        a_rows[0, 0], a_vals[0, 0], a_k[0, 0], b_indptr[0, 0],
+        b_cols[0, 0], b_vals[0, 0], offsets[0, 0], p_total[0, 0],
+        p_pad, sentinel_row,
+    )
+    r, c, v = jax.lax.sort((r, c, v), num_keys=1, is_stable=False)
+    valid = r < sentinel_row
+    dst = jnp.minimum(r // rows_per_dev, kx - 1)
+    pos = jnp.arange(p_pad, dtype=jnp.int32)
+    bucket_start = jnp.searchsorted(
+        dst, jnp.arange(kx, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    rank = pos - bucket_start[jnp.minimum(dst, kx - 1)]
+    slot = jnp.where(valid, dst * capacity + rank, kx * capacity)
+    send_r = jnp.full(kx * capacity + 1, _I32_MAX, jnp.int32).at[slot].set(
+        jnp.where(valid, r, _I32_MAX), mode="drop"
+    )[:-1]
+    send_c = jnp.zeros(kx * capacity + 1, jnp.int32).at[slot].set(
+        jnp.where(valid, c, 0), mode="drop"
+    )[:-1]
+    send_v = jnp.zeros(kx * capacity + 1, jnp.float32).at[slot].set(
+        jnp.where(valid, v, 0.0), mode="drop"
+    )[:-1]
+    recv_r = jax.lax.all_to_all(
+        send_r.reshape(kx, capacity), axis, 0, 0, tiled=False
+    ).reshape(kx * capacity)
+    recv_c = jax.lax.all_to_all(
+        send_c.reshape(kx, capacity), axis, 0, 0, tiled=False
+    ).reshape(kx * capacity)
+    recv_v = jax.lax.all_to_all(
+        send_v.reshape(kx, capacity), axis, 0, 0, tiled=False
+    ).reshape(kx * capacity)
+    if packed:
+        key = jnp.where(
+            recv_r < sentinel_row,
+            recv_r * np.int32(n_cols) + recv_c,
+            _I32_MAX,
+        )
+        mr, mc, mv, mvalid, nnz = merge_packed_keys(
+            key, recv_v, n_cols, _I32_MAX, max_run
+        )
+    else:
+        mr, mc, mv, mvalid, nnz = merge_twokey(
+            recv_r, recv_c, recv_v, _I32_MAX, max_run
+        )
+    return (
+        mr[None, None], mc[None, None], mv[None, None],
+        mvalid[None, None], nnz[None, None],
+    )
+
+
+def spgemm_sharded_2d(plan: ShardedPlan2D, mesh: Mesh,
+                      axes: tuple[str, str] = ("x", "y")):
+    """Run the 2-D sharded SpGEMM over ``mesh`` (axes = (k/row, col));
+    returns stacked per-device padded merged COO arrays + per-device nnz."""
+    from jax.experimental.shard_map import shard_map
+
+    ax, ay = axes
+    spec = P(ax, ay)
+    fn = functools.partial(
+        _local_shard_fn_2d,
+        p_pad=plan.p_pad,
+        sentinel_row=plan.m,
+        rows_per_dev=plan.rows_per_dev,
+        kx=plan.kx,
+        capacity=plan.capacity,
+        axis=ax,
+        n_cols=plan.n,
+        packed=bool(plan.m * plan.n < 2**31),
+        max_run=plan.max_run,
+    )
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=(spec,) * 5,
+        check_rep=False,
+    )
+    args = (
+        jnp.asarray(plan.a_rows), jnp.asarray(plan.a_vals),
+        jnp.asarray(plan.a_k_local), jnp.asarray(plan.offsets),
+        jnp.asarray(plan.p_total), jnp.asarray(plan.b_indptr),
+        jnp.asarray(plan.b_cols), jnp.asarray(plan.b_vals),
+    )
+    with mesh:
+        return jax.jit(sharded)(*args)
+
+
+def sharded_2d_result_to_csr(plan: ShardedPlan2D, out) -> "CSR":
+    """Gather per-device merged outputs to host and assemble the CSR."""
+    from outerspace_tpu.formats.coo import COO
+
+    mr, mc, mv, mvalid, _ = out
+    mr = np.asarray(mr).reshape(plan.kx, plan.ny, -1)
+    mc = np.asarray(mc).reshape(plan.kx, plan.ny, -1)
+    mv = np.asarray(mv).reshape(plan.kx, plan.ny, -1)
+    mvalid = np.asarray(mvalid).reshape(plan.kx, plan.ny, -1)
+    rows_l, cols_l, vals_l = [], [], []
+    for i in range(plan.kx):
+        for j in range(plan.ny):
+            sel = mvalid[i, j]
+            rows_l.append(mr[i, j][sel])
+            cols_l.append(mc[i, j][sel])
+            vals_l.append(mv[i, j][sel])
+    coo = COO(
+        (plan.m, plan.n),
+        np.concatenate(rows_l),
+        np.concatenate(cols_l),
+        np.concatenate(vals_l),
+    )
+    return coo.to_csr()

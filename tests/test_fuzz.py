@@ -57,9 +57,11 @@ def _random_case(i: int):
 def test_fuzz_spgemm(i):
     a, b = _random_case(i)
     ref = spgemm_scipy(a, b)
-    for strategy in ("flat", "tiles"):
-        got = spgemm(a, b, strategy=strategy, interpret=True)
-        assert_csr_allclose(got, ref, rtol=2e-5, atol=1e-5)
+    # rotate strategies across cases: full coverage over the sweep
+    # without paying every interpreted pipeline on every case
+    strategy = ("flat", "tiles", "gather")[i % 3]
+    got = spgemm(a, b, strategy=strategy, interpret=True)
+    assert_csr_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("i", range(24, 32))

@@ -288,3 +288,21 @@ class TestLeNetTrain:
         # main.py:219-238)
         assert all(abs(f - 0.25) < 0.05 for f in conv_fracs), conv_fracs
         assert all(abs(f - 0.10) < 0.03 for f in fc_fracs), fc_fracs
+
+
+def test_plot_training_stats(tmp_path):
+    # reference util.py:40-58: loss + accuracy PNGs, train vs val
+    from outerspace_tpu.nn.train import plot_training_stats
+
+    history = {
+        "train_loss": [2.0, 1.0, 0.5],
+        "train_acc": [0.3, 0.6, 0.8],
+        "val_loss": [2.1, 1.2, 0.7],
+        "val_acc": [0.25, 0.55, 0.75],
+    }
+    paths = plot_training_stats(str(tmp_path / "run"), history)
+    import os
+
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 1000

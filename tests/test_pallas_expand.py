@@ -50,9 +50,18 @@ class TestPlanner:
         assert sched.heavy_p == 0
 
     def test_choose_strategy(self):
-        dense = _dense_ish(200, 200, 5)
-        assert choose_strategy(dense.to_csc(), dense.to_csr()) == "tiles"
-        # uniform/low-skew operands now route to the windowed-gather
+        # heavy-skew: tall columns paired with wide B rows — only the
+        # dense-tile classes serve these (gather window too narrow,
+        # flat is ~9 ns/elem) so the cost model picks the hybrid
+        rng = np.random.default_rng(5)
+        rows = np.concatenate(
+            [rng.choice(800, 600, replace=False) for _ in range(4)]
+        )
+        cols = np.repeat(np.arange(4), 600)
+        heavy = COO((800, 800), rows, cols, np.ones(2400, np.float32))
+        bt = heavy.transpose()  # B rows 0..3 hold 600 cols each
+        assert choose_strategy(heavy.to_csc(), bt.to_csr()) == "tiles"
+        # uniform/low-skew operands route to the windowed-gather
         # Pallas pipeline instead of the XLA flat path
         sparse = erdos_renyi(200, 200, 0.005, seed=6)
         assert choose_strategy(sparse.to_csc(), sparse.to_csr()) == "gather"
@@ -104,3 +113,38 @@ class TestTiledSpGEMM:
         tplan = plan_tiled(a.to_csc(), a.to_csr())
         merged = spgemm_padded_tiled(tplan, interpret=True)
         assert merged.rows.shape[0] == tplan.padded_total
+
+
+class TestAutotune:
+    def test_waste_limit_grid(self):
+        from outerspace_tpu.sched.autotune import WASTE_GRID, autotune
+
+        g = rmat(9, edge_factor=8, seed=7)
+        strat, wl = autotune(g.to_csc(), g.to_csr())
+        assert strat in ("tiles", "gather", "flat")
+        assert wl in WASTE_GRID
+
+    def test_cost_monotone_in_flat(self):
+        # the model must price the flat path above gather for servable k
+        from outerspace_tpu.sched.autotune import (
+            FLAT_NS,
+            GATHER_NS,
+            modeled_cost_ns,
+        )
+
+        assert FLAT_NS > GATHER_NS
+        na = np.full(64, 4, np.int64)
+        nb = np.full(64, 4, np.int64)
+        # at any waste limit, tiny k's can't tile: all gather, no flat
+        c = modeled_cost_ns(na, nb, 1.1)
+        total = int((na * nb).sum())
+        from outerspace_tpu.sched.autotune import SORT_NS
+
+        assert abs(c - total * (GATHER_NS + SORT_NS)) < 1e-6
+
+    def test_empty(self):
+        from outerspace_tpu.sched.autotune import autotune
+
+        z = COO((8, 8), [], [], [])
+        strat, _ = autotune(z.to_csc(), z.to_csr())
+        assert strat == "flat"

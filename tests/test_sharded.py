@@ -77,3 +77,66 @@ class TestShardedSpGEMM:
         out = spgemm_sharded(plan, mesh8)
         got = sharded_result_to_csr(plan, out)
         assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
+
+
+class TestSharded2D:
+    @pytest.fixture(scope="class")
+    def mesh42(self):
+        return make_mesh((4, 2), ("x", "y"))
+
+    @pytest.fixture(scope="class")
+    def mesh24(self):
+        return make_mesh((2, 4), ("x", "y"))
+
+    @pytest.mark.parametrize(
+        "gen",
+        [
+            lambda: erdos_renyi(200, 200, 0.02, seed=61),
+            lambda: rmat(8, edge_factor=4, seed=62),
+            lambda: erdos_renyi(150, 260, 0.03, seed=63),
+        ],
+    )
+    def test_matches_scipy_4x2(self, mesh42, gen):
+        from outerspace_tpu.shard.spgemm_sharded import (
+            shard_plan_2d,
+            sharded_2d_result_to_csr,
+            spgemm_sharded_2d,
+        )
+
+        g = gen()
+        b = (
+            erdos_renyi(g.shape[1], 180, 0.03, seed=64)
+            if g.shape[0] != g.shape[1]
+            else g
+        )
+        plan = shard_plan_2d(g.to_csc(), b.to_csr(), kx=4, ny=2)
+        out = spgemm_sharded_2d(plan, mesh42)
+        got = sharded_2d_result_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(g, b), rtol=1e-5, atol=1e-6)
+
+    def test_matches_scipy_2x4(self, mesh24):
+        from outerspace_tpu.shard.spgemm_sharded import (
+            shard_plan_2d,
+            sharded_2d_result_to_csr,
+            spgemm_sharded_2d,
+        )
+
+        g = rmat(8, edge_factor=5, seed=65)
+        plan = shard_plan_2d(g.to_csc(), g.to_csr(), kx=2, ny=4)
+        out = spgemm_sharded_2d(plan, mesh24)
+        got = sharded_2d_result_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_b_is_sharded_not_replicated(self):
+        # the 2-D plan's per-device B shards must together hold exactly
+        # nnz(B) elements — i.e. B is partitioned, not replicated.
+        from outerspace_tpu.shard.spgemm_sharded import shard_plan_2d
+
+        g = rmat(8, edge_factor=4, seed=66)
+        plan = shard_plan_2d(g.to_csc(), g.to_csr(), kx=4, ny=2)
+        total = 0
+        for i in range(4):
+            for j in range(2):
+                nb = int(plan.b_indptr[i, j, -1])
+                total += nb
+        assert total == g.nnz
