@@ -23,6 +23,7 @@
 #include <deque>
 #include <stdexcept>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -120,92 +121,245 @@ struct SimConfig {
   int grid_overhead = 10;               // cycles per grid step dispatch
 };
 
-struct DmaReq {
-  int64_t bytes;
-  int64_t task_id;
-  bool is_write;
-};
-
-// HBM: per-channel bandwidth queues; a DMA's beats are striped across
-// channels (parity with the page-interleaved channel select,
-// SimOuterSPACE.cpp:756-768, minus ramulator timing).
+// HBM: per-channel striped beat queues, drained one bandwidth quantum per
+// channel per cycle after the first-beat latency (parity with the
+// page-interleaved channel select + queued memory ports,
+// SimOuterSPACE.cpp:240-276,608-719, minus ramulator's DRAM state).
 class Hbm : public Module {
  public:
-  Hbm(const SimConfig& cfg)
-      : Module("hbm"), cfg_(cfg), chan_busy_until_(cfg.hbm_channels, 0) {}
+  explicit Hbm(const SimConfig& cfg)
+      : Module("hbm"),
+        cfg_(cfg),
+        chan_(cfg.hbm_channels),
+        per_chan_rate_(cfg.hbm_bytes_per_cycle / cfg.hbm_channels) {}
 
-  // Returns completion cycle of a transfer started at `now`.
-  int64_t schedule(int64_t now, int64_t bytes) {
+  // Enqueue a transfer; completion is observable via done().
+  void schedule(int64_t id, int64_t bytes) {
     total_bytes_ += bytes;
     ++transfers_;
-    double per_chan = cfg_.hbm_bytes_per_cycle / cfg_.hbm_channels;
-    int64_t per_chan_bytes = bytes / cfg_.hbm_channels + 1;
-    int64_t dur = static_cast<int64_t>(per_chan_bytes / per_chan) + 1;
-    int64_t done = 0;
-    for (int c = 0; c < cfg_.hbm_channels; ++c) {
-      int64_t start = std::max(now + cfg_.hbm_latency, chan_busy_until_[c]);
-      chan_busy_until_[c] = start + dur;
-      done = std::max(done, start + dur);
-    }
-    return done;
+    int64_t per_chan = bytes / cfg_.hbm_channels + 1;
+    remaining_beats_[id] = cfg_.hbm_channels;
+    for (auto& q : chan_)
+      q.push_back(Beat{per_chan, now_ + cfg_.hbm_latency, id});
   }
-  void clockUpdate() override {}
+  bool done(int64_t id) const {
+    auto it = remaining_beats_.find(id);
+    return it != remaining_beats_.end() && it->second == 0;
+  }
+
+  void clockUpdate() override {
+    ++now_;
+    for (auto& q : chan_) {
+      if (q.empty()) continue;
+      Beat& b = q.front();
+      if (now_ < b.ready_at) continue;
+      b.remaining -= static_cast<int64_t>(per_chan_rate_) + 1;
+      busy_cycles_ += 1;
+      if (b.remaining <= 0) {
+        if (--remaining_beats_[b.id] == 0) {
+          // transfer complete
+        }
+        q.pop_front();
+      }
+    }
+  }
   void clockApply() override {}
   void printStats(FILE* f) const override {
-    fprintf(f, "  hbm: transfers=%zu bytes=%lld\n", transfers_,
-            static_cast<long long>(total_bytes_));
+    fprintf(f, "  hbm: transfers=%zu bytes=%lld busy=%lld\n", transfers_,
+            static_cast<long long>(total_bytes_),
+            static_cast<long long>(busy_cycles_));
   }
 
  private:
+  struct Beat {
+    int64_t remaining;
+    int64_t ready_at;
+    int64_t id;
+  };
   SimConfig cfg_;
-  std::vector<int64_t> chan_busy_until_;
-  int64_t total_bytes_ = 0;
+  std::vector<std::deque<Beat>> chan_;
+  double per_chan_rate_;
+  std::unordered_map<int64_t, int> remaining_beats_;
+  int64_t now_ = 0;
+  int64_t total_bytes_ = 0, busy_cycles_ = 0;
   size_t transfers_ = 0;
 };
 
-// Double-buffered kernel pipeline: per grid step, an input DMA, a compute
-// phase, and an output DMA, with the classic overlap (the cycle-level
-// analogue of the Pallas pipeline; replaces PEMultiplier/PEMerger,
-// SimOuterSPACE.cpp:501-606).
+// Input DMA engine: issues task tile fetches in order (bounded
+// outstanding), lands completed tiles in the VMEM-modeling FIFO —
+// the cycle-level analogue of the Pallas pipeline's prefetch stage
+// (replaces PEMultiplier's read queue, SimOuterSPACE.cpp:501-529).
+class InDma : public Module {
+ public:
+  InDma(Hbm& hbm, Fifo<int64_t>& vmem_in, const SimConfig& cfg,
+        int64_t ntasks, const int64_t* in_bytes)
+      : Module("in_dma"),
+        hbm_(hbm),
+        vmem_in_(vmem_in),
+        cfg_(cfg),
+        ntasks_(ntasks),
+        in_bytes_(in_bytes) {}
+
+  void clockUpdate() override {
+    // retire completed fetches into VMEM (respecting its capacity —
+    // the double-buffer slot limit)
+    while (!inflight_.empty() && hbm_.done(inflight_.front()) &&
+           vmem_in_.canWrite()) {
+      int64_t task = inflight_.front() - 1;  // ids are task+1
+      vmem_in_.write(task, static_cast<size_t>(in_bytes_[task]));
+      inflight_.pop_front();
+      break;  // one FIFO write per cycle (hazard contract)
+    }
+    // issue the next fetch when a slot frees
+    if (next_ < ntasks_ &&
+        static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
+      hbm_.schedule(next_ + 1, in_bytes_[next_]);
+      inflight_.push_back(next_ + 1);
+      ++next_;
+    }
+  }
+  void clockApply() override {}
+  bool idle() const { return next_ >= ntasks_ && inflight_.empty(); }
+
+ private:
+  Hbm& hbm_;
+  Fifo<int64_t>& vmem_in_;
+  SimConfig cfg_;
+  int64_t ntasks_;
+  const int64_t* in_bytes_;
+  std::deque<int64_t> inflight_;
+  int64_t next_ = 0;
+};
+
+// Compute unit (VPU or MXU): consumes staged tiles, counts down the
+// task's op latency, stalls when the output FIFO is full (back-pressure
+// — the behaviour the closed-form model could not express).
+class ComputeUnit : public Module {
+ public:
+  ComputeUnit(Fifo<int64_t>& vmem_in, Fifo<int64_t>& vmem_out,
+              const SimConfig& cfg, const int64_t* flops, bool use_mxu)
+      : Module(use_mxu ? "mxu" : "vpu"),
+        in_(vmem_in),
+        out_(vmem_out),
+        cfg_(cfg),
+        flops_(flops),
+        rate_(use_mxu ? cfg.mxu_ops_per_cycle : cfg.vpu_lanes) {}
+
+  void clockUpdate() override {
+    if (busy_) {
+      ++busy_cycles_;
+      if (--cycles_left_ == 0) {
+        if (out_.canWrite()) {
+          out_.write(task_, 0);
+          busy_ = false;
+        } else {
+          ++cycles_left_;  // stalled on output: retry next cycle
+          ++stall_cycles_;
+        }
+      }
+      return;
+    }
+    if (in_.canRead()) {
+      task_ = in_.read(0);
+      cycles_left_ = static_cast<int64_t>(flops_[task_] / rate_) + 1 +
+                     cfg_.grid_overhead;
+      busy_ = true;
+    }
+  }
+  void clockApply() override {}
+  bool idle() const { return !busy_; }
+  int64_t busy_cycles() const { return busy_cycles_; }
+  void printStats(FILE* f) const override {
+    fprintf(f, "  %s: busy=%lld stalled=%lld\n", name().c_str(),
+            static_cast<long long>(busy_cycles_),
+            static_cast<long long>(stall_cycles_));
+  }
+
+ private:
+  Fifo<int64_t>& in_;
+  Fifo<int64_t>& out_;
+  SimConfig cfg_;
+  const int64_t* flops_;
+  double rate_;
+  bool busy_ = false;
+  int64_t task_ = 0, cycles_left_ = 0;
+  int64_t busy_cycles_ = 0, stall_cycles_ = 0;
+};
+
+// Output DMA engine: drains finished tiles back to HBM (replaces
+// PEMerger's block-granular writes, SimOuterSPACE.cpp:554-606).
+class OutDma : public Module {
+ public:
+  OutDma(Hbm& hbm, Fifo<int64_t>& vmem_out, const SimConfig& cfg,
+         int64_t ntasks, const int64_t* out_bytes)
+      : Module("out_dma"),
+        hbm_(hbm),
+        vmem_out_(vmem_out),
+        cfg_(cfg),
+        ntasks_(ntasks),
+        out_bytes_(out_bytes) {}
+
+  void clockUpdate() override {
+    while (!inflight_.empty() && hbm_.done(inflight_.front())) {
+      inflight_.pop_front();
+      ++retired_;
+    }
+    if (vmem_out_.canRead() &&
+        static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
+      int64_t task = vmem_out_.read(0);
+      // ids offset past input ids
+      hbm_.schedule(ntasks_ + task + 1, out_bytes_[task]);
+      inflight_.push_back(ntasks_ + task + 1);
+    }
+  }
+  void clockApply() override {}
+  bool all_retired() const { return retired_ >= ntasks_; }
+
+ private:
+  Hbm& hbm_;
+  Fifo<int64_t>& vmem_out_;
+  SimConfig cfg_;
+  int64_t ntasks_;
+  const int64_t* out_bytes_;
+  std::deque<int64_t> inflight_;
+  int64_t retired_ = 0;
+};
+
 struct KernelTiming {
   int64_t cycles = 0;
   int64_t compute_cycles = 0;
-  int64_t dma_in_cycles = 0;
-  int64_t dma_out_cycles = 0;
   double compute_util = 0.0;
 };
 
+// Cycle-stepped kernel pipeline: InDma → VMEM FIFO (double-buffer
+// capacity) → ComputeUnit → VMEM FIFO → OutDma, all advanced by the
+// two-phase Module clock each cycle — the framework is the simulation,
+// not ornament.
 KernelTiming simulate_kernel(const SimConfig& cfg, int64_t ntasks,
                              const int64_t* in_bytes,
                              const int64_t* out_bytes,
                              const int64_t* flops, bool use_mxu) {
   Module::clearAll();
   Hbm hbm(cfg);
-  double rate = use_mxu ? cfg.mxu_ops_per_cycle : cfg.vpu_lanes;
+  Fifo<int64_t> vmem_in("vmem_in", 2);    // double-buffered input slots
+  Fifo<int64_t> vmem_out("vmem_out", 2);  // double-buffered output slots
+  InDma in_dma(hbm, vmem_in, cfg, ntasks, in_bytes);
+  ComputeUnit compute(vmem_in, vmem_out, cfg, flops, use_mxu);
+  OutDma out_dma(hbm, vmem_out, cfg, ntasks, out_bytes);
 
-  int64_t compute_free = 0;   // when the compute unit is next available
-  int64_t in_done_prev = 0;   // input DMA completion of current task
-  int64_t busy_compute = 0;
   KernelTiming t;
-  int64_t now = 0;
-  for (int64_t i = 0; i < ntasks; ++i) {
-    // Input DMA for task i issues as soon as the previous compute started
-    // (double buffering): model as issue at max(now, compute_free - 1).
-    int64_t in_done = hbm.schedule(now, in_bytes[i]);
-    int64_t c_dur =
-        static_cast<int64_t>(flops[i] / rate) + 1 + cfg.grid_overhead;
-    int64_t c_start = std::max(in_done, compute_free);
-    int64_t c_end = c_start + c_dur;
-    busy_compute += c_dur;
-    compute_free = c_end;
-    int64_t out_done = hbm.schedule(c_end, out_bytes[i]);
-    now = std::max(now + 1, in_done_prev);  // issue next task's DMA
-    in_done_prev = in_done;
-    t.cycles = std::max(t.cycles, out_done);
+  if (ntasks == 0) return t;
+  const int64_t kMaxCycles = int64_t(1) << 40;
+  int64_t cycle = 0;
+  while (!out_dma.all_retired()) {
+    Module::updateAll();
+    if (++cycle > kMaxCycles)
+      throw std::runtime_error("perfsim: no forward progress");
   }
-  t.compute_cycles = busy_compute;
+  t.cycles = cycle;
+  t.compute_cycles = compute.busy_cycles();
   t.compute_util =
-      t.cycles > 0 ? static_cast<double>(busy_compute) / t.cycles : 0.0;
+      cycle > 0 ? static_cast<double>(t.compute_cycles) / cycle : 0.0;
   return t;
 }
 
