@@ -411,14 +411,18 @@ def bench_nn_inference() -> dict:
 
 def bench_triangles() -> dict:
     """Triangle counting via A² (BASELINE configs[3]); the whole count
-    (A² pipeline + edge-bitmap Hadamard) runs as one chained jit."""
+    runs as one chained jit on the strategy the cost model picks
+    (dense-MXU blocked A·A at this scale; the SpGEMM pipeline +
+    edge-bitmap Hadamard past the dense envelope)."""
     import jax
     import jax.numpy as jnp
 
     from outerspace_tpu.formats import rmat
     from outerspace_tpu.ops.graph import (
         _symmetrize_simple,
+        _tri_dense_jit,
         _tri_sum_jit,
+        _triangle_strategy,
         triangle_count,
         triangle_prepare,
     )
@@ -426,22 +430,41 @@ def bench_triangles() -> dict:
 
     g = rmat(13, edge_factor=8, seed=4)
     sym = _symmetrize_simple(g)
-    prep = triangle_prepare(sym)
-    tplan, bitmap_dev, n, n_words = prep
+    strategy = _triangle_strategy(sym)
     K = 4
 
-    @jax.jit
-    def run_k():
-        tot = jnp.float32(0)
-        for _ in range(K):
-            bump_f = jnp.minimum(tot, 0.0)
-            bump_i = bump_f.astype(jnp.int32)
-            m = spgemm_padded_tiled(_bump_tiled(tplan, bump_i, bump_f))
-            tot = tot + _tri_sum_jit(
-                m.rows, m.cols, m.vals, m.valid, bitmap_dev,
-                n_words=n_words,
-            )
-        return tot
+    if strategy == "dense":
+        n = max(sym.shape)
+        n_pad = -(-n // 256) * 256
+        rows = jnp.asarray(sym.row.astype(np.int32))
+        cols = jnp.asarray(sym.col.astype(np.int32))
+
+        @jax.jit
+        def run_k():
+            tot = jnp.int32(0)
+            for _ in range(K):
+                bump_i = jnp.minimum(tot, 0)  # opaque zero: defeat CSE
+                tot = tot + _tri_dense_jit(
+                    rows, cols, bump_i, n_pad=n_pad, block=2048
+                )
+            return tot
+
+    else:
+        prep = triangle_prepare(sym)
+        tplan, bitmap_dev, n, n_words = prep
+
+        @jax.jit
+        def run_k():
+            tot = jnp.float32(0)
+            for _ in range(K):
+                bump_f = jnp.minimum(tot, 0.0)
+                bump_i = bump_f.astype(jnp.int32)
+                m = spgemm_padded_tiled(_bump_tiled(tplan, bump_i, bump_f))
+                tot = tot + _tri_sum_jit(
+                    m.rows, m.cols, m.vals, m.valid, bitmap_dev,
+                    n_words=n_words,
+                )
+            return tot
 
     total = _sync_scalar(run_k())
     n_tpu = int(round(total / K / 6.0))
@@ -455,6 +478,7 @@ def bench_triangles() -> dict:
     n_cpu = triangle_count(g, backend="scipy")
     rec = dict(
         name="triangles_rmat13",
+        strategy=strategy,
         triangles=n_tpu,
         t_tpu_s=round(t_tpu, 5),
         t_cpu_s=round(t_cpu, 5),

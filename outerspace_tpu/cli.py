@@ -203,7 +203,7 @@ def cmd_graph(args) -> int:
     g = read_mtx(args.matrix)
     if args.kernel == "triangles":
         t0 = time.perf_counter()
-        n = triangle_count(g, backend=args.backend)
+        n = triangle_count(g, backend=args.backend, strategy=args.strategy)
         dt = time.perf_counter() - t0
         print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
     else:
@@ -260,6 +260,13 @@ def main(argv=None) -> int:
     p.add_argument("kernel", choices=["triangles", "mcl"])
     p.add_argument("matrix")
     p.add_argument("--backend", default="tpu", choices=["tpu", "scipy"])
+    p.add_argument(
+        "--strategy",
+        default="auto",
+        choices=["auto", "dense", "sparse"],
+        help="triangles only: dense-MXU vs sparse-pipeline A² "
+        "(auto = cost model)",
+    )
     p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_graph)
 

@@ -15,15 +15,27 @@ from outerspace_tpu.formats.csr import CSR
 from outerspace_tpu.ops.spgemm import spgemm
 
 
-def triangle_count(adj: COO | CSR, backend: str = "tpu") -> int:
+def triangle_count(
+    adj: COO | CSR, backend: str = "tpu", strategy: str = "auto"
+) -> int:
     """Count triangles in an undirected simple graph.
 
     tri = Σᵢⱼ (A² ∘ A) / 6 for a symmetric 0/1 adjacency without
     self-loops (each triangle counted twice per vertex ordering).
+
+    ``strategy`` (TPU backend): "dense" routes through the MXU
+    (blocked bf16 A·A with fused edge masking — exact for 0/1
+    adjacencies, see :func:`triangle_count_dense`), "sparse" through
+    the SpGEMM pipeline + edge-bitmap Hadamard, "auto" picks by a
+    FLOP/stream cost model (:func:`_triangle_strategy`).
     """
     a = adj if isinstance(adj, CSR) else adj.to_csr()
     sym = _symmetrize_simple(a.to_coo())
     n = sym.shape[1]
+    if backend == "tpu" and strategy == "auto":
+        strategy = _triangle_strategy(sym)
+    if backend == "tpu" and strategy == "dense":
+        return triangle_count_dense(sym)
     if backend == "tpu" and sym.shape[0] * n < 2**31:
         prep = triangle_prepare(sym)
         return triangle_count_device(prep)
@@ -56,6 +68,93 @@ def _symmetrize_simple(coo: COO) -> COO:
         np.concatenate([coo.val, coo.val]),
     ).deduplicated()
     return COO(sym.shape, sym.row, sym.col, np.ones(sym.nnz, dtype=np.float32))
+
+
+def _triangle_strategy(sym: COO) -> str:
+    """Pick dense-MXU vs sparse-pipeline triangle counting.
+
+    The dense route does 2·n³ MAC on the MXU (the TPU's 100+ TFLOP/s
+    engine); the sparse route streams P = Σ deg² products through the
+    expand+sort pipeline at ~2 ns/product on the VPU. For the typical
+    power-law graph at n ≤ 2¹⁴ the MXU wins by an order of magnitude
+    despite doing 100×+ more FLOPs — that asymmetry IS the TPU design
+    point. Dense requires: the padded bitmap fits HBM (n ≤ 32768 →
+    ≤ 2 GiB bf16), and the Σ(A²∘A) total provably fits int32 (bounded
+    by Σ_edges min(deg_i, deg_j), checked exactly on host).
+    """
+    n = max(sym.shape[0], sym.shape[1])
+    n_pad = -(-n // 256) * 256
+    if n_pad > 32768:
+        return "sparse"
+    deg = np.bincount(sym.row, minlength=sym.shape[0]).astype(np.int64)
+    # Σ (A²∘A) ≤ Σ_{(i,j)∈E} min(deg_i, deg_j): int32 accumulator bound.
+    if np.minimum(deg[sym.row], deg[sym.col]).sum() >= 2**31:
+        return "sparse"
+    dense_s = 2.0 * float(n_pad) ** 3 / 100e12  # MXU bf16 @ ~50% eff
+    sparse_s = float((deg * deg).sum()) * 2.0e-9  # expand+sort+bitmap sum
+    return "dense" if dense_s < sparse_s else "sparse"
+
+
+def triangle_count_dense(sym: COO, block: int = 2048) -> int:
+    """Σ(A²∘A)/6 via blocked dense bf16 matmuls on the MXU.
+
+    Exactness: adjacency entries are 0/1 (exact in bf16), each MXU dot
+    accumulates ≤ n ≤ 32768 < 2²⁴ unit products in f32 (exact), the
+    masked per-entry counts are integers < 2²⁴ (exact f32→int32 cast),
+    and the grand total is accumulated in int32 (caller guarantees
+    Σ(A²∘A) < 2³¹ via :func:`_triangle_strategy`'s degree bound).
+
+    The adjacency is scattered into the padded dense form *on device*
+    from the edge list (the tunnel link is too slow to ship n² bytes);
+    A² is never materialised — each row block is matmul'd, masked by
+    the same block of A, and reduced in one fused XLA loop body.
+    """
+    import jax.numpy as jnp
+
+    n = max(sym.shape[0], sym.shape[1])
+    n_pad = -(-n // 256) * 256
+    block = min(block, n_pad)
+    while n_pad % block:
+        block //= 2
+    total = _tri_dense_jit(
+        jnp.asarray(sym.row.astype(np.int32)),
+        jnp.asarray(sym.col.astype(np.int32)),
+        jnp.int32(0),
+        n_pad=n_pad,
+        block=block,
+    )
+    return int(np.asarray(total)) // 6
+
+
+def _make_tri_dense():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_pad", "block"))
+    def tri_dense(rows, cols, bump_i, *, n_pad: int, block: int):
+        one = (jnp.int32(1) + bump_i).astype(jnp.bfloat16)
+        dense = (
+            jnp.zeros((n_pad, n_pad), jnp.bfloat16)
+            .at[rows, cols]
+            .set(one, mode="drop")
+        )
+
+        def body(i, tot):
+            blk = jax.lax.dynamic_slice(
+                dense, (i * block, 0), (block, n_pad)
+            )
+            c = jnp.dot(blk, dense, preferred_element_type=jnp.float32)
+            masked = c * blk.astype(jnp.float32)
+            return tot + jnp.sum(masked.astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n_pad // block, body, jnp.int32(0))
+
+    return tri_dense
+
+
+_tri_dense_jit = _make_tri_dense()
 
 
 def triangle_prepare(sym: COO):

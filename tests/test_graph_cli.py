@@ -28,6 +28,39 @@ class TestGraphKernels:
         g = rmat(6, edge_factor=6, seed=9)
         assert triangle_count(g) == _triangle_oracle(g)
 
+    @pytest.mark.parametrize("seed", range(2))
+    def test_triangle_count_dense_mxu(self, seed):
+        from outerspace_tpu.ops.graph import (
+            _symmetrize_simple,
+            triangle_count_dense,
+        )
+
+        g = erdos_renyi(80, 80, 0.06, seed=seed)
+        sym = _symmetrize_simple(g)
+        assert triangle_count_dense(sym) == _triangle_oracle(g)
+
+    def test_triangle_strategies_agree(self):
+        g = rmat(7, edge_factor=6, seed=3)
+        want = _triangle_oracle(g)
+        assert triangle_count(g, strategy="dense") == want
+        assert triangle_count(g, strategy="sparse") == want
+
+    def test_triangle_strategy_selector(self):
+        from outerspace_tpu.ops.graph import (
+            _symmetrize_simple,
+            _triangle_strategy,
+        )
+
+        # Power-law graph at modest n: the MXU route must win.
+        sym = _symmetrize_simple(rmat(10, edge_factor=8, seed=1))
+        assert _triangle_strategy(sym) == "dense"
+        # Past the HBM bitmap envelope: must fall back to sparse.
+        big = COO(
+            (50_000, 50_000),
+            np.array([0, 1]), np.array([1, 2]), np.ones(2, np.float32),
+        )
+        assert _triangle_strategy(_symmetrize_simple(big)) == "sparse"
+
     def test_triangle_no_triangles(self):
         # A path graph has zero triangles.
         n = 16
