@@ -30,11 +30,10 @@ from outerspace_tpu.ops.spgemm import (
     MergedCOO,
     _expand_light_packed,
     merge_biased_keys,
-    plan_to_device,
 )
 from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import (
-    plan_gather_from_csr,
+    plan_gather_ranges,
     row_partition,
 )
 
@@ -69,28 +68,31 @@ class GatherPipelinePlan:
 
 
 def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
-    """Host planning: row partition + per-part gather plans + staging."""
+    """Host planning: row partition + per-part gather plans + staging.
+
+    Rows wider than the kernel's B-window are *chunked* by the range
+    planner (``plan_gather_ranges``), so every element is window-servable
+    and the XLA flat fallback is never used."""
     m, n = a_csc.shape[0], b_csr.shape[1]
     bounds = row_partition(a_csc, b_csr)
+    nbv = b_csr.major_nnz().astype(np.int64)
+    b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
+    ks = np.nonzero(nbv > 0)[0].astype(np.int64)
     parts = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         lo, hi = int(lo), int(hi)
-        plan, fb = plan_gather_from_csr(
-            a_csc, b_csr, row_range=(lo, hi) if len(bounds) > 2 else None,
+        plan = plan_gather_ranges(
+            a_csc, ks, b_ptr[ks], nbv[ks],
+            np.asarray(b_csr.indices), np.asarray(b_csr.data), m, n,
+            row_range=(lo, hi) if len(bounds) > 2 else None,
             row_base=lo,
         )
-        if plan is None and fb is None:
+        if plan is None:
             continue
         dev = {}
-        p_out = p_real = ngroups = 0
-        if plan is not None:
-            dev.update(gather_plan_to_device(plan))
-            p_out, p_real, ngroups = plan.p_out, plan.p_real, plan.ngroups
+        dev.update(gather_plan_to_device(plan))
+        p_out, p_real, ngroups = plan.p_out, plan.p_real, plan.ngroups
         fb_pad = fb_real = 0
-        if fb is not None:
-            fb_pad = -(-fb.padded_size(min_size=1024) // 1024) * 1024
-            fb_real = fb.expansion_size
-            dev["fb"] = plan_to_device(fb)
         total = p_out + fb_pad
         # bucket values >= 4096 always keep a pow2 divisor >= 1024,
         # which is what the Pallas epilogue's chunking needs

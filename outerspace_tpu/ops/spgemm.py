@@ -507,27 +507,38 @@ def plan_tiled(
     light_plan = None
     light_pad = 0
     gather_ngroups = gather_p_out = gather_p_real = 0
-    if cp.light_k.shape[0] > 0 and cp.light_p > 0:
-        m, n = a_csc.shape[0], b_csr.shape[1]
-        if m * n <= 2**32:
-            # Route the residue through the windowed-gather kernel (exact
-            # P); only window-incompatible elements stay on the XLA path.
-            from outerspace_tpu.ops.pallas.gexpand import (
-                gather_plan_to_device,
-            )
-            from outerspace_tpu.sched.gplanner import plan_gather_from_csr
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    if m * n <= 2**32 and (
+        cp.light_k.shape[0] > 0 or cp.edge_k.shape[0] > 0
+    ):
+        # Route the whole residue through the windowed-gather kernel
+        # (exact P): light k's as whole rows (chunked past the window
+        # bound) plus the partial edge blocks of trimmed k's. Nothing
+        # is left for the XLA flat path.
+        from outerspace_tpu.ops.pallas.gexpand import gather_plan_to_device
+        from outerspace_tpu.sched.gplanner import plan_gather_ranges
 
-            gplan, fb_plan = plan_gather_from_csr(
-                a_csc, b_csr, k_subset=cp.light_k
-            )
-            if gplan is not None:
-                dev["gather"] = gather_plan_to_device(gplan)
-                gather_ngroups = gplan.ngroups
-                gather_p_out = gplan.p_out
-                gather_p_real = gplan.p_real
-            light_plan = fb_plan
-        else:
-            light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
+        b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
+        nbv = b_csr.major_nnz().astype(np.int64)
+        lk = cp.light_k.astype(np.int64)
+        lk = lk[nbv[lk] > 0]
+        gplan = plan_gather_ranges(
+            a_csc,
+            np.concatenate([lk, cp.edge_k]),
+            np.concatenate([b_ptr[lk], cp.edge_jb]),
+            np.concatenate([nbv[lk], cp.edge_len]),
+            np.asarray(b_csr.indices),
+            np.asarray(b_csr.data),
+            m,
+            n,
+        )
+        if gplan is not None:
+            dev["gather"] = gather_plan_to_device(gplan)
+            gather_ngroups = gplan.ngroups
+            gather_p_out = gplan.p_out
+            gather_p_real = gplan.p_real
+    elif cp.light_k.shape[0] > 0 and cp.light_p > 0:
+        light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
         if light_plan is not None:
             # 1024-multiple: class streams already are, so the whole
             # merged stream keeps the pow2 chunk divisor the Pallas
@@ -589,21 +600,21 @@ def spgemm_padded_tiled(
         )
 
     def _class_slabs(sched, dev, fn, **kw):
-        """Fixed-shape slab calls over the padded task table (executable
-        shared across operands; see OuterProductSchedule.slab_tasks)."""
-        slab = min(sched.slab_tasks, sched.ntasks_padded)
+        """Fixed-shape slab calls over the padded task table, plus one
+        bucketed tail call (executables shared across operands; see
+        OuterProductSchedule.slab_layout)."""
         outs = []
-        for s0 in range(0, sched.ntasks_padded, slab):
+        for s0, size in sched.slab_layout:
             outs.append(
                 fn(
                     jax.lax.slice(
-                        dev["tasks"], (s0 * 4,), ((s0 + slab) * 4,)
+                        dev["tasks"], (s0 * 4,), ((s0 + size) * 4,)
                     ),
-                    dev["a_rows_t"][s0 : s0 + slab],
-                    dev["a_vals_t"][s0 : s0 + slab],
+                    dev["a_rows_t"][s0 : s0 + size],
+                    dev["a_vals_t"][s0 : s0 + size],
                     dev["b_cols_blk"],
                     dev["b_vals_blk"],
-                    ntasks=slab,
+                    ntasks=size,
                     tile_a=sched.tile_a,
                     interpret=interpret,
                     **kw,

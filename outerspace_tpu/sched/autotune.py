@@ -46,18 +46,47 @@ def _class_totals(
     nb: np.ndarray,
     waste_limit: float,
     rescue_limit: float = 6.0,
+    gather_edges: bool = True,
+    b_mis: np.ndarray | int = 0,
 ) -> tuple[int, int, int]:
     """(padded tile stream, gather-served products, flat-served products)
-    under the same assignment rules as ``plan_outer_classes``."""
+    under the same assignment rules as ``plan_outer_classes``.
+
+    ``gather_edges`` mirrors the planner's trim pass (m·n ≤ 2³²):
+    residue rows split into an aligned tile interior + exact gather
+    edges, and nothing reaches the flat path. ``b_mis`` is each B row's
+    flat-start misalignment mod 128 (0 approximates aligned rows)."""
     prod = na * nb
     nonzero = prod > 0
     assigned = np.zeros(na.shape[0], dtype=bool)
     padded_total = 0
     for ta in TILE_A_CLASSES:
-        padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+        padded = (-(-na // ta)) * ta * (-(-(nb + b_mis) // TILE_B)) * TILE_B
         ok = nonzero & ~assigned & (padded <= waste_limit * prod)
         padded_total += int(padded[ok].sum())
         assigned |= ok
+    gather_p = 0
+    if gather_edges:
+        # Trim pass: aligned interior → tiles, edges + leftovers → gather.
+        rest = nonzero & ~assigned
+        interior = np.maximum(
+            (nb + b_mis) // TILE_B * TILE_B - ((b_mis + TILE_B - 1) // TILE_B) * TILE_B,
+            0,
+        )
+        edges = np.where(interior > 0, nb - interior, nb)
+        tile_part = None
+        for ta in TILE_A_CLASSES:
+            part = (-(-na // ta)) * ta * interior
+            tile_part = part if tile_part is None else np.minimum(tile_part, part)
+        cost_trim = tile_part * (TILE_NS + SORT_NS) + na * edges * (
+            GATHER_NS + SORT_NS
+        )
+        cost_gather = prod * (GATHER_NS + SORT_NS)
+        do_trim = rest & (interior > 0) & (cost_trim < cost_gather)
+        padded_total += int(tile_part[do_trim].sum())
+        gather_p += int((na * edges)[do_trim].sum())
+        gather_p += int(prod[rest & ~do_trim].sum())
+        return padded_total, gather_p, 0
     # rescue pass for window-incompatible k
     need = nonzero & ~assigned & (nb > GATHER_MAX_NB)
     if need.any():
@@ -76,9 +105,14 @@ def _class_totals(
 
 
 def modeled_cost_ns(
-    na: np.ndarray, nb: np.ndarray, waste_limit: float
+    na: np.ndarray,
+    nb: np.ndarray,
+    waste_limit: float,
+    gather_edges: bool = True,
 ) -> float:
-    padded, gather_p, flat_p = _class_totals(na, nb, waste_limit)
+    padded, gather_p, flat_p = _class_totals(
+        na, nb, waste_limit, gather_edges=gather_edges
+    )
     stream = padded + gather_p + flat_p
     return (
         padded * TILE_NS
@@ -102,15 +136,20 @@ def autotune(
     total = int(prod.sum())
     if total == 0:
         return "flat", waste_grid[0]
-    costs = {wl: modeled_cost_ns(na, nb, wl) for wl in waste_grid}
+    gather_edges = a_csc.shape[0] * b_csr.shape[1] <= 2**32
+    b_mis = np.asarray(b_csr.indptr)[:-1].astype(np.int64) % TILE_B
+    costs = {
+        wl: modeled_cost_ns(na, nb, wl, gather_edges=gather_edges)
+        for wl in waste_grid
+    }
     wl_best = min(costs, key=costs.get)
     cost_tiles = costs[wl_best]
-    padded_best = _class_totals(na, nb, wl_best)[0]
-    gatherable = prod[(prod > 0) & (nb <= GATHER_MAX_NB)].sum()
-    cost_gather = (
-        gatherable * (GATHER_NS + SORT_NS)
-        + (total - gatherable) * (FLAT_NS + SORT_NS)
-    )
+    padded_best = _class_totals(
+        na, nb, wl_best, gather_edges=gather_edges, b_mis=b_mis
+    )[0]
+    # chunked ranges make every row gather-servable (any m·n via the
+    # row-split pipeline), so the pure-gather strategy has no flat part
+    cost_gather = total * (GATHER_NS + SORT_NS)
     cost_flat = total * (FLAT_NS + SORT_NS)
     # a hybrid with zero tile work degenerates to the gather pipeline —
     # prefer the real thing (it also row-splits past the 2^32 key space)

@@ -215,6 +215,87 @@ def plan_gather(
     return plan, fallback
 
 
+def plan_gather_ranges(
+    a_csc,
+    ranges_k: np.ndarray,  # int64[nr] outer index of each range
+    ranges_jb: np.ndarray,  # int64[nr] flat-B start of each range
+    ranges_len: np.ndarray,  # int64[nr] range length (>0)
+    b_cols: np.ndarray,
+    b_vals: np.ndarray,
+    m: int,
+    n: int,
+    chunk: int = (B_WIN - 1) * _BLK,
+    row_range: tuple[int, int] | None = None,
+    row_base: int = 0,
+) -> GatherPlan | None:
+    """Gather-plan arbitrary per-k flat-B ranges.
+
+    Each range (k, jb, len) is chunked to ≤``chunk`` (the kernel's
+    B-window bound) and crossed with every A-element of column k, so the
+    gather path serves *any* residue exactly — whole light rows, wide
+    rows (chunked), and the partial edge blocks of trimmed rows — with
+    no fallback. All construction is vectorised; ranges are re-sorted by
+    ``jb`` to satisfy the planner's monotone-window requirement.
+
+    ``row_range``/``row_base``: restrict to A-elements whose output row
+    lies in [lo, hi) and rebase rows by ``row_base`` (the row-split
+    pipeline's packed-key contract, as in :func:`plan_gather_from_csr`).
+    """
+    nr = ranges_k.shape[0]
+    if nr == 0:
+        return None
+    order = np.argsort(ranges_jb, kind="stable")
+    rk = ranges_k[order].astype(np.int64)
+    rjb = ranges_jb[order].astype(np.int64)
+    rlen = ranges_len[order].astype(np.int64)
+    na = a_csc.major_nnz().astype(np.int64)
+    a_ptr = np.asarray(a_csc.indptr).astype(np.int64)
+
+    # ranges → chunks
+    nchunks = -(-rlen // chunk)
+    coff = np.zeros(nr + 1, dtype=np.int64)
+    np.cumsum(nchunks, out=coff[1:])
+    nc = int(coff[-1])
+    c_owner = np.repeat(np.arange(nr, dtype=np.int64), nchunks)
+    c_i = np.arange(nc, dtype=np.int64) - coff[c_owner]
+    c_jb = rjb[c_owner] + c_i * chunk
+    c_len = np.minimum(chunk, rlen[c_owner] - c_i * chunk)
+    c_k = rk[c_owner]
+
+    # chunks × A-elements of k
+    c_na = na[c_k]
+    eoff = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(c_na, out=eoff[1:])
+    ne = int(eoff[-1])
+    e_owner = np.repeat(np.arange(nc, dtype=np.int64), c_na)
+    within = np.arange(ne, dtype=np.int64) - eoff[e_owner]
+    a_idx = a_ptr[c_k[e_owner]] + within
+    a_rows = np.asarray(a_csc.indices)[a_idx].astype(np.int32)
+    e_jb = c_jb[e_owner]
+    e_len = c_len[e_owner]
+    if row_range is not None:
+        lo, hi = row_range
+        keep = (a_rows >= lo) & (a_rows < hi)
+        a_idx, a_rows = a_idx[keep], a_rows[keep]
+        e_jb, e_len = e_jb[keep], e_len[keep]
+        if a_rows.shape[0] == 0:
+            return None
+    if row_base:
+        a_rows = a_rows - np.int32(row_base)
+    plan, fb = plan_gather(
+        a_rows,
+        np.asarray(a_csc.data)[a_idx].astype(np.float32),
+        e_jb,
+        e_len,
+        b_cols,
+        b_vals,
+        m,
+        n,
+    )
+    assert not fb.any(), "chunked ranges must be window-servable"
+    return plan
+
+
 def plan_gather_from_csr(
     a_csc, b_csr, k_subset=None, row_range=None, row_base: int = 0
 ):

@@ -70,18 +70,49 @@ class OuterProductSchedule:
         return max(8, -(-s // 8) * 8)
 
     @property
-    def ntasks_padded(self) -> int:
-        """Task count padded to a whole number of slabs (empty tasks emit
-        pure sentinel padding); small schedules fall back to one bucketed
-        call so tiny operands don't pay a whole slab."""
+    def slab_layout(self) -> list[tuple[int, int]]:
+        """Kernel calls as (task_start, call_size): whole slabs plus
+        *coarse tail* calls drawn from the fixed set {slab, slab/2,
+        slab/4}. Replaces round-up-to-whole-slabs (which padded an
+        average of half a slab of pure sentinel stream per class) while
+        keeping the executable count bounded: at most 3 Mosaic kernel
+        shapes per class exist suite-wide, instead of one fresh tail
+        shape per operand (each Mosaic compile costs 10-60 s — a
+        per-workload tail shape would eat the whole bench deadline).
+        Schedules smaller than slab/4 keep the single bucketed call."""
         if self.ntasks == 0:
-            return 0
-        if self.ntasks < self.slab_tasks:
+            return []
+        slab = self.slab_tasks
+        granule = max(8, slab // 4)
+        if self.ntasks < granule:
             from outerspace_tpu.ops.symbolic import round_up_bucket
 
-            n = round_up_bucket(self.ntasks, min_size=8)
-            return -(-n // 8) * 8
-        return -(-self.ntasks // self.slab_tasks) * self.slab_tasks
+            size = -(-round_up_bucket(self.ntasks, min_size=8) // 8) * 8
+            return [(0, size)]
+        nfull = self.ntasks // slab
+        layout = [(i * slab, slab) for i in range(nfull)]
+        pos = nfull * slab
+        rem_g = -(-(self.ntasks - pos) // granule)  # 0..4 granules
+        if rem_g >= 4:  # remainder rounds up to a whole slab
+            layout.append((pos, slab))
+            return layout
+        if rem_g >= 2:
+            layout.append((pos, 2 * granule))
+            pos += 2 * granule
+            rem_g -= 2
+        if rem_g:
+            layout.append((pos, granule))
+        return layout
+
+    @property
+    def ntasks_padded(self) -> int:
+        """Total staged task count (whole slabs + bucketed tail; empty
+        padding tasks emit pure sentinel output)."""
+        layout = self.slab_layout
+        if not layout:
+            return 0
+        s0, size = layout[-1]
+        return s0 + size
 
     @property
     def padded_heavy(self) -> int:
@@ -91,11 +122,25 @@ class OuterProductSchedule:
 @dataclasses.dataclass
 class ClassPlan:
     """Multi-class schedule: one OuterProductSchedule per tile class plus
-    the light-k residue handled by the gather path."""
+    the light-k residue handled by the gather path.
+
+    ``edge_k/edge_jb/edge_len`` (set when ``gather_edges``): flat-B
+    ranges of *trimmed* k's — partial first/last 128-blocks of B rows
+    whose aligned interior went to a tile class. The gather path serves
+    them exactly, so trimmed rows carry zero lane padding."""
 
     classes: list[OuterProductSchedule]
     light_k: np.ndarray
     light_p: int
+    edge_k: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    edge_jb: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
+    edge_len: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64)
+    )
 
     @property
     def heavy_p(self) -> int:
@@ -107,10 +152,17 @@ class ClassPlan:
 
 
 def _schedule_for_ks(
-    a_csc: CSC, b_csr: CSR, ks: np.ndarray, tile_a: int
+    a_csc: CSC,
+    b_csr: CSR,
+    ks: np.ndarray,
+    tile_a: int,
+    b_start: np.ndarray | None = None,
+    b_end: np.ndarray | None = None,
 ) -> OuterProductSchedule:
     """Emit the task table for outer indices ``ks`` at tile height
-    ``tile_a`` (vectorised)."""
+    ``tile_a`` (vectorised). ``b_start``/``b_end`` (int64[len(ks)])
+    restrict each k to a sub-range of its flat B row (used by the
+    trim pass: 128-aligned interiors, so tasks carry no lane waste)."""
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
     a_ptr = np.asarray(a_csc.indptr)
@@ -124,10 +176,11 @@ def _schedule_for_ks(
             ks.astype(np.int32), 0,
         )
     hk = ks.astype(np.int64)
-    na_h, nb_h = na[hk], nb[hk]
+    na_h = na[hk]
     nat_h = (-(-na_h // tile_a)).astype(np.int64)
-    b_s = b_ptr[hk]
-    b_e = b_s + nb_h
+    b_s = b_ptr[hk] if b_start is None else b_start.astype(np.int64)
+    b_e = b_s + nb[hk] if b_end is None else b_end.astype(np.int64)
+    nb_h = b_e - b_s
     b_blk0 = b_s // TILE_B
     nbt_h = (-(-(b_e - b_blk0 * TILE_B) // TILE_B)).astype(np.int64)
 
@@ -178,18 +231,30 @@ def plan_outer_classes(
     tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
     rescue_limit: float = 6.0,
     gather_max_nb: int = 256,
+    gather_edges: bool | None = None,
 ) -> ClassPlan:
     """Assign every outer index to the tile class minimising its padded
     work (subject to ``waste_limit``); leftovers become the light residue.
 
-    Second pass: k's the windowed-gather kernel cannot serve (B row wider
-    than its window, ``gather_max_nb``) are *rescued* into their least-bad
-    tile class up to ``rescue_limit`` — tile padding flows through the
-    ~900 M elem/s sort, while the XLA flat fallback expands at ~10 cycles
-    per element, so even heavily padded tiles beat it.
+    Second pass, ``gather_edges`` (default when m·n ≤ 2³², i.e. the
+    gather kernel's packed-key space): residue k's are *trimmed* — the
+    128-aligned interior of the B row goes to the cheapest tile class
+    with zero lane waste, the partial first/last blocks go to the
+    windowed-gather path exactly — whenever the per-element cost model
+    says the trim beats expanding the whole row through gather. The
+    remaining light k's all go to gather (wide rows are chunked by the
+    range planner), so no k ever reaches the ~10 ns/elem XLA flat path.
+
+    Without ``gather_edges`` (m·n > 2³²): the older *rescue* pass —
+    wide-B-row residue picks its minimum-padding whole-row class up to
+    ``rescue_limit`` — since the flat path is the only alternative.
     """
+    from outerspace_tpu.sched.autotune import GATHER_NS, SORT_NS, TILE_NS
+
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
+    if gather_edges is None:
+        gather_edges = a_csc.shape[0] * b_csr.shape[1] <= 2**32
     prod = na * nb
     nonzero = prod > 0
     # Tall classes first: per-grid-step overhead dominates the stream
@@ -202,25 +267,86 @@ def plan_outer_classes(
         )
         ok = nonzero & (padded <= waste_limit * prod) & (best_class < 0)
         best_class[ok] = ci
-    # Rescue pass: wide-B-row residue picks its minimum-padding class.
-    need_rescue = nonzero & (best_class < 0) & (nb > gather_max_nb)
-    if need_rescue.any():
-        best_pad = np.full(na.shape[0], np.iinfo(np.int64).max)
-        best_ci = np.zeros(na.shape[0], dtype=np.int64)
+    trim_class = np.full(na.shape[0], -1, dtype=np.int64)
+    b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
+    b_s = b_ptr[:-1]
+    b_e = b_s + nb
+    if gather_edges:
+        # Trim pass: aligned interior → tiles, partial edges → gather.
+        blk_lo = -(-b_s // TILE_B)
+        blk_hi = b_e // TILE_B
+        interior = np.maximum(blk_hi - blk_lo, 0) * TILE_B
+        edges = np.where(interior > 0, nb - interior, nb)
+        tile_part = None
+        tile_ci = np.zeros(na.shape[0], dtype=np.int64)
         for ci, ta in enumerate(tile_a_classes):
-            padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
-            better = padded < best_pad
-            best_pad = np.where(better, padded, best_pad)
-            best_ci = np.where(better, ci, best_ci)
-        ok = need_rescue & (best_pad <= rescue_limit * prod)
-        best_class[ok] = best_ci[ok]
+            part = (-(-na // ta)) * ta * interior
+            if tile_part is None:
+                tile_part = part
+            else:
+                better = part < tile_part
+                tile_part = np.where(better, part, tile_part)
+                tile_ci = np.where(better, ci, tile_ci)
+        cost_trim = tile_part * (TILE_NS + SORT_NS) + na * edges * (
+            GATHER_NS + SORT_NS
+        )
+        cost_gather = prod * (GATHER_NS + SORT_NS)
+        do_trim = (
+            nonzero & (best_class < 0) & (interior > 0)
+            & (cost_trim < cost_gather)
+        )
+        trim_class[do_trim] = tile_ci[do_trim]
+    else:
+        # Rescue pass: wide-B-row residue picks its min-padding class.
+        need_rescue = nonzero & (best_class < 0) & (nb > gather_max_nb)
+        if need_rescue.any():
+            best_pad = np.full(na.shape[0], np.iinfo(np.int64).max)
+            best_ci = np.zeros(na.shape[0], dtype=np.int64)
+            for ci, ta in enumerate(tile_a_classes):
+                padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+                better = padded < best_pad
+                best_pad = np.where(better, padded, best_pad)
+                best_ci = np.where(better, ci, best_ci)
+            ok = need_rescue & (best_pad <= rescue_limit * prod)
+            best_class[ok] = best_ci[ok]
     classes = []
     for ci, ta in enumerate(tile_a_classes):
-        ks = np.nonzero(best_class == ci)[0]
-        classes.append(_schedule_for_ks(a_csc, b_csr, ks, ta))
-    light_k = np.nonzero(nonzero & (best_class < 0))[0].astype(np.int32)
+        ks_full = np.nonzero(best_class == ci)[0]
+        ks_trim = np.nonzero(trim_class == ci)[0]
+        if ks_trim.shape[0]:
+            ks = np.concatenate([ks_full, ks_trim])
+            bs = np.concatenate(
+                [b_s[ks_full], (-(-b_s[ks_trim] // TILE_B)) * TILE_B]
+            )
+            be = np.concatenate(
+                [b_e[ks_full], (b_e[ks_trim] // TILE_B) * TILE_B]
+            )
+            classes.append(
+                _schedule_for_ks(a_csc, b_csr, ks, ta, b_start=bs, b_end=be)
+            )
+        else:
+            classes.append(_schedule_for_ks(a_csc, b_csr, ks_full, ta))
+    light_k = np.nonzero(
+        nonzero & (best_class < 0) & (trim_class < 0)
+    )[0].astype(np.int32)
     light_p = int(prod[light_k].sum()) if light_k.shape[0] else 0
-    return ClassPlan(classes, light_k, light_p)
+    # Edge ranges of the trimmed k's (head before the aligned interior,
+    # tail after it), each ≤ TILE_B-1 elements — exactly gather-servable.
+    tk = np.nonzero(trim_class >= 0)[0]
+    if tk.shape[0]:
+        head_len = (-(-b_s[tk] // TILE_B)) * TILE_B - b_s[tk]
+        tail_jb = (b_e[tk] // TILE_B) * TILE_B
+        tail_len = b_e[tk] - tail_jb
+        ek = np.concatenate([tk, tk])
+        ejb = np.concatenate([b_s[tk], tail_jb])
+        elen = np.concatenate([head_len, tail_len])
+        keep = elen > 0
+        ek, ejb, elen = ek[keep], ejb[keep], elen[keep]
+    else:
+        ek = np.zeros(0, np.int64)
+        ejb = np.zeros(0, np.int64)
+        elen = np.zeros(0, np.int64)
+    return ClassPlan(classes, light_k, light_p, ek, ejb, elen)
 
 
 def plan_outer_tiles(
