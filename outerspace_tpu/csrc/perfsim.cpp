@@ -111,8 +111,15 @@ class Fifo : public Module {
 // TPU machine model
 // ---------------------------------------------------------------------
 
+// Default values are CALIBRATED against kernels measured on the target
+// device (round-3: Pallas stream rate ~44-47 GB/s on the tunneled v5e
+// slice — far below the 819 GB/s chip spec, which the analytical
+// roofline keeps as the speed-of-light bound). Runtime-overridable via
+// osp_sim_set_config (the reference hard-coded its OuterSPACEConfig at
+// compile time, SimOuterSPACE.cpp:17-27).
 struct SimConfig {
-  double hbm_bytes_per_cycle = 871.0;   // 819 GB/s @ 0.94 GHz
+  double hbm_bytes_per_cycle = 50.0;    // measured Pallas stream rate
+                                        // (spec: 871 = 819 GB/s @ 0.94 GHz)
   int hbm_channels = 16;                // interleaved (parity: 16 ch)
   int hbm_latency = 100;                // cycles to first beat
   int dma_max_outstanding = 8;          // concurrent DMAs per engine
@@ -120,6 +127,8 @@ struct SimConfig {
   double mxu_ops_per_cycle = 16384.0;   // 128x128 MACs/cycle (bf16)
   int grid_overhead = 10;               // cycles per grid step dispatch
 };
+
+static SimConfig g_cfg;
 
 // HBM: per-channel striped beat queues, drained one bandwidth quantum per
 // channel per cycle after the first-beat latency (parity with the
@@ -373,11 +382,25 @@ extern "C" {
 int64_t osp_sim_kernel(int64_t ntasks, const int64_t* in_bytes,
                        const int64_t* out_bytes, const int64_t* flops,
                        int use_mxu, double* util) {
-  SimConfig cfg;
-  KernelTiming t = simulate_kernel(cfg, ntasks, in_bytes, out_bytes,
+  KernelTiming t = simulate_kernel(g_cfg, ntasks, in_bytes, out_bytes,
                                    flops, use_mxu != 0);
   if (util) *util = t.compute_util;
   return t.cycles;
+}
+
+// Runtime machine-config override: vals = [hbm_bytes_per_cycle,
+// hbm_channels, hbm_latency, dma_max_outstanding, vpu_lanes,
+// mxu_ops_per_cycle, grid_overhead]; any value < 0 keeps the current
+// setting. Used by perf/perfsim.py to switch between the calibrated
+// tunnel-slice machine (default) and chip-spec values.
+void osp_sim_set_config(const double* vals) {
+  if (vals[0] >= 0) g_cfg.hbm_bytes_per_cycle = vals[0];
+  if (vals[1] >= 0) g_cfg.hbm_channels = static_cast<int>(vals[1]);
+  if (vals[2] >= 0) g_cfg.hbm_latency = static_cast<int>(vals[2]);
+  if (vals[3] >= 0) g_cfg.dma_max_outstanding = static_cast<int>(vals[3]);
+  if (vals[4] >= 0) g_cfg.vpu_lanes = vals[4];
+  if (vals[5] >= 0) g_cfg.mxu_ops_per_cycle = vals[5];
+  if (vals[6] >= 0) g_cfg.grid_overhead = static_cast<int>(vals[6]);
 }
 
 // Uniform-task convenience wrapper.

@@ -2,9 +2,12 @@
 
 See ``csrc/perfsim.cpp`` — the native re-design of the reference's
 cycle-accurate simulator (``SimCycle.h`` + ``SimOuterSPACE.cpp:240-857``).
-Consumed by the CLI's dual-model report and cross-checked against the
+Consumed by (a) the CLI's dual-model report, cross-checked against the
 analytical roofline the same way the reference always printed both models
-(``SimOuterSPACE.cpp:859-875``).
+(``SimOuterSPACE.cpp:859-875``), and (b) the scheduler: the per-class
+relative tile costs it predicts drive ``sched.autotune.tile_ns``
+(anchored to the measured (8, 128)-class constant), which the planner's
+trim pass and the waste-limit grid search consult.
 """
 
 from __future__ import annotations
@@ -70,8 +73,44 @@ def load(build: bool = True):
     ]
     lib.osp_sim_fifo_selftest.restype = ctypes.c_int
     lib.osp_sim_fifo_selftest.argtypes = []
+    if hasattr(lib, "osp_sim_set_config"):
+        lib.osp_sim_set_config.restype = None
+        lib.osp_sim_set_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
     _LIB = lib
     return lib
+
+
+# Chip-spec machine values (v5e): the analytical roofline's
+# speed-of-light numbers. The library's built-in default is instead the
+# CALIBRATED tunnel-slice machine (see csrc/perfsim.cpp SimConfig —
+# measured Pallas stream rate ~47 GB/s, round-3 kernel measurements).
+SPEC_CONFIG = dict(hbm_bytes_per_cycle=871.0)
+_CFG_KEYS = (
+    "hbm_bytes_per_cycle",
+    "hbm_channels",
+    "hbm_latency",
+    "dma_max_outstanding",
+    "vpu_lanes",
+    "mxu_ops_per_cycle",
+    "grid_overhead",
+)
+
+
+def set_config(**kw) -> None:
+    """Override event-model machine constants at runtime (unset keys keep
+    their current values). E.g. ``set_config(**SPEC_CONFIG)`` switches
+    from the calibrated tunnel-slice machine to chip-spec bandwidth."""
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_set_config"):
+        raise RuntimeError("native perfsim not built (make -C csrc)")
+    vals = (ctypes.c_double * len(_CFG_KEYS))(*[-1.0] * len(_CFG_KEYS))
+    for i, k in enumerate(_CFG_KEYS):
+        if k in kw:
+            vals[i] = float(kw[k])
+    unknown = set(kw) - set(_CFG_KEYS)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    lib.osp_sim_set_config(vals)
 
 
 def available() -> bool:
@@ -109,15 +148,20 @@ def simulate_kernel(
 
 def simulate_expand_schedule(sched, clock_hz: float = 0.94e9) -> dict:
     """Predict the dense-tile expand kernel's runtime from its task table
-    (the scheduler's cost model for tile-size decisions)."""
+    (the scheduler's cost model for tile-size decisions).
+
+    Byte model (calibrated round 3): each task reads its A slice plus
+    ~1/8 of an (8, 128) B group (the B-major task order re-uses the
+    fetched group across the ~8 tasks sharing it) and writes the packed
+    (key, value) streams at 8 B per element."""
     from outerspace_tpu.sched.planner import TILE_B
 
     n = sched.ntasks
     if n == 0:
         return dict(cycles=0, seconds=0.0, util=0.0)
     tile_a = getattr(sched, "tile_a", 8)
-    in_bytes = np.full(n, (tile_a * 8) + (8 * TILE_B * 8), dtype=np.int64)
-    out_bytes = np.full(n, tile_a * TILE_B * 12, dtype=np.int64)
+    in_bytes = np.full(n, (tile_a * 8) + TILE_B * 8, dtype=np.int64)
+    out_bytes = np.full(n, tile_a * TILE_B * 8, dtype=np.int64)
     flops = np.full(n, tile_a * TILE_B, dtype=np.int64)
     cycles, util = simulate_kernel(in_bytes, out_bytes, flops)
     return dict(cycles=cycles, seconds=cycles / clock_hz, util=util)

@@ -31,14 +31,55 @@ import numpy as np
 from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.sched.planner import TILE_A_CLASSES, TILE_B
 
-# ns per element, calibrated on the round-2 v5e bench (see BENCH_r02 and
-# ROADMAP.md); relative magnitudes are what matters for the argmin.
-SORT_NS = 1.4
-TILE_NS = 0.35
-GATHER_NS = 0.6
+# ns per element, calibrated on v5e hardware (round-3 long-chain
+# measurements — ≥100 ms of chained device work per sync so the ~30 ms
+# tunnel RPC floor cannot pollute the rates; the round-2 values were
+# floor-inflated). Relative magnitudes are what matters for the argmin.
+SORT_NS = 1.3   # ~890 M pairs/s single-key unstable sort
+TILE_NS = 0.19  # dense-tile expand, flat across (8/32/128, 128) classes
+GATHER_NS = 0.45
 FLAT_NS = 9.0
 GATHER_MAX_NB = 256
 WASTE_GRID = (1.05, 1.1, 1.15, 1.25, 1.5, 2.0)
+
+_TILE_NS_CACHE: dict[int, float] = {}
+
+
+def tile_ns(tile_a: int) -> float:
+    """Per-element cost of the dense-tile expand at height ``tile_a``.
+
+    The *relative* cost across tile classes comes from the C++
+    discrete-event model (``perf.perfsim.simulate_expand_schedule``:
+    DMA queues + double-buffered VMEM FIFOs per grid step — taller
+    tiles amortise per-step overhead over more elements), anchored to
+    the *measured* ``TILE_NS`` of the (8, 128) class so absolute
+    magnitudes stay calibrated against real kernels. Falls back to the
+    flat constant when the native library isn't built."""
+    got = _TILE_NS_CACHE.get(tile_a)
+    if got is not None:
+        return got
+    try:
+        from outerspace_tpu.perf.perfsim import (
+            available,
+            simulate_expand_schedule,
+        )
+
+        if not available():
+            raise RuntimeError("native perfsim unavailable")
+
+        def _sim_ns(ta: int) -> float:
+            class _S:
+                ntasks = 512
+                tile_a = ta
+
+            sec = simulate_expand_schedule(_S)["seconds"]
+            return sec * 1e9 / (512 * ta * TILE_B)
+
+        ns = TILE_NS * _sim_ns(tile_a) / _sim_ns(TILE_A_CLASSES[-1])
+    except Exception:
+        ns = TILE_NS
+    _TILE_NS_CACHE[tile_a] = ns
+    return ns
 
 
 def _class_totals(
@@ -55,15 +96,19 @@ def _class_totals(
     ``gather_edges`` mirrors the planner's trim pass (m·n ≤ 2³²):
     residue rows split into an aligned tile interior + exact gather
     edges, and nothing reaches the flat path. ``b_mis`` is each B row's
-    flat-start misalignment mod 128 (0 approximates aligned rows)."""
+    flat-start misalignment mod 128 (0 approximates aligned rows).
+
+    Returns (per-class padded element counts, gather products, flat
+    products); per-class counts let the caller apply the event-model's
+    per-class :func:`tile_ns`."""
     prod = na * nb
     nonzero = prod > 0
     assigned = np.zeros(na.shape[0], dtype=bool)
-    padded_total = 0
-    for ta in TILE_A_CLASSES:
+    padded_cls = [0] * len(TILE_A_CLASSES)
+    for ci, ta in enumerate(TILE_A_CLASSES):
         padded = (-(-na // ta)) * ta * (-(-(nb + b_mis) // TILE_B)) * TILE_B
         ok = nonzero & ~assigned & (padded <= waste_limit * prod)
-        padded_total += int(padded[ok].sum())
+        padded_cls[ci] += int(padded[ok].sum())
         assigned |= ok
     gather_p = 0
     if gather_edges:
@@ -74,34 +119,48 @@ def _class_totals(
             0,
         )
         edges = np.where(interior > 0, nb - interior, nb)
-        tile_part = None
-        for ta in TILE_A_CLASSES:
+        tile_part = tile_cost = None
+        tile_ci = np.zeros(na.shape[0], dtype=np.int64)
+        for ci, ta in enumerate(TILE_A_CLASSES):
             part = (-(-na // ta)) * ta * interior
-            tile_part = part if tile_part is None else np.minimum(tile_part, part)
-        cost_trim = tile_part * (TILE_NS + SORT_NS) + na * edges * (
-            GATHER_NS + SORT_NS
-        )
+            cost = part * (tile_ns(ta) + SORT_NS)
+            if tile_part is None:
+                tile_part, tile_cost = part, cost
+            else:
+                better = cost < tile_cost
+                tile_part = np.where(better, part, tile_part)
+                tile_cost = np.where(better, cost, tile_cost)
+                tile_ci = np.where(better, ci, tile_ci)
+        cost_trim = tile_cost + na * edges * (GATHER_NS + SORT_NS)
         cost_gather = prod * (GATHER_NS + SORT_NS)
         do_trim = rest & (interior > 0) & (cost_trim < cost_gather)
-        padded_total += int(tile_part[do_trim].sum())
+        for ci in range(len(TILE_A_CLASSES)):
+            padded_cls[ci] += int(tile_part[do_trim & (tile_ci == ci)].sum())
         gather_p += int((na * edges)[do_trim].sum())
         gather_p += int(prod[rest & ~do_trim].sum())
-        return padded_total, gather_p, 0
+        return padded_cls, gather_p, 0
     # rescue pass for window-incompatible k
     need = nonzero & ~assigned & (nb > GATHER_MAX_NB)
     if need.any():
         best = None
-        for ta in TILE_A_CLASSES:
+        best_ci = np.zeros(na.shape[0], dtype=np.int64)
+        for ci, ta in enumerate(TILE_A_CLASSES):
             padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
-            best = padded if best is None else np.minimum(best, padded)
+            if best is None:
+                best = padded
+            else:
+                better = padded < best
+                best = np.where(better, padded, best)
+                best_ci = np.where(better, ci, best_ci)
         ok = need & (best <= rescue_limit * prod)
-        padded_total += int(best[ok].sum())
+        for ci in range(len(TILE_A_CLASSES)):
+            padded_cls[ci] += int(best[ok & (best_ci == ci)].sum())
         assigned |= ok
     rest = nonzero & ~assigned
     gatherable = rest & (nb <= GATHER_MAX_NB)
     gather_p = int(prod[gatherable].sum())
     flat_p = int(prod[rest & ~gatherable].sum())
-    return padded_total, gather_p, flat_p
+    return padded_cls, gather_p, flat_p
 
 
 def modeled_cost_ns(
@@ -110,12 +169,15 @@ def modeled_cost_ns(
     waste_limit: float,
     gather_edges: bool = True,
 ) -> float:
-    padded, gather_p, flat_p = _class_totals(
+    padded_cls, gather_p, flat_p = _class_totals(
         na, nb, waste_limit, gather_edges=gather_edges
     )
-    stream = padded + gather_p + flat_p
+    stream = sum(padded_cls) + gather_p + flat_p
     return (
-        padded * TILE_NS
+        sum(
+            p * tile_ns(ta)
+            for p, ta in zip(padded_cls, TILE_A_CLASSES)
+        )
         + gather_p * GATHER_NS
         + flat_p * FLAT_NS
         + stream * SORT_NS
@@ -144,9 +206,11 @@ def autotune(
     }
     wl_best = min(costs, key=costs.get)
     cost_tiles = costs[wl_best]
-    padded_best = _class_totals(
-        na, nb, wl_best, gather_edges=gather_edges, b_mis=b_mis
-    )[0]
+    padded_best = sum(
+        _class_totals(
+            na, nb, wl_best, gather_edges=gather_edges, b_mis=b_mis
+        )[0]
+    )
     # chunked ranges make every row gather-servable (any m·n via the
     # row-split pipeline), so the pure-gather strategy has no flat part
     cost_gather = total * (GATHER_NS + SORT_NS)

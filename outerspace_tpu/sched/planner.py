@@ -249,7 +249,7 @@ def plan_outer_classes(
     wide-B-row residue picks its minimum-padding whole-row class up to
     ``rescue_limit`` — since the flat path is the only alternative.
     """
-    from outerspace_tpu.sched.autotune import GATHER_NS, SORT_NS, TILE_NS
+    from outerspace_tpu.sched.autotune import GATHER_NS, SORT_NS, tile_ns
 
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
@@ -277,19 +277,21 @@ def plan_outer_classes(
         blk_hi = b_e // TILE_B
         interior = np.maximum(blk_hi - blk_lo, 0) * TILE_B
         edges = np.where(interior > 0, nb - interior, nb)
-        tile_part = None
+        # Class choice by the event-model-calibrated per-class cost
+        # (``autotune.tile_ns``): taller tiles amortise per-grid-step
+        # overhead, so fewer stream elements is not always cheaper.
+        tile_cost = None
         tile_ci = np.zeros(na.shape[0], dtype=np.int64)
         for ci, ta in enumerate(tile_a_classes):
             part = (-(-na // ta)) * ta * interior
-            if tile_part is None:
-                tile_part = part
+            cost = part * (tile_ns(ta) + SORT_NS)
+            if tile_cost is None:
+                tile_cost = cost
             else:
-                better = part < tile_part
-                tile_part = np.where(better, part, tile_part)
+                better = cost < tile_cost
+                tile_cost = np.where(better, cost, tile_cost)
                 tile_ci = np.where(better, ci, tile_ci)
-        cost_trim = tile_part * (TILE_NS + SORT_NS) + na * edges * (
-            GATHER_NS + SORT_NS
-        )
+        cost_trim = tile_cost + na * edges * (GATHER_NS + SORT_NS)
         cost_gather = prod * (GATHER_NS + SORT_NS)
         do_trim = (
             nonzero & (best_class < 0) & (interior > 0)
