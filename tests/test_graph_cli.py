@@ -173,6 +173,25 @@ class TestCLI:
         assert out2.returncode == 0, out2.stderr
         assert "nnz=" in out2.stdout
 
+    @pytest.mark.parametrize(
+        "name", ["rmat10_ef8", "band2048_p5", "mesh2d_48"]
+    )
+    def test_committed_fixtures_a2(self, name):
+        """The committed SuiteSparse-style fixtures (power-law, banded,
+        2-D mesh) flow through the file→CSC/CSR→A² path exactly."""
+        import os
+
+        from outerspace_tpu.formats import read_mtx
+        from outerspace_tpu.ops.reference import spgemm_scipy, assert_csr_allclose
+        from outerspace_tpu.ops.spgemm import spgemm
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "mtx", f"{name}.mtx",
+        )
+        g = read_mtx(path)
+        assert_csr_allclose(spgemm(g, g), spgemm_scipy(g, g), rtol=1e-5)
+
     def test_graph_cli(self, tmp_path):
         g = erdos_renyi(40, 40, 0.1, seed=6)
         p = str(tmp_path / "g.mtx")
