@@ -334,10 +334,127 @@ class OutDma : public Module {
   int64_t retired_ = 0;
 };
 
+// Timed VMEM block cache with blocking-miss semantics (parity with the
+// reference's timed Cache, SimOuterSPACE.cpp:278-359: hit → data this
+// cycle, miss → the requester blocks while the line streams from HBM).
+// On a TPU the "lines" are the (8, 128) B-groups the expand kernel's
+// BlockSpec fetches; residency in VMEM is the analogue of the
+// reference's L0 banks. LRU replacement over a fixed slot count.
+class BlockCache : public Module {
+ public:
+  BlockCache(Hbm& hbm, const SimConfig& cfg, int slots, int64_t line_bytes)
+      : Module("vmem_cache"),
+        hbm_(hbm),
+        cfg_(cfg),
+        slots_(slots),
+        line_bytes_(line_bytes) {}
+
+  // Request a block; returns true when the block is resident this
+  // cycle (hit). On a miss the fetch is scheduled once and subsequent
+  // calls keep returning false until the line lands (blocking miss).
+  bool request(int64_t block_id) {
+    auto it = lru_.find(block_id);
+    if (it != lru_.end()) {
+      ++hits_;
+      stamp_[block_id] = ++tick_;
+      return true;
+    }
+    if (pending_.count(block_id)) {
+      if (hbm_.done(kCacheIdBase + block_id)) {
+        pending_.erase(block_id);
+        insert(block_id);
+        return true;
+      }
+      ++stall_cycles_;
+      return false;
+    }
+    ++misses_;
+    hbm_.schedule(kCacheIdBase + block_id, line_bytes_);
+    pending_[block_id] = 1;
+    return false;
+  }
+
+  void clockUpdate() override {}
+  void clockApply() override {}
+  void printStats(FILE* f) const override {
+    fprintf(f, "  vmem_cache: hits=%lld misses=%lld stalls=%lld\n",
+            static_cast<long long>(hits_), static_cast<long long>(misses_),
+            static_cast<long long>(stall_cycles_));
+  }
+  int64_t hits() const { return hits_; }
+  int64_t misses() const { return misses_; }
+  int64_t stalls() const { return stall_cycles_; }
+
+ private:
+  void insert(int64_t block_id) {
+    if (static_cast<int>(lru_.size()) >= slots_) {
+      // evict least-recently-used
+      int64_t victim = -1, best = INT64_MAX;
+      for (const auto& kv : lru_) {
+        int64_t s = stamp_[kv.first];
+        if (s < best) {
+          best = s;
+          victim = kv.first;
+        }
+      }
+      lru_.erase(victim);
+      stamp_.erase(victim);
+    }
+    lru_[block_id] = true;
+    stamp_[block_id] = ++tick_;
+  }
+
+  static constexpr int64_t kCacheIdBase = int64_t(1) << 40;
+  Hbm& hbm_;
+  SimConfig cfg_;
+  int slots_;
+  int64_t line_bytes_;
+  std::unordered_map<int64_t, bool> lru_;
+  std::unordered_map<int64_t, int64_t> stamp_;
+  std::unordered_map<int64_t, char> pending_;
+  int64_t tick_ = 0;
+  int64_t hits_ = 0, misses_ = 0, stall_cycles_ = 0;
+};
+
+// Gate between the A-side DMA and the compute unit: a task may only
+// proceed once its B-group is resident in the block cache — a miss
+// blocks the task at the gate (and everything behind it, in order),
+// which is exactly the blocking-miss serialization the reference's
+// timed Cache imposed on its PEs.
+class TaskGate : public Module {
+ public:
+  TaskGate(Fifo<int64_t>& in, Fifo<int64_t>& out, BlockCache& cache,
+           const int64_t* b_blocks)
+      : Module("task_gate"),
+        in_(in),
+        out_(out),
+        cache_(cache),
+        b_blocks_(b_blocks) {}
+
+  void clockUpdate() override {
+    if (in_.canRead() && out_.canWrite()) {
+      int64_t task = in_.peek();
+      if (cache_.request(b_blocks_[task])) {
+        (void)in_.read(0);
+        out_.write(task, 0);
+      }
+    }
+  }
+  void clockApply() override {}
+
+ private:
+  Fifo<int64_t>& in_;
+  Fifo<int64_t>& out_;
+  BlockCache& cache_;
+  const int64_t* b_blocks_;
+};
+
 struct KernelTiming {
   int64_t cycles = 0;
   int64_t compute_cycles = 0;
   double compute_util = 0.0;
+  int64_t cache_hits = 0;
+  int64_t cache_misses = 0;
 };
 
 // Cycle-stepped kernel pipeline: InDma → VMEM FIFO (double-buffer
@@ -369,6 +486,45 @@ KernelTiming simulate_kernel(const SimConfig& cfg, int64_t ntasks,
   t.compute_cycles = compute.busy_cycles();
   t.compute_util =
       cycle > 0 ? static_cast<double>(t.compute_cycles) / cycle : 0.0;
+  return t;
+}
+
+// Cached-kernel pipeline: InDma (A-side tiles) → VMEM FIFO → TaskGate
+// (B-group residency through the timed blocking-miss BlockCache) →
+// ComputeUnit → VMEM FIFO → OutDma.
+KernelTiming simulate_kernel_cached(const SimConfig& cfg, int64_t ntasks,
+                                    const int64_t* in_bytes,
+                                    const int64_t* out_bytes,
+                                    const int64_t* flops,
+                                    const int64_t* b_blocks,
+                                    int cache_slots, int64_t line_bytes,
+                                    bool use_mxu) {
+  Module::clearAll();
+  Hbm hbm(cfg);
+  Fifo<int64_t> vmem_in("vmem_in", 2);
+  Fifo<int64_t> staged("staged", 2);
+  Fifo<int64_t> vmem_out("vmem_out", 2);
+  BlockCache cache(hbm, cfg, cache_slots, line_bytes);
+  InDma in_dma(hbm, vmem_in, cfg, ntasks, in_bytes);
+  TaskGate gate(vmem_in, staged, cache, b_blocks);
+  ComputeUnit compute(staged, vmem_out, cfg, flops, use_mxu);
+  OutDma out_dma(hbm, vmem_out, cfg, ntasks, out_bytes);
+
+  KernelTiming t;
+  if (ntasks == 0) return t;
+  const int64_t kMaxCycles = int64_t(1) << 40;
+  int64_t cycle = 0;
+  while (!out_dma.all_retired()) {
+    Module::updateAll();
+    if (++cycle > kMaxCycles)
+      throw std::runtime_error("perfsim: no forward progress");
+  }
+  t.cycles = cycle;
+  t.compute_cycles = compute.busy_cycles();
+  t.compute_util =
+      cycle > 0 ? static_cast<double>(t.compute_cycles) / cycle : 0.0;
+  t.cache_hits = cache.hits();
+  t.cache_misses = cache.misses();
   return t;
 }
 
@@ -411,6 +567,27 @@ int64_t osp_sim_kernel_uniform(int64_t ntasks, int64_t in_bytes,
       fl(ntasks, flops);
   return osp_sim_kernel(ntasks, ib.data(), ob.data(), fl.data(), use_mxu,
                         util);
+}
+
+// Cached-kernel entry: per-task A-side bytes + B-group block ids routed
+// through a timed blocking-miss LRU cache of `cache_slots` lines of
+// `line_bytes` each. stats (if non-null) receives
+// [compute_util, hits, misses]. Returns total cycles.
+int64_t osp_sim_kernel_cached(int64_t ntasks, const int64_t* in_bytes,
+                              const int64_t* out_bytes,
+                              const int64_t* flops,
+                              const int64_t* b_blocks, int cache_slots,
+                              int64_t line_bytes, int use_mxu,
+                              double* stats) {
+  KernelTiming t =
+      simulate_kernel_cached(g_cfg, ntasks, in_bytes, out_bytes, flops,
+                             b_blocks, cache_slots, line_bytes, use_mxu != 0);
+  if (stats) {
+    stats[0] = t.compute_util;
+    stats[1] = static_cast<double>(t.cache_hits);
+    stats[2] = static_cast<double>(t.cache_misses);
+  }
+  return t.cycles;
 }
 
 // Structural-hazard self-test of the FIFO framework (used by unit tests

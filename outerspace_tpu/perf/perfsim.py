@@ -73,6 +73,19 @@ def load(build: bool = True):
     ]
     lib.osp_sim_fifo_selftest.restype = ctypes.c_int
     lib.osp_sim_fifo_selftest.argtypes = []
+    if hasattr(lib, "osp_sim_kernel_cached"):
+        lib.osp_sim_kernel_cached.restype = ctypes.c_int64
+        lib.osp_sim_kernel_cached.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
     if hasattr(lib, "osp_sim_set_config"):
         lib.osp_sim_set_config.restype = None
         lib.osp_sim_set_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
@@ -165,6 +178,76 @@ def simulate_expand_schedule(sched, clock_hz: float = 0.94e9) -> dict:
     flops = np.full(n, tile_a * TILE_B, dtype=np.int64)
     cycles, util = simulate_kernel(in_bytes, out_bytes, flops)
     return dict(cycles=cycles, seconds=cycles / clock_hz, util=util)
+
+
+def simulate_kernel_cached(
+    in_bytes: np.ndarray,
+    out_bytes: np.ndarray,
+    flops: np.ndarray,
+    b_blocks: np.ndarray,
+    cache_slots: int = 16,
+    line_bytes: int = 8 * 128 * 8,
+    use_mxu: bool = False,
+) -> dict:
+    """Simulate a kernel whose per-task B-group goes through a timed
+    blocking-miss LRU VMEM cache (the reference's timed ``Cache``,
+    ``SimOuterSPACE.cpp:278-359``, re-homed: lines are (8, 128) B-groups
+    resident in VMEM). ``in_bytes`` is the A-side traffic only — the
+    B-side is charged by the cache on each miss.
+
+    Returns dict(cycles, util, hits, misses).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_kernel_cached"):
+        raise RuntimeError("native perfsim not built (make -C csrc)")
+    ib = np.ascontiguousarray(in_bytes, dtype=np.int64)
+    ob = np.ascontiguousarray(out_bytes, dtype=np.int64)
+    fl = np.ascontiguousarray(flops, dtype=np.int64)
+    bb = np.ascontiguousarray(b_blocks, dtype=np.int64)
+    stats = (ctypes.c_double * 3)(0.0, 0.0, 0.0)
+    cycles = lib.osp_sim_kernel_cached(
+        ib.shape[0],
+        ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(cache_slots),
+        int(line_bytes),
+        1 if use_mxu else 0,
+        stats,
+    )
+    return dict(
+        cycles=int(cycles),
+        util=float(stats[0]),
+        hits=int(stats[1]),
+        misses=int(stats[2]),
+    )
+
+
+def simulate_expand_cached(
+    sched, cache_slots: int = 16, clock_hz: float = 0.94e9
+) -> dict:
+    """Cached-pipeline prediction over a REAL task table: the per-task
+    ``b_block`` stream from the scheduler (B-major order) drives the
+    block cache, so the prediction reflects the actual VMEM residency
+    the Pallas pipeline gets from that ordering — the event-model
+    counterpart of the offline Belady/LRU residency study
+    (``sched/policies.py``)."""
+    from outerspace_tpu.sched.planner import TILE_B
+
+    n = sched.ntasks
+    if n == 0:
+        return dict(cycles=0, seconds=0.0, util=0.0, hits=0, misses=0)
+    tile_a = getattr(sched, "tile_a", 8)
+    in_bytes = np.full(n, tile_a * 8, dtype=np.int64)
+    out_bytes = np.full(n, tile_a * TILE_B * 8, dtype=np.int64)
+    flops = np.full(n, tile_a * TILE_B, dtype=np.int64)
+    b_blocks = np.asarray(sched.b_block, dtype=np.int64) // 8
+    out = simulate_kernel_cached(
+        in_bytes, out_bytes, flops, b_blocks, cache_slots=cache_slots
+    )
+    out["seconds"] = out["cycles"] / clock_hz
+    return out
 
 
 def fifo_selftest() -> int:

@@ -126,6 +126,57 @@ class TestNativePerfsim:
 
 
 @pytest.mark.skipif(not HAVE_NATIVE, reason="libouterspace.so not built")
+class TestBlockCache:
+    """Timed blocking-miss VMEM cache (reference's timed Cache,
+    SimOuterSPACE.cpp:278-359) in the event pipeline."""
+
+    def _run(self, blocks, slots=16):
+        n = blocks.shape[0]
+        return native.simulate_kernel_cached(
+            np.full(n, 64), np.full(n, 8192), np.full(n, 1024),
+            blocks, cache_slots=slots,
+        )
+
+    def test_hit_miss_accounting(self):
+        n = 256
+        same = self._run(np.zeros(n, dtype=np.int64))
+        assert same["hits"] == n - 1 and same["misses"] == 1
+        dist = self._run(np.arange(n, dtype=np.int64))
+        assert dist["hits"] == 0 and dist["misses"] == n
+
+    def test_blocking_miss_costs_cycles(self):
+        n = 256
+        same = self._run(np.zeros(n, dtype=np.int64))
+        dist = self._run(np.arange(n, dtype=np.int64))
+        assert dist["cycles"] > same["cycles"]
+
+    def test_lru_thrash_vs_fit(self):
+        # cyclic reuse over more blocks than slots thrashes LRU;
+        # the same trace with enough slots hits after the first lap
+        n, period = 256, 32
+        trace = np.arange(n, dtype=np.int64) % period
+        thrash = self._run(trace, slots=8)
+        fits = self._run(trace, slots=64)
+        assert thrash["misses"] == n  # LRU worst case: all miss
+        assert fits["misses"] == period
+        assert fits["cycles"] < thrash["cycles"]
+
+    def test_real_schedule_b_major_reuse(self):
+        from outerspace_tpu.formats import rmat
+        from outerspace_tpu.sched.planner import plan_outer_classes
+
+        g = rmat(10, edge_factor=8, seed=1)
+        cp = plan_outer_classes(g.to_csc(), g.to_csr())
+        for c in cp.classes:
+            if c.ntasks == 0:
+                continue
+            pred = native.simulate_expand_cached(c)
+            assert pred["hits"] + pred["misses"] == c.ntasks
+            # B-major task order makes consecutive tasks share groups
+            assert pred["hits"] >= c.ntasks // 2
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="libouterspace.so not built")
 class TestSchedulerCalibration:
     def test_tile_ns_consults_event_model(self):
         # The planner's per-class costs come from the event model,
