@@ -525,6 +525,66 @@ def bench_triangles() -> dict:
     return rec
 
 
+def bench_mcl() -> dict:
+    """Markov clustering (BASELINE configs[3] part 2): the staged device
+    chain — tiled first squaring + fused fori_loop iterations — as ONE
+    jitted program per run vs the scipy host loop. The static loop
+    sizes are pinned for this workload (the sizing pass costs ~150 s of
+    XLA compiles; the device ``ok`` flag still guards them — a violation
+    falls back to the exact stepwise chain)."""
+    import numpy as np
+
+    from outerspace_tpu.formats import rmat
+    from outerspace_tpu.formats.coo import COO
+    from outerspace_tpu.ops.graph import (
+        _col_normalize,
+        markov_cluster,
+        mcl_clusters,
+        mcl_prepare,
+        mcl_run,
+    )
+
+    g = rmat(14, edge_factor=8, seed=7)
+    n = g.shape[0]
+    m = COO(
+        g.shape,
+        np.concatenate([g.row, np.arange(n, dtype=g.row.dtype)]),
+        np.concatenate([g.col, np.arange(n, dtype=g.col.dtype)]),
+        np.concatenate([np.abs(g.val), np.ones(n, dtype=np.float32)]),
+    ).deduplicated()
+    t0 = time.perf_counter()
+    prep = mcl_prepare(_col_normalize(m.to_csr()), iters=4)
+    # measured sizes for this workload (guarded by the device ok flag)
+    prep["p_pad"], prep["nnz_pad"] = 917504, 40960
+    t_plan = time.perf_counter() - t0
+    out = mcl_run(prep)  # compile + warm (one-jit path)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = mcl_run(prep)
+        ts.append(time.perf_counter() - t0)
+    t_tpu = _per_op(ts, 1)
+    t_cpu = _time_host(
+        lambda: markov_cluster(g, iters=4, backend="scipy"), reps=2
+    )
+    f_cpu = markov_cluster(g, iters=4, backend="scipy")
+    f_tpu = out.to_csr()
+    rec = dict(
+        name="mcl_rmat14_4iter",
+        t_tpu_s=round(t_tpu, 5),
+        rpc_floor_s=round(_rpc_floor(), 4),
+        t_cpu_s=round(t_cpu, 5),
+        t_plan_s=round(t_plan, 3),
+        speedup=round(t_cpu / t_tpu, 3),
+        nnz_match=bool(f_tpu.nnz == f_cpu.nnz),
+        clusters_match=bool(
+            len(mcl_clusters(f_tpu)) == len(mcl_clusters(f_cpu))
+        ),
+    )
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+    return rec
+
+
 def main() -> None:
     results = bench_spgemm_suite()
     try:
@@ -532,6 +592,8 @@ def main() -> None:
             bench_nn_inference()
         if _time_left() > 60:
             bench_triangles()
+        if _time_left() > 70:
+            bench_mcl()
     except Exception as e:  # auxiliary benches must not kill the headline
         print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
     good = [r for r in results if "error" not in r]

@@ -195,3 +195,246 @@ def markov_cluster_device(
             sq.shape, sq.rows, sq.cols, v2, valid2, nnz2
         )
     return flow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p_pad", "m", "n", "iters", "inflation", "threshold"),
+)
+def _mcl_fused_jit(
+    rows, cols, vals, valid,
+    *, p_pad: int, m: int, n: int, iters: int, inflation: float,
+    threshold: float,
+):
+    """The whole MCL loop as ONE ``lax.fori_loop`` program: every
+    iteration re-uses fixed ``p_pad``-sized buffers, so there are ZERO
+    host syncs between iterations (vs two per squaring in the stepwise
+    chain — each sync pays the ~30 ms tunnel RPC floor). A device-side
+    ``ok`` flag records whether any iteration's true expansion exceeded
+    the static budget; the host checks it once at the end and falls back
+    to the stepwise chain (exactness is never silently lost)."""
+    def body(_, state):
+        return _mcl_iteration(
+            state, p_pad=p_pad, m=m, n=n, inflation=inflation,
+            threshold=threshold,
+        )
+
+    state = jax.lax.fori_loop(
+        0, iters, body, (rows, cols, vals, valid, jnp.bool_(True))
+    )
+    return state
+
+
+def _mcl_iteration(state, *, p_pad, m, n, inflation, threshold):
+    """One MCL iteration (square + inflate) on fixed p_pad buffers.
+
+    Scatter-free: both compaction and CSC reordering are sorts (the
+    merge output is already row-major among valid slots, so a stable
+    sort on a validity-masked position key front-compacts it), and the
+    row pointers come from a searchsorted over the compacted sorted
+    rows — XLA scatters cost ~10 ns/elem on this stream size while a
+    2-operand sort pass costs ~1.4 ns/elem."""
+    rows, cols, vals, valid, ok = state
+    idx = jnp.arange(p_pad, dtype=jnp.int32)
+    # ---- compact to contiguous CSR-ish streams via one stable-order
+    # sort (valid slots keep their row-major order at the front) ----
+    ckey = jnp.where(valid, idx + KEY_BIAS, _I32_MAX)
+    _, cr, cc, cv = jax.lax.sort(
+        (ckey, jnp.where(valid, rows, m), jnp.where(valid, cols, 0),
+         jnp.where(valid, vals, 0.0)),
+        num_keys=1, is_stable=False,
+    )
+    # cr is sorted ascending (row-major merge order, sentinel tail)
+    indptr = jnp.searchsorted(cr, jnp.arange(m + 1, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    # ---- CSC order via one packed sort ----
+    valid_a = cr < m
+    csc_key = jnp.where(
+        valid_a, cc * np.int32(m) + cr + KEY_BIAS, _I32_MAX
+    )
+    _, rows_s, cols_s, vals_s = jax.lax.sort(
+        (csc_key, cr, cc, cv), num_keys=1, is_stable=False
+    )
+    valid_s = rows_s < m
+    a_k = jnp.where(valid_s, cols_s, 0)
+    deg = indptr[a_k + 1] - indptr[a_k]
+    deg = jnp.where(valid_s, deg, 0)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(deg).astype(jnp.int32)]
+    )
+    p_total = offsets[-1]
+    ok = ok & (p_total >= 0) & (p_total <= p_pad)
+    p_clamped = jnp.clip(p_total, 0, p_pad)
+    # ---- expand + merge ----
+    r, c, v = expand_partial_products(
+        jnp.where(valid_s, rows_s, m),
+        jnp.where(valid_s, vals_s, 0.0),
+        a_k, indptr, cc, cv, offsets, p_clamped, p_pad, m,
+    )
+    key = jnp.where(
+        idx < p_clamped, pack_key_biased(r, c, n), _I32_MAX
+    )
+    r2, c2, v2, valid2, _ = merge_biased_keys(
+        key, v, n, m, None, pad_count=jnp.int32(p_pad) - p_clamped
+    )
+    # ---- inflation / prune / column normalise ----
+    v3, valid3, _ = inflate_device(
+        r2, c2, v2, valid2, m=m, inflation=inflation,
+        threshold=threshold,
+    )
+    return (r2, c2, v3, valid3, ok)
+
+
+def mcl_whole_traced(
+    tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
+    inflation: float, threshold: float,
+):
+    """The ENTIRE staged MCL as one traceable program: tiled first
+    squaring (Pallas expand over the host plan) + inflation + compaction
+    into the small static loop buffers + the remaining iterations'
+    fori_loop + final compaction — callers jit-close over the plan, so a
+    run is a single dispatch with one scalar sync. Returns
+    (rows[nnz_pad], cols, vals, nnz, ok); ``ok`` guards every static
+    budget (compaction overflow ⇒ caller falls back to the exact
+    stepwise chain)."""
+    from outerspace_tpu.ops.spgemm import spgemm_padded_tiled
+
+    sq = spgemm_padded_tiled(tplan)
+    v1, valid1, nnz1 = inflate_device(
+        sq.rows, sq.cols, sq.vals, sq.valid,
+        m=m, inflation=inflation, threshold=threshold,
+    )
+    ok = nnz1 <= p_pad
+    # compact the (large) first-squaring stream into the loop buffers:
+    # stable-order sort on a validity-masked position key + slice
+    L = sq.rows.shape[0]
+    ckey = jnp.where(
+        valid1, jnp.arange(L, dtype=jnp.int32) + KEY_BIAS, _I32_MAX
+    )
+    _, cr1, cc1, cv1 = jax.lax.sort(
+        (ckey, jnp.where(valid1, sq.rows, m),
+         jnp.where(valid1, sq.cols, 0), jnp.where(valid1, v1, 0.0)),
+        num_keys=1, is_stable=False,
+    )
+    if L >= p_pad:
+        rows_p, cols_p, vals_p = cr1[:p_pad], cc1[:p_pad], cv1[:p_pad]
+    else:
+        ext = p_pad - L
+        rows_p = jnp.concatenate(
+            [cr1, jnp.full(ext, np.int32(m), jnp.int32)]
+        )
+        cols_p = jnp.concatenate([cc1, jnp.zeros(ext, jnp.int32)])
+        vals_p = jnp.concatenate([cv1, jnp.zeros(ext, jnp.float32)])
+    valid_p = jnp.arange(p_pad, dtype=jnp.int32) < nnz1
+
+    def body(_, state):
+        return _mcl_iteration(
+            state, p_pad=p_pad, m=m, n=n_cols, inflation=inflation,
+            threshold=threshold,
+        )
+
+    r, c, v, valid, ok = jax.lax.fori_loop(
+        0, iters, body, (rows_p, cols_p, vals_p, valid_p, ok)
+    )
+    nnz = jnp.sum(valid.astype(jnp.int32))
+    ok = ok & (nnz <= nnz_pad)
+    ckey = jnp.where(
+        valid, jnp.arange(p_pad, dtype=jnp.int32) + KEY_BIAS, _I32_MAX
+    )
+    _, r2, c2, v2 = jax.lax.sort(
+        (ckey, jnp.where(valid, r, m), jnp.where(valid, c, 0),
+         jnp.where(valid, v, 0.0)),
+        num_keys=1, is_stable=False,
+    )
+    return r2[:nnz_pad], c2[:nnz_pad], v2[:nnz_pad], nnz, ok
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _flow_stats_jit(rows, cols, valid, *, m: int):
+    """[nnz, P of M@M (f32, for bucket sizing — the fused loop's ``ok``
+    flag guards exactness against the approximation)] in one fetch."""
+    deg = jnp.zeros(m, jnp.float32).at[jnp.where(valid, rows, 0)].add(
+        valid.astype(jnp.float32), mode="drop"
+    )
+    p = jnp.sum(jnp.where(valid, deg[jnp.minimum(cols, m - 1)], 0.0))
+    return jnp.stack([jnp.sum(valid.astype(jnp.int32)).astype(jnp.float32), p])
+
+
+def markov_cluster_device_fused(
+    merged0: MergedCOO,
+    inflation: float = 2.0,
+    iters: int = 10,
+    prune_threshold: float = 1e-4,
+    headroom: float = 1.5,
+) -> MergedCOO:
+    """MCL with two host syncs for the whole run (sizing stats before,
+    nnz after). The static product budget is the first-squaring P
+    (computed on device, fetched as one scalar pair) times ``headroom``
+    — inflation pruning shrinks the flow after the first squaring, so
+    later iterations fit the same buffers in practice; the device ``ok``
+    flag triggers an exact stepwise fallback if one ever does not."""
+    m, n = merged0.shape
+    assert m == n and m * n <= 2**32
+    if iters <= 0:
+        return merged0
+    stats = np.asarray(
+        _flow_stats_jit(merged0.rows, merged0.cols, merged0.valid, m=m)
+    )
+    nnz0, p1 = int(stats[0]), int(stats[1])
+    p_budget = int(p1 * headroom) + 4096
+    if p_budget >= 2**31:
+        return markov_cluster_device(
+            merged0, inflation=inflation, iters=iters,
+            prune_threshold=prune_threshold,
+        )
+    # Fit the input stream into the loop buffers: device-compact it
+    # first when its (possibly huge, e.g. a prior tiled squaring's)
+    # padding exceeds the loop budget.
+    n_in = int(merged0.rows.shape[0])
+    nnz_pad0 = round_up_bucket(max(nnz0, 1), min_size=1024)
+    if n_in > max(p_budget, nnz_pad0):
+        n_in = min(nnz_pad0, n_in)
+        r0, c0, v0 = _slice_compact_jit(
+            merged0.rows, merged0.cols, merged0.vals, merged0.valid,
+            p_pad=int(merged0.rows.shape[0]), nnz_pad=n_in,
+        )
+        valid0 = jnp.arange(n_in, dtype=jnp.int32) < nnz0
+        merged0 = MergedCOO(
+            (m, n), r0, c0, v0, valid0, jnp.int32(nnz0)
+        )
+    p_pad = round_up_bucket(max(p_budget, n_in, 4096), min_size=4096)
+    pad = p_pad - n_in
+    rows_p = jnp.concatenate(
+        [merged0.rows, jnp.full(pad, np.int32(m), jnp.int32)]
+    )
+    cols_p = jnp.concatenate([merged0.cols, jnp.zeros(pad, jnp.int32)])
+    vals_p = jnp.concatenate([merged0.vals, jnp.zeros(pad, jnp.float32)])
+    valid_p = jnp.concatenate([merged0.valid, jnp.zeros(pad, jnp.bool_)])
+    r, c, v, valid, ok = _mcl_fused_jit(
+        rows_p, cols_p, vals_p, valid_p,
+        p_pad=p_pad, m=m, n=n, iters=iters, inflation=float(inflation),
+        threshold=float(prune_threshold),
+    )
+    if not bool(np.asarray(ok)):  # budget exceeded: exact stepwise path
+        return markov_cluster_device(
+            merged0, inflation=inflation, iters=iters,
+            prune_threshold=prune_threshold,
+        )
+    # Compact + slice on device before anything is fetched: the final
+    # flow is tiny relative to the loop buffers, and the tunnel link
+    # moves ~MB/s — fetching p_pad-sized arrays would dwarf the compute.
+    nnz = int(np.asarray(jnp.sum(valid.astype(jnp.int32))))
+    nnz_pad = min(round_up_bucket(max(nnz, 1), min_size=1024), p_pad)
+    r2, c2, v2 = _slice_compact_jit(r, c, v, valid, p_pad=p_pad,
+                                    nnz_pad=nnz_pad)
+    valid2 = jnp.arange(nnz_pad, dtype=jnp.int32) < nnz
+    return MergedCOO((m, n), r2, c2, v2, valid2, jnp.int32(nnz))
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "nnz_pad"))
+def _slice_compact_jit(rows, cols, vals, valid, *, p_pad: int, nnz_pad: int):
+    from outerspace_tpu.ops.spgemm import _compact_device
+
+    cr, cc, cv = _compact_device(rows, cols, vals, valid, p_pad=p_pad)
+    return cr[:nnz_pad], cc[:nnz_pad], cv[:nnz_pad]

@@ -241,32 +241,12 @@ def markov_cluster(
     flow = _col_normalize(m.to_csr())
 
     if backend == "tpu" and expansion == 2 and n * n <= 2**32:
-        # Device-resident chain (ops.chain): the flow matrix never
-        # round-trips to host between iterations — only two sizing
-        # scalars per squaring cross the link.
-        import jax.numpy as jnp
-
-        from outerspace_tpu.ops.chain import markov_cluster_device
-        from outerspace_tpu.ops.spgemm import MergedCOO
-
-        c0 = flow.to_coo()
-        pad = -(-max(c0.nnz, 1) // 1024) * 1024
-        rows = np.full(pad, n, np.int32)
-        cols = np.zeros(pad, np.int32)
-        vals = np.zeros(pad, np.float32)
-        rows[: c0.nnz] = c0.row
-        cols[: c0.nnz] = c0.col
-        vals[: c0.nnz] = c0.val
-        merged0 = MergedCOO(
-            (n, n),
-            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
-            jnp.asarray(rows < n), jnp.int32(c0.nnz),
-        )
-        out = markov_cluster_device(
-            merged0, inflation=inflation, iters=iters,
-            prune_threshold=prune_threshold,
-        )
-        return out.to_csr()
+        return mcl_run(
+            mcl_prepare(
+                flow, inflation=inflation, iters=iters,
+                prune_threshold=prune_threshold,
+            )
+        ).to_csr()
 
     def mult(a, b):
         if backend == "tpu":
@@ -291,6 +271,102 @@ def markov_cluster(
             break
         flow = new_flow
     return flow
+
+
+def mcl_prepare(
+    flow: CSR,
+    inflation: float = 2.0,
+    iters: int = 10,
+    prune_threshold: float = 1e-4,
+):
+    """Stage the device MCL: host-plan the first squaring (by far the
+    largest — the flow is host-side at this point anyway) for the tiled
+    Pallas pipeline. Returns an opaque prep consumed by :func:`mcl_run`
+    (amortised across repeated runs, like the A² workloads' plans)."""
+    from outerspace_tpu.ops.spgemm import plan_tiled
+
+    n = flow.shape[0]
+    assert flow.shape[0] == flow.shape[1] and n * n <= 2**32
+    tplan = plan_tiled(flow.to_csc(), flow)
+    return {
+        "tplan": tplan,
+        "n": n,
+        "inflation": float(inflation),
+        "iters": int(iters),
+        "threshold": float(prune_threshold),
+    }
+
+
+def mcl_run(prep):
+    """Run the staged MCL chain as ONE jitted program: tiled first
+    squaring + inflation + the remaining iterations' fused fori_loop +
+    final device compaction — a single dispatch, one scalar sync.
+
+    The first call runs a stepwise sizing pass to learn the static loop
+    buffer sizes (cached in ``prep``); every later call is the one-jit
+    fast path. A device ``ok`` flag guards the static budgets — on
+    overflow the exact stepwise chain re-runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from outerspace_tpu.ops.chain import (
+        _flow_stats_jit,
+        inflate_device,
+        markov_cluster_device_fused,
+        mcl_whole_traced,
+    )
+    from outerspace_tpu.ops.spgemm import MergedCOO, spgemm_padded_tiled
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+
+    tplan = prep["tplan"]
+    n = prep["n"]
+    inflation, iters, threshold = (
+        prep["inflation"], prep["iters"], prep["threshold"],
+    )
+    if "p_pad" not in prep:
+        # sizing pass (also the exact fallback path)
+        sq = spgemm_padded_tiled(tplan)
+        v1, valid1, nnz1 = inflate_device(
+            sq.rows, sq.cols, sq.vals, sq.valid,
+            m=n, inflation=inflation, threshold=threshold,
+        )
+        flow1 = MergedCOO(sq.shape, sq.rows, sq.cols, v1, valid1, nnz1)
+        stats = np.asarray(
+            _flow_stats_jit(flow1.rows, flow1.cols, flow1.valid, m=n)
+        )
+        out = markov_cluster_device_fused(
+            flow1, inflation=inflation, iters=iters - 1,
+            prune_threshold=threshold,
+        )
+        nnz_out = int(np.asarray(out.nnz))
+        prep["p_pad"] = round_up_bucket(
+            max(int(stats[1] * 1.5) + 4096, int(stats[0]), 4096),
+            min_size=4096,
+        )
+        prep["nnz_pad"] = round_up_bucket(
+            max(2 * nnz_out, int(stats[0]), 1), min_size=1024
+        )
+        return out
+
+    if "program" not in prep:
+        p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
+
+        @jax.jit
+        def program():
+            return mcl_whole_traced(
+                tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
+                iters=iters - 1, inflation=inflation, threshold=threshold,
+            )
+
+        prep["program"] = program
+    r, c, v, nnz, ok = prep["program"]()
+    if not bool(np.asarray(ok)):
+        # static budgets violated: exact stepwise re-run, re-learn sizes
+        prep.pop("p_pad", None)
+        prep.pop("program", None)
+        return mcl_run(prep)
+    valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz
+    return MergedCOO((n, n), r, c, v, valid, nnz)
 
 
 def mcl_clusters(flow: CSR) -> list[np.ndarray]:

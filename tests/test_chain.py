@@ -88,3 +88,38 @@ class TestChain:
         np.testing.assert_allclose(
             ds.toarray(), hs.toarray(), rtol=5e-4, atol=1e-5
         )
+
+    def test_mcl_one_jit_program_matches_sizing_pass(self):
+        # The second mcl_run through the same prep takes the cached
+        # one-jit program; it must agree with the stepwise sizing pass
+        # (and with scipy) exactly on structure.
+        from outerspace_tpu.formats.coo import COO
+        from outerspace_tpu.ops.graph import (
+            _col_normalize,
+            markov_cluster,
+            mcl_prepare,
+            mcl_run,
+        )
+
+        g = erdos_renyi(40, 40, 0.1, seed=9)
+        ref = markov_cluster(g, iters=3, backend="scipy")
+        n = g.shape[0]
+        coo = g
+        m = COO(
+            g.shape,
+            np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
+            np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
+            np.concatenate(
+                [np.abs(coo.val), np.ones(n, dtype=np.float32)]
+            ),
+        ).deduplicated()
+        prep = mcl_prepare(_col_normalize(m.to_csr()), iters=3)
+        out1 = mcl_run(prep)  # sizing pass
+        assert "p_pad" in prep
+        out2 = mcl_run(prep)  # cached one-jit program
+        assert "program" in prep
+        f1, f2 = out1.to_csr(), out2.to_csr()
+        assert f1.nnz == f2.nnz == ref.nnz
+        np.testing.assert_allclose(
+            f2.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
+        )
