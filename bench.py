@@ -257,14 +257,10 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
             nnz = jnp.int32(0)
             for p in plan.parts:
                 dev = dict(p.dev)
-                dev["p_real_total"] = jnp.int32(p.p_real + p.fb_real)
+                dev["p_real_total"] = jnp.int32(p.p_real)
                 dev["bases"] = dev["bases"] + bump_i
-                if "fb" in dev:
-                    dev["fb"] = dict(
-                        dev["fb"], a_vals=dev["fb"]["a_vals"] + bump_f
-                    )
                 out = _part_device(
-                    dev, ngroups=p.ngroups, fb_pad=p.fb_pad,
+                    dev, ngroups=p.ngroups,
                     merge_pad=p.merge_pad, n_cols=plan.n,
                     sentinel_row=p.span, max_run=p.max_run,
                 )

@@ -140,6 +140,7 @@ class Hbm : public Module {
       : Module("hbm"),
         cfg_(cfg),
         chan_(cfg.hbm_channels),
+        credit_(cfg.hbm_channels, 0.0),
         per_chan_rate_(cfg.hbm_bytes_per_cycle / cfg.hbm_channels) {}
 
   // Enqueue a transfer; completion is observable via done().
@@ -158,11 +159,20 @@ class Hbm : public Module {
 
   void clockUpdate() override {
     ++now_;
-    for (auto& q : chan_) {
+    for (size_t ci = 0; ci < chan_.size(); ++ci) {
+      auto& q = chan_[ci];
       if (q.empty()) continue;
       Beat& b = q.front();
       if (now_ < b.ready_at) continue;
-      b.remaining -= static_cast<int64_t>(per_chan_rate_) + 1;
+      // Fractional-rate drain: accumulate bandwidth credit per cycle so
+      // the configured bytes/cycle is honored exactly (an int round-up
+      // here inflated the simulated bandwidth by up to +1 B/ch/cycle —
+      // +28% at the calibrated 50 B/cycle over 16 channels).
+      credit_[ci] += per_chan_rate_;
+      int64_t drain = static_cast<int64_t>(credit_[ci]);
+      if (drain <= 0) continue;
+      credit_[ci] -= static_cast<double>(drain);
+      b.remaining -= drain;
       busy_cycles_ += 1;
       if (b.remaining <= 0) {
         if (--remaining_beats_[b.id] == 0) {
@@ -187,6 +197,7 @@ class Hbm : public Module {
   };
   SimConfig cfg_;
   std::vector<std::deque<Beat>> chan_;
+  std::vector<double> credit_;
   double per_chan_rate_;
   std::unordered_map<int64_t, int> remaining_beats_;
   int64_t now_ = 0;

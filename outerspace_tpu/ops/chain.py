@@ -264,7 +264,20 @@ def _mcl_iteration(state, *, p_pad, m, n, inflation, threshold):
         [jnp.zeros(1, jnp.int32), jnp.cumsum(deg).astype(jnp.int32)]
     )
     p_total = offsets[-1]
-    ok = ok & (p_total >= 0) & (p_total <= p_pad)
+    # Overflow-proof budget check: the int32 cumsum wraps for true
+    # P ≥ 2³¹ and could land back inside [0, p_pad]; an independent f32
+    # total (error ≪ 2³¹ at any realistic P) catches the wrap, so the
+    # ``ok`` fallback really is exact — the stepwise path it replaces
+    # computed P on host in int64.
+    p_f = jnp.sum(deg.astype(jnp.float32))
+    ok = (
+        ok
+        & (p_total >= 0)
+        & (p_total <= p_pad)
+        & (p_f <= jnp.float32(p_pad) * 1.001 + 1024.0)
+        & (jnp.abs(p_f - p_total.astype(jnp.float32))
+           <= 0.01 * p_f + 1024.0)
+    )
     p_clamped = jnp.clip(p_total, 0, p_pad)
     # ---- expand + merge ----
     r, c, v = expand_partial_products(
@@ -352,13 +365,24 @@ def mcl_whole_traced(
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _flow_stats_jit(rows, cols, valid, *, m: int):
-    """[nnz, P of M@M (f32, for bucket sizing — the fused loop's ``ok``
-    flag guards exactness against the approximation)] in one fetch."""
+    """[nnz (exact int32, bit-cast into the f32 lane — a float cast
+    would be lossy above 2²⁴ and the validity mask built from it must
+    be exact), P of M@M (f32, for bucket sizing only — the fused loop's
+    ``ok`` flag guards exactness against that approximation)] in one
+    fetch; decode with :func:`_decode_flow_stats`."""
     deg = jnp.zeros(m, jnp.float32).at[jnp.where(valid, rows, 0)].add(
         valid.astype(jnp.float32), mode="drop"
     )
     p = jnp.sum(jnp.where(valid, deg[jnp.minimum(cols, m - 1)], 0.0))
-    return jnp.stack([jnp.sum(valid.astype(jnp.int32)).astype(jnp.float32), p])
+    nnz_bits = jax.lax.bitcast_convert_type(
+        jnp.sum(valid.astype(jnp.int32)), jnp.float32
+    )
+    return jnp.stack([nnz_bits, p])
+
+
+def _decode_flow_stats(stats_dev) -> tuple[int, int]:
+    raw = np.asarray(stats_dev)
+    return int(raw[:1].view(np.int32)[0]), int(raw[1])
 
 
 def markov_cluster_device_fused(
@@ -378,10 +402,9 @@ def markov_cluster_device_fused(
     assert m == n and m * n <= 2**32
     if iters <= 0:
         return merged0
-    stats = np.asarray(
+    nnz0, p1 = _decode_flow_stats(
         _flow_stats_jit(merged0.rows, merged0.cols, merged0.valid, m=m)
     )
-    nnz0, p1 = int(stats[0]), int(stats[1])
     p_budget = int(p1 * headroom) + 4096
     if p_budget >= 2**31:
         return markov_cluster_device(

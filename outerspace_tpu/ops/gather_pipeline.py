@@ -4,10 +4,10 @@ The packed-uint32 merge key covers m·n ≤ 2^32. For larger output spaces
 (e.g. the 100k×100k ER workload, m·n = 10^10), the outer-product stream is
 **partitioned by output-row ranges** chosen so each part's span×n fits the
 key space (``sched.gplanner.row_partition``). Each part expands with the
-windowed-gather kernel (exact P, no tile padding — ``ops.pallas.gexpand``)
-plus the XLA flat path for window-incompatible elements, merges with the
-single-key packed sort, and the parts concatenate into one device-resident
-``MergedCOO`` that is globally row-major by construction.
+windowed-gather kernel (exact P, no tile padding — ``ops.pallas.gexpand``;
+wide rows are chunked by the range planner so nothing needs a fallback),
+merges with the single-key packed sort, and the parts concatenate into one
+device-resident ``MergedCOO`` that is globally row-major by construction.
 
 This is the TPU-native form of the reference's multiply→merge exchange for
 the uniform/low-skew regime: the row ranges play the role output-row
@@ -28,7 +28,6 @@ from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.ops.pallas.gexpand import gather_plan_to_device
 from outerspace_tpu.ops.spgemm import (
     MergedCOO,
-    _expand_light_packed,
     merge_biased_keys,
 )
 from outerspace_tpu.ops.symbolic import round_up_bucket
@@ -45,8 +44,6 @@ class GatherPart:
     ngroups: int
     p_out: int  # gather stream length
     p_real: int
-    fb_pad: int  # fallback stream padded length (0 = no fallback)
-    fb_real: int
     merge_pad: int  # bucketed total merge stream length
     max_run: int
     dev: dict  # device arrays
@@ -60,7 +57,7 @@ class GatherPipelinePlan:
 
     @property
     def flops(self) -> int:
-        return sum(p.p_real + p.fb_real for p in self.parts)
+        return sum(p.p_real for p in self.parts)
 
     @property
     def padded_total(self) -> int:
@@ -92,8 +89,7 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
         dev = {}
         dev.update(gather_plan_to_device(plan))
         p_out, p_real, ngroups = plan.p_out, plan.p_real, plan.ngroups
-        fb_pad = fb_real = 0
-        total = p_out + fb_pad
+        total = p_out
         # bucket values >= 4096 always keep a pow2 divisor >= 1024,
         # which is what the Pallas epilogue's chunking needs
         merge_pad = round_up_bucket(max(total, 4096), min_size=4096)
@@ -107,8 +103,6 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
                 ngroups=ngroups,
                 p_out=p_out,
                 p_real=p_real,
-                fb_pad=fb_pad,
-                fb_real=fb_real,
                 merge_pad=merge_pad,
                 max_run=1 << (max(mr, 1) - 1).bit_length(),
                 dev=dev,
@@ -120,7 +114,7 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ngroups", "fb_pad", "merge_pad", "n_cols", "sentinel_row",
+        "ngroups", "merge_pad", "n_cols", "sentinel_row",
         "max_run", "interpret",
     ),
 )
@@ -128,7 +122,6 @@ def _part_device(
     dev: dict,
     *,
     ngroups: int,
-    fb_pad: int,
     merge_pad: int,
     n_cols: int,
     sentinel_row: int,
@@ -138,20 +131,11 @@ def _part_device(
     # dev may carry "val_bump": a traced f32 scalar added to the value
     # stream (+0.0 in practice). Benchmarks chain iterations through it so
     # XLA cannot common-subexpression-eliminate repeated pipelines.
-    keys_l, vals_l = [], []
-    if ngroups:
-        from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
+    from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
 
-        keys_l, vals_l = expand_gather_slabbed(
-            dev, ngroups, interpret=interpret
-        )
-    if fb_pad:
-        k, v = _expand_light_packed(
-            **dev["fb"], p_pad=fb_pad, sentinel_row=sentinel_row,
-            n_cols=n_cols,
-        )
-        keys_l.append(k)
-        vals_l.append(v)
+    keys_l, vals_l = expand_gather_slabbed(
+        dev, ngroups, interpret=interpret
+    )
     key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
     vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
     if "val_bump" in dev:
@@ -179,11 +163,10 @@ def spgemm_gather_padded(
     rows_l, cols_l, vals_l, valid_l, nnz = [], [], [], [], jnp.int32(0)
     for p in plan.parts:
         dev = dict(p.dev)
-        dev["p_real_total"] = jnp.int32(p.p_real + p.fb_real)
+        dev["p_real_total"] = jnp.int32(p.p_real)
         r, c, v, valid, pn = _part_device(
             dev,
             ngroups=p.ngroups,
-            fb_pad=p.fb_pad,
             merge_pad=p.merge_pad,
             n_cols=plan.n,
             sentinel_row=p.span,  # relative-row sentinel within the part

@@ -35,6 +35,15 @@ def triangle_count(
     if backend == "tpu" and strategy == "auto":
         strategy = _triangle_strategy(sym)
     if backend == "tpu" and strategy == "dense":
+        # A forced dense route must still satisfy the exactness envelope
+        # (int32 accumulator bound + HBM size) — fail loudly, never
+        # silently wrap (the auto route checks these in the selector).
+        if not _dense_triangle_safe(sym):
+            raise ValueError(
+                "dense triangle route unsafe here (n > 32768 or the "
+                "Σ(A²∘A) int32 bound is not provable); use "
+                "strategy='sparse' or 'auto'"
+            )
         return triangle_count_dense(sym)
     if backend == "tpu" and sym.shape[0] * n < 2**31:
         prep = triangle_prepare(sym)
@@ -70,6 +79,16 @@ def _symmetrize_simple(coo: COO) -> COO:
     return COO(sym.shape, sym.row, sym.col, np.ones(sym.nnz, dtype=np.float32))
 
 
+def _dense_triangle_safe(sym: COO) -> bool:
+    """Exactness envelope of the dense-MXU route: padded bitmap fits HBM
+    and Σ(A²∘A) ≤ Σ_edges min(deg_i, deg_j) < 2³¹ (int32 accumulator)."""
+    n = max(sym.shape[0], sym.shape[1])
+    if -(-n // 256) * 256 > 32768:
+        return False
+    deg = np.bincount(sym.row, minlength=sym.shape[0]).astype(np.int64)
+    return np.minimum(deg[sym.row], deg[sym.col]).sum() < 2**31
+
+
 def _triangle_strategy(sym: COO) -> str:
     """Pick dense-MXU vs sparse-pipeline triangle counting.
 
@@ -82,14 +101,11 @@ def _triangle_strategy(sym: COO) -> str:
     ≤ 2 GiB bf16), and the Σ(A²∘A) total provably fits int32 (bounded
     by Σ_edges min(deg_i, deg_j), checked exactly on host).
     """
+    if not _dense_triangle_safe(sym):
+        return "sparse"
     n = max(sym.shape[0], sym.shape[1])
     n_pad = -(-n // 256) * 256
-    if n_pad > 32768:
-        return "sparse"
     deg = np.bincount(sym.row, minlength=sym.shape[0]).astype(np.int64)
-    # Σ (A²∘A) ≤ Σ_{(i,j)∈E} min(deg_i, deg_j): int32 accumulator bound.
-    if np.minimum(deg[sym.row], deg[sym.col]).sum() >= 2**31:
-        return "sparse"
     dense_s = 2.0 * float(n_pad) ** 3 / 100e12  # MXU bf16 @ ~50% eff
     sparse_s = float((deg * deg).sum()) * 2.0e-9  # expand+sort+bitmap sum
     return "dense" if dense_s < sparse_s else "sparse"
@@ -240,6 +256,8 @@ def markov_cluster(
     ).deduplicated()
     flow = _col_normalize(m.to_csr())
 
+    if iters <= 0:
+        return flow
     if backend == "tpu" and expansion == 2 and n * n <= 2**32:
         return mcl_run(
             mcl_prepare(
@@ -287,6 +305,8 @@ def mcl_prepare(
 
     n = flow.shape[0]
     assert flow.shape[0] == flow.shape[1] and n * n <= 2**32
+    if iters < 1:
+        raise ValueError("mcl_prepare stages >= 1 iteration; iters=0 is a no-op")
     tplan = plan_tiled(flow.to_csc(), flow)
     return {
         "tplan": tplan,
@@ -331,7 +351,9 @@ def mcl_run(prep):
             m=n, inflation=inflation, threshold=threshold,
         )
         flow1 = MergedCOO(sq.shape, sq.rows, sq.cols, v1, valid1, nnz1)
-        stats = np.asarray(
+        from outerspace_tpu.ops.chain import _decode_flow_stats
+
+        nnz1_h, p1 = _decode_flow_stats(
             _flow_stats_jit(flow1.rows, flow1.cols, flow1.valid, m=n)
         )
         out = markov_cluster_device_fused(
@@ -340,11 +362,10 @@ def mcl_run(prep):
         )
         nnz_out = int(np.asarray(out.nnz))
         prep["p_pad"] = round_up_bucket(
-            max(int(stats[1] * 1.5) + 4096, int(stats[0]), 4096),
-            min_size=4096,
+            max(int(p1 * 1.5) + 4096, nnz1_h, 4096), min_size=4096
         )
         prep["nnz_pad"] = round_up_bucket(
-            max(2 * nnz_out, int(stats[0]), 1), min_size=1024
+            max(2 * nnz_out, nnz1_h, 1), min_size=1024
         )
         return out
 

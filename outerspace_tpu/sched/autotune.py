@@ -75,7 +75,10 @@ def tile_ns(tile_a: int) -> float:
             sec = simulate_expand_schedule(_S)["seconds"]
             return sec * 1e9 / (512 * ta * TILE_B)
 
-        ns = TILE_NS * _sim_ns(tile_a) / _sim_ns(TILE_A_CLASSES[-1])
+        if tile_a == TILE_A_CLASSES[-1]:
+            ns = TILE_NS  # the anchor class is the measured constant
+        else:
+            ns = TILE_NS * _sim_ns(tile_a) / _sim_ns(TILE_A_CLASSES[-1])
     except Exception:
         ns = TILE_NS
     _TILE_NS_CACHE[tile_a] = ns
@@ -112,28 +115,13 @@ def _class_totals(
         assigned |= ok
     gather_p = 0
     if gather_edges:
-        # Trim pass: aligned interior → tiles, edges + leftovers → gather.
+        # Trim pass — same shared rule as the planner (planner.trim_split)
+        from outerspace_tpu.sched.planner import trim_split
+
         rest = nonzero & ~assigned
-        interior = np.maximum(
-            (nb + b_mis) // TILE_B * TILE_B - ((b_mis + TILE_B - 1) // TILE_B) * TILE_B,
-            0,
+        do_trim, tile_ci, tile_part, edges = trim_split(
+            na, nb, b_mis, rest, TILE_A_CLASSES
         )
-        edges = np.where(interior > 0, nb - interior, nb)
-        tile_part = tile_cost = None
-        tile_ci = np.zeros(na.shape[0], dtype=np.int64)
-        for ci, ta in enumerate(TILE_A_CLASSES):
-            part = (-(-na // ta)) * ta * interior
-            cost = part * (tile_ns(ta) + SORT_NS)
-            if tile_part is None:
-                tile_part, tile_cost = part, cost
-            else:
-                better = cost < tile_cost
-                tile_part = np.where(better, part, tile_part)
-                tile_cost = np.where(better, cost, tile_cost)
-                tile_ci = np.where(better, ci, tile_ci)
-        cost_trim = tile_cost + na * edges * (GATHER_NS + SORT_NS)
-        cost_gather = prod * (GATHER_NS + SORT_NS)
-        do_trim = rest & (interior > 0) & (cost_trim < cost_gather)
         for ci in range(len(TILE_A_CLASSES)):
             padded_cls[ci] += int(tile_part[do_trim & (tile_ci == ci)].sum())
         gather_p += int((na * edges)[do_trim].sum())
@@ -168,9 +156,10 @@ def modeled_cost_ns(
     nb: np.ndarray,
     waste_limit: float,
     gather_edges: bool = True,
+    b_mis: np.ndarray | int = 0,
 ) -> float:
     padded_cls, gather_p, flat_p = _class_totals(
-        na, nb, waste_limit, gather_edges=gather_edges
+        na, nb, waste_limit, gather_edges=gather_edges, b_mis=b_mis
     )
     stream = sum(padded_cls) + gather_p + flat_p
     return (
@@ -199,9 +188,13 @@ def autotune(
     if total == 0:
         return "flat", waste_grid[0]
     gather_edges = a_csc.shape[0] * b_csr.shape[1] <= 2**32
+    # every cost evaluation models the same machine: real per-row
+    # B misalignment everywhere (grid search AND final comparison)
     b_mis = np.asarray(b_csr.indptr)[:-1].astype(np.int64) % TILE_B
     costs = {
-        wl: modeled_cost_ns(na, nb, wl, gather_edges=gather_edges)
+        wl: modeled_cost_ns(
+            na, nb, wl, gather_edges=gather_edges, b_mis=b_mis
+        )
         for wl in waste_grid
     }
     wl_best = min(costs, key=costs.get)

@@ -224,6 +224,48 @@ def _schedule_for_ks(
     )
 
 
+def trim_split(
+    na: np.ndarray,
+    nb: np.ndarray,
+    b_mis: np.ndarray | int,
+    candidates: np.ndarray,
+    tile_a_classes: tuple[int, ...] = TILE_A_CLASSES,
+):
+    """THE trim-pass rule, shared by the planner and the autotuner so
+    their assignments cannot drift: among ``candidates`` (boolean mask
+    over outer indices), split each B row into its 128-aligned interior
+    (cheapest tile class by the event-model-calibrated per-class cost)
+    plus exact gather edges, whenever that beats expanding the whole row
+    through the gather kernel. ``b_mis`` is the flat-B row-start
+    misalignment mod 128.
+
+    Returns (do_trim, tile_ci, tile_part, edges)."""
+    from outerspace_tpu.sched.autotune import GATHER_NS, SORT_NS, tile_ns
+
+    interior = np.maximum(
+        (nb + b_mis) // TILE_B * TILE_B
+        - ((b_mis + TILE_B - 1) // TILE_B) * TILE_B,
+        0,
+    )
+    edges = np.where(interior > 0, nb - interior, nb)
+    tile_part = tile_cost = None
+    tile_ci = np.zeros(na.shape[0], dtype=np.int64)
+    for ci, ta in enumerate(tile_a_classes):
+        part = (-(-na // ta)) * ta * interior
+        cost = part * (tile_ns(ta) + SORT_NS)
+        if tile_part is None:
+            tile_part, tile_cost = part, cost
+        else:
+            better = cost < tile_cost
+            tile_part = np.where(better, part, tile_part)
+            tile_cost = np.where(better, cost, tile_cost)
+            tile_ci = np.where(better, ci, tile_ci)
+    cost_trim = tile_cost + na * edges * (GATHER_NS + SORT_NS)
+    cost_gather = na * nb * (GATHER_NS + SORT_NS)
+    do_trim = candidates & (interior > 0) & (cost_trim < cost_gather)
+    return do_trim, tile_ci, tile_part, edges
+
+
 def plan_outer_classes(
     a_csc: CSC,
     b_csr: CSR,
@@ -249,8 +291,6 @@ def plan_outer_classes(
     wide-B-row residue picks its minimum-padding whole-row class up to
     ``rescue_limit`` — since the flat path is the only alternative.
     """
-    from outerspace_tpu.sched.autotune import GATHER_NS, SORT_NS, tile_ns
-
     na = a_csc.major_nnz().astype(np.int64)
     nb = b_csr.major_nnz().astype(np.int64)
     if gather_edges is None:
@@ -272,30 +312,11 @@ def plan_outer_classes(
     b_s = b_ptr[:-1]
     b_e = b_s + nb
     if gather_edges:
-        # Trim pass: aligned interior → tiles, partial edges → gather.
-        blk_lo = -(-b_s // TILE_B)
-        blk_hi = b_e // TILE_B
-        interior = np.maximum(blk_hi - blk_lo, 0) * TILE_B
-        edges = np.where(interior > 0, nb - interior, nb)
-        # Class choice by the event-model-calibrated per-class cost
-        # (``autotune.tile_ns``): taller tiles amortise per-grid-step
-        # overhead, so fewer stream elements is not always cheaper.
-        tile_cost = None
-        tile_ci = np.zeros(na.shape[0], dtype=np.int64)
-        for ci, ta in enumerate(tile_a_classes):
-            part = (-(-na // ta)) * ta * interior
-            cost = part * (tile_ns(ta) + SORT_NS)
-            if tile_cost is None:
-                tile_cost = cost
-            else:
-                better = cost < tile_cost
-                tile_cost = np.where(better, cost, tile_cost)
-                tile_ci = np.where(better, ci, tile_ci)
-        cost_trim = tile_cost + na * edges * (GATHER_NS + SORT_NS)
-        cost_gather = prod * (GATHER_NS + SORT_NS)
-        do_trim = (
-            nonzero & (best_class < 0) & (interior > 0)
-            & (cost_trim < cost_gather)
+        # Trim pass (shared rule — see trim_split): aligned interior →
+        # the event-model-cheapest tile class, partial edges → gather.
+        do_trim, tile_ci, _, _ = trim_split(
+            na, nb, b_s % TILE_B, nonzero & (best_class < 0),
+            tile_a_classes,
         )
         trim_class[do_trim] = tile_ci[do_trim]
     else:
