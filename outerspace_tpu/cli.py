@@ -80,20 +80,34 @@ def cmd_spgemm(args) -> int:
     try:
         from outerspace_tpu.perf.perfsim import (
             available,
-            simulate_expand_schedule,
+            simulate_expand_cached,
         )
         from outerspace_tpu.sched.planner import plan_outer_classes
 
         if available():
-            cp = plan_outer_classes(
-                a_csc, b_csr, waste_limit=cfg.waste_limit
+            wl = cfg.waste_limit
+            if wl is None:  # autotuned per operand (the default)
+                from outerspace_tpu.sched.autotune import autotune
+
+                wl = autotune(a_csc, b_csr)[1]
+            cp = plan_outer_classes(a_csc, b_csr, waste_limit=wl)
+            # Cached-pipeline event model over the real task tables: the
+            # B-major ordering's VMEM residency shows up as the hit rate
+            # (the reference's per-module printStats reported the same
+            # miss-rate figure, SimOuterSPACE.cpp:335-337).
+            cyc = hits = misses = 0
+            for cl in cp.classes:
+                if not cl.ntasks:
+                    continue
+                pred = simulate_expand_cached(cl)
+                cyc += pred["seconds"]
+                hits += pred["hits"]
+                misses += pred["misses"]
+            rate = hits / max(hits + misses, 1)
+            print(
+                f"event-model multiply:           {cyc * 1e3:.3f} ms "
+                f"(VMEM B-group hit rate {rate:.0%})"
             )
-            cyc = sum(
-                simulate_expand_schedule(cl)["seconds"]
-                for cl in cp.classes
-                if cl.ntasks
-            )
-            print(f"event-model multiply:           {cyc * 1e3:.3f} ms")
     except Exception:
         pass
     print(f"measured (end-to-end): {elapsed * 1e3:.3f} ms")
