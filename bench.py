@@ -135,7 +135,13 @@ def _cpu_baselines_async(g):
 def _chain_k(flops: int) -> int:
     """Chain length per sync: the ~30 ms RPC floor needs amortizing only
     when the pipeline itself is fast; long chains quadruple XLA compile
-    time on huge programs for no benefit."""
+    time on huge programs for no benefit. Tiny workloads (the .mtx
+    fixture) keep a short chain too — they exist for file-path and
+    exactness validation, not throughput, and the floor is subtracted
+    anyway; a degraded tunnel day once spent 143 s compiling the
+    fixture's 4-chain and squeezed out the NN/MCL benches."""
+    if flops < 1e6:
+        return 2
     if flops < 3e7:
         return _CHAIN_K
     if flops < 8e7:
@@ -346,7 +352,12 @@ def bench_spgemm_suite() -> list[dict]:
         "rmat10_ef8.mtx",
     )
     workloads = [
-        # small→large: the first pays the (slab-shared) kernel compiles
+        # headline workloads first, small→large (the first pays the
+        # slab-shared kernel compiles that rmat15/16 then reuse); the
+        # .mtx fixture runs LAST — it shares no executables with the
+        # tiled suite, and on degraded-tunnel days (remote compiles
+        # arbitrarily ~10x slower) it must never be the one workload
+        # that eats the deadline and leaves the headline 1-sampled
         ("rmat14_ef8", lambda: rmat(14, edge_factor=8, seed=1), False, None),
         ("er_100k_d1e-4",
          lambda: erdos_renyi(100_000, 100_000, 1e-4, seed=3), False, None),
@@ -357,14 +368,24 @@ def bench_spgemm_suite() -> list[dict]:
         # file-based A² (BASELINE configs[0] stand-in) + the one full
         # element-wise validation of a hardware run (XLA-only path: no
         # fixture-sized Mosaic compiles)
-        workloads.insert(
-            0, ("mtx_rmat10_a2", lambda: read_mtx(fixture), True, "flat")
+        workloads.append(
+            ("mtx_rmat10_a2", lambda: read_mtx(fixture), True, "flat")
         )
     results = []
-    last_cost = 60.0
+    # healthy-tunnel wall-cost priors per workload; the running
+    # `degrade` factor rescales them when measured costs come in high
+    # (remote compiles degrade ~10x on bad tunnel days)
+    est_base = {
+        "rmat14_ef8": 110.0,
+        "er_100k_d1e-4": 90.0,
+        "rmat15_ef8": 100.0,
+        "rmat16_ef8": 150.0,
+        "mtx_rmat10_a2": 90.0,
+    }
+    degrade = 1.0
     for name, gen, exact, forced in workloads:
-        # reserve ~80 s so the NN + triangle benches always run
-        est = max(60.0, 0.8 * last_cost) + 80.0
+        # reserve ~80 s so the NN/triangle/MCL benches can still run
+        est = est_base.get(name, 90.0) * degrade + 80.0
         if results and _time_left() < est:
             print(json.dumps({"skipped": name, "reason": "deadline"}),
                   file=sys.stderr, flush=True)
@@ -377,7 +398,8 @@ def bench_spgemm_suite() -> list[dict]:
         except Exception as e:  # pragma: no cover - report and continue
             rec = dict(name=name, error=str(e)[:300])
         results.append(rec)
-        last_cost = time.perf_counter() - _w0
+        cost = time.perf_counter() - _w0
+        degrade = max(degrade, cost / est_base.get(name, 90.0))
         print(json.dumps(rec), file=sys.stderr, flush=True)
     return results
 
@@ -584,12 +606,18 @@ def bench_mcl() -> dict:
 def main() -> None:
     results = bench_spgemm_suite()
     try:
-        if _time_left() > 90:
-            bench_nn_inference()
-        if _time_left() > 60:
-            bench_triangles()
-        if _time_left() > 70:
-            bench_mcl()
+        for gate, name, fn in (
+            (60, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
+            (45, "triangles_rmat13", bench_triangles),
+            (60, "mcl_rmat14_4iter", bench_mcl),
+        ):
+            if _time_left() > gate:
+                fn()
+            else:
+                print(
+                    json.dumps({"skipped": name, "reason": "deadline"}),
+                    file=sys.stderr, flush=True,
+                )
     except Exception as e:  # auxiliary benches must not kill the headline
         print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
     good = [r for r in results if "error" not in r]
