@@ -311,35 +311,84 @@ def mcl_whole_traced(
     (rows[nnz_pad], cols, vals, nnz, ok); ``ok`` guards every static
     budget (compaction overflow ⇒ caller falls back to the exact
     stepwise chain)."""
-    from outerspace_tpu.ops.spgemm import spgemm_padded_tiled
+    from outerspace_tpu.ops.spgemm import (
+        merge_epilogue,
+        spgemm_padded_tiled,
+        unpack_key_biased,
+    )
 
     sq = spgemm_padded_tiled(tplan)
-    v1, valid1, nnz1 = inflate_device(
-        sq.rows, sq.cols, sq.vals, sq.valid,
-        m=m, inflation=inflation, threshold=threshold,
-    )
-    ok = nnz1 <= p_pad
-    # compact the (large) first-squaring stream into the loop buffers:
-    # stable-order sort on a validity-masked position key + slice
     L = sq.rows.shape[0]
-    ckey = jnp.where(
-        valid1, jnp.arange(L, dtype=jnp.int32) + KEY_BIAS, _I32_MAX
+    # ---- inflation without the 16k-bin scatter-add (slow at this
+    # stream size): one CSC-order 2-stream sort makes columns
+    # contiguous, the merge epilogue's segmented sum produces the
+    # per-column totals in a single pass, and an m-sized searchsorted
+    # + gather builds the colsum table ----
+    kcsc = jnp.where(
+        sq.valid, sq.cols * np.int32(m) + sq.rows + KEY_BIAS, _I32_MAX
     )
-    _, cr1, cc1, cv1 = jax.lax.sort(
-        (ckey, jnp.where(valid1, sq.rows, m),
-         jnp.where(valid1, sq.cols, 0), jnp.where(valid1, v1, 0.0)),
-        num_keys=1, is_stable=False,
+    kc, vc = jax.lax.sort((kcsc, sq.vals), num_keys=1, is_stable=False)
+    validc = kc != _I32_MAX
+    colu, rowu = unpack_key_biased(kc, m)  # key = col·m + row
+    vp = jnp.where(
+        validc,
+        jnp.power(jnp.maximum(vc, 0.0), np.float32(inflation)),
+        0.0,
     )
+    # prune BEFORE normalisation, on the unnormalised powered values —
+    # the reference/scipy semantics — so the column totals only count
+    # survivors (pruned slots contribute exact zeros to the sums)
+    valid1 = validc & (vp > threshold)
+    vp_kept = jnp.where(valid1, vp, 0.0)
+    kcol = jnp.where(validc, colu + KEY_BIAS, _I32_MAX)  # sorted too
+    pad_c = jnp.sum((~validc).astype(jnp.int32))
+    col_of, _, col_tot, tot_valid, _ = merge_epilogue(
+        kcol, vp_kept, 1, m, None, pad_count=pad_c
+    )
+    # colsum table: last slot of column j via searchsorted on the
+    # sorted column keys (m queries, not an L-sized scatter)
+    pos = jnp.searchsorted(
+        kcol, jnp.arange(1, m + 1, dtype=jnp.int32) + KEY_BIAS,
+        side="left",
+    ).astype(jnp.int32) - 1
+    pos = jnp.clip(pos, 0, L - 1)
+    hit = tot_valid[pos] & (col_of[pos] == jnp.arange(m, dtype=jnp.int32))
+    colsum = jnp.where(hit, col_tot[pos], 1.0)
+    colsum = jnp.where(colsum == 0, 1.0, colsum)
+    # broadcast each column's total to its (contiguous) segment with the
+    # exact bitcast-diff + cumsum trick instead of an L-sized gather
+    from outerspace_tpu.ops.spgemm import _segment_broadcast_bits
+
+    col_starts = jnp.searchsorted(
+        kcol, jnp.arange(m, dtype=jnp.int32) + KEY_BIAS, side="left"
+    ).astype(jnp.int32)
+    colsum_bc = jax.lax.bitcast_convert_type(
+        _segment_broadcast_bits(
+            jax.lax.bitcast_convert_type(colsum, jnp.int32),
+            col_starts, L,
+        ),
+        jnp.float32,
+    )
+    vn = jnp.where(valid1, vp / colsum_bc, 0.0)
+    nnz1 = jnp.sum(valid1.astype(jnp.int32))
+    ok = nnz1 <= p_pad
+    # ---- compact the pruned stream into the loop buffers: row-major
+    # 2-stream key sort + slice (rows/cols travel packed in the key) ----
+    krm = jnp.where(
+        valid1, rowu * np.int32(n_cols) + colu + KEY_BIAS, _I32_MAX
+    )
+    k3, v3 = jax.lax.sort((krm, vn), num_keys=1, is_stable=False)
     if L >= p_pad:
-        rows_p, cols_p, vals_p = cr1[:p_pad], cc1[:p_pad], cv1[:p_pad]
+        k3, v3 = k3[:p_pad], v3[:p_pad]
     else:
         ext = p_pad - L
-        rows_p = jnp.concatenate(
-            [cr1, jnp.full(ext, np.int32(m), jnp.int32)]
-        )
-        cols_p = jnp.concatenate([cc1, jnp.zeros(ext, jnp.int32)])
-        vals_p = jnp.concatenate([cv1, jnp.zeros(ext, jnp.float32)])
+        k3 = jnp.concatenate([k3, jnp.full(ext, _I32_MAX, jnp.int32)])
+        v3 = jnp.concatenate([v3, jnp.zeros(ext, jnp.float32)])
+    r3, c3 = unpack_key_biased(k3, n_cols)
     valid_p = jnp.arange(p_pad, dtype=jnp.int32) < nnz1
+    rows_p = jnp.where(valid_p, r3, m)
+    cols_p = jnp.where(valid_p, c3, 0)
+    vals_p = jnp.where(valid_p, v3, 0.0)
 
     def body(_, state):
         return _mcl_iteration(

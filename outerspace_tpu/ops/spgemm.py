@@ -223,6 +223,27 @@ def merge_biased_keys(
     HBM pass (``ops.pallas.scan``); "xla" keeps the shift/select passes;
     None auto-picks pallas on a TPU backend when the shape allows.
     """
+    key, vals = jax.lax.sort((key, vals), num_keys=1, is_stable=False)
+    return merge_epilogue(
+        key, vals, n_cols, sentinel_row, max_run,
+        pad_count=pad_count, epilogue=epilogue, interpret=interpret,
+    )
+
+
+def merge_epilogue(
+    key: jax.Array,
+    vals: jax.Array,
+    n_cols: int,
+    sentinel_row: int,
+    max_run: int | None = None,
+    pad_count: jax.Array | int = 0,
+    epilogue: str | None = None,
+    interpret: bool = False,
+):
+    """Everything after the sort: segmented accumulate + unpack +
+    validity/nnz over an ALREADY-SORTED biased-key stream (also usable
+    standalone for any sorted segmented-sum, e.g. MCL's per-column
+    totals with ``n_cols=1``)."""
     n = key.shape[0]
     if epilogue is None:
         epilogue = (
@@ -230,7 +251,6 @@ def merge_biased_keys(
             if jax.default_backend() == "tpu" and _scan_kernel_applicable(n)
             else "xla"
         )
-    key, vals = jax.lax.sort((key, vals), num_keys=1, is_stable=False)
     if epilogue == "pallas":
         from outerspace_tpu.ops.pallas.scan import merge_epilogue_scan
 
