@@ -64,6 +64,54 @@ def test_fuzz_spgemm(i):
     assert_csr_allclose(got, ref, rtol=2e-5, atol=1e-5)
 
 
+def _hub_case(seed: int, wide: bool):
+    """High-skew operands exercising the trim-and-chunk machinery:
+    a few hub columns/rows (B rows far wider than the gather window)
+    plus a misaligned light tail."""
+    rng = np.random.default_rng(seed)
+    k, m, n = 96, 300, 500
+    rows_a, cols_a, rows_b, cols_b = [], [], [], []
+    for h in rng.choice(k, 4, replace=False):
+        na = int(rng.integers(40, 200))
+        rr = rng.choice(m, na, replace=False)
+        rows_a.append(rr)
+        cols_a.append(np.full(na, h))
+        nb = int(rng.integers(300, 480)) if wide else int(rng.integers(60, 200))
+        cc = rng.choice(n, nb, replace=False)
+        rows_b.append(np.full(nb, h))
+        cols_b.append(cc)
+    # light residue with odd per-row lengths (misaligned flat starts)
+    for kk in range(k):
+        nb = int(rng.integers(0, 7))
+        if nb:
+            rows_b.append(np.full(nb, kk))
+            cols_b.append(rng.choice(n, nb, replace=False))
+        na = int(rng.integers(0, 4))
+        if na:
+            rows_a.append(rng.choice(m, na, replace=False))
+            cols_a.append(np.full(na, kk))
+
+    def build(shape, rr, cc):
+        rr = np.concatenate(rr).astype(np.int32)
+        cc = np.concatenate(cc).astype(np.int32)
+        lin = rr.astype(np.int64) * shape[1] + cc
+        _, keep = np.unique(lin, return_index=True)
+        return COO(
+            shape, rr[keep], cc[keep],
+            rng.standard_normal(len(keep)).astype(np.float32),
+        )
+
+    return build((m, k), rows_a, cols_a), build((k, n), rows_b, cols_b)
+
+
+@pytest.mark.parametrize("wide", [False, True])
+@pytest.mark.parametrize("strategy", ["tiles", "gather"])
+def test_fuzz_trim_and_chunk_hubs(wide, strategy):
+    a, b = _hub_case(7 + int(wide), wide)
+    got = spgemm(a, b, strategy=strategy, interpret=True)
+    assert_csr_allclose(got, spgemm_scipy(a, b), rtol=2e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("i", range(24, 32))
 def test_fuzz_sharded(i):
     import jax
