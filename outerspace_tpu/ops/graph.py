@@ -344,7 +344,11 @@ def mcl_run(prep):
         prep["inflation"], prep["iters"], prep["threshold"],
     )
     if "p_pad" not in prep:
-        # sizing pass (also the exact fallback path)
+        # sizing pass: one eager first squaring + inflation is enough to
+        # learn the static loop sizes (nnz only shrinks under inflation
+        # pruning, and the device ok flag guards the assumption with an
+        # exact stepwise fallback) — then fall through to the one-jit
+        # program in the same call
         sq = spgemm_padded_tiled(tplan)
         v1, valid1, nnz1 = inflate_device(
             sq.rows, sq.cols, sq.vals, sq.valid,
@@ -356,18 +360,10 @@ def mcl_run(prep):
         nnz1_h, p1 = _decode_flow_stats(
             _flow_stats_jit(flow1.rows, flow1.cols, flow1.valid, m=n)
         )
-        out = markov_cluster_device_fused(
-            flow1, inflation=inflation, iters=iters - 1,
-            prune_threshold=threshold,
-        )
-        nnz_out = int(np.asarray(out.nnz))
         prep["p_pad"] = round_up_bucket(
             max(int(p1 * 1.5) + 4096, nnz1_h, 4096), min_size=4096
         )
-        prep["nnz_pad"] = round_up_bucket(
-            max(2 * nnz_out, nnz1_h, 1), min_size=1024
-        )
-        return out
+        prep["nnz_pad"] = round_up_bucket(max(nnz1_h, 1), min_size=1024)
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]

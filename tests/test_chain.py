@@ -89,6 +89,45 @@ class TestChain:
             ds.toarray(), hs.toarray(), rtol=5e-4, atol=1e-5
         )
 
+    def test_mcl_stepwise_chain_matches_scipy(self):
+        # Direct coverage of the stepwise device chain (the exact
+        # fallback behind the one-jit program's ok flag).
+        import jax.numpy as jnp
+
+        from outerspace_tpu.formats.coo import COO
+        from outerspace_tpu.ops.chain import markov_cluster_device_fused
+        from outerspace_tpu.ops.graph import _col_normalize, markov_cluster
+        from outerspace_tpu.ops.spgemm import MergedCOO
+
+        g = erdos_renyi(50, 50, 0.08, seed=3)
+        ref = markov_cluster(g, iters=3, backend="scipy")
+        n = g.shape[0]
+        coo = g
+        m = COO(
+            g.shape,
+            np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
+            np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
+            np.concatenate([np.abs(coo.val), np.ones(n, np.float32)]),
+        ).deduplicated()
+        c0 = _col_normalize(m.to_csr()).to_coo()
+        pad = -(-max(c0.nnz, 1) // 1024) * 1024
+        rows = np.full(pad, n, np.int32)
+        cols = np.zeros(pad, np.int32)
+        vals = np.zeros(pad, np.float32)
+        rows[: c0.nnz] = c0.row
+        cols[: c0.nnz] = c0.col
+        vals[: c0.nnz] = c0.val
+        merged0 = MergedCOO(
+            (n, n), jnp.asarray(rows), jnp.asarray(cols),
+            jnp.asarray(vals), jnp.asarray(rows < n), jnp.int32(c0.nnz),
+        )
+        out = markov_cluster_device_fused(merged0, iters=3)
+        f = out.to_csr()
+        assert f.nnz == ref.nnz
+        np.testing.assert_allclose(
+            f.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
+        )
+
     def test_mcl_one_jit_program_matches_sizing_pass(self):
         # The second mcl_run through the same prep takes the cached
         # one-jit program; it must agree with the stepwise sizing pass
