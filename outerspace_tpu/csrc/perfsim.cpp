@@ -112,20 +112,23 @@ class Fifo : public Module {
 // ---------------------------------------------------------------------
 
 // Default values are CALIBRATED against kernels measured on the target
-// device (round-3: Pallas stream rate ~44-47 GB/s on the tunneled v5e
-// slice — far below the 819 GB/s chip spec, which the analytical
-// roofline keeps as the speed-of-light bound). Runtime-overridable via
-// osp_sim_set_config (the reference hard-coded its OuterSPACEConfig at
-// compile time, SimOuterSPACE.cpp:17-27).
+// device with serialized fori_loop chains ≥100 ms per sync (earlier
+// floor/CSE-polluted chains mismeasured both knobs): the Pallas expand
+// kernel costs ~0.22-0.27 µs per GRID STEP nearly independent of tile
+// height (fixed dispatch/pipeline overhead ≈ 200 cycles), and large-
+// block Pallas streams sustain ~470 GB/s (≈ 500 B/cycle; chip spec
+// 819 GB/s stays the roofline's speed-of-light bound). Runtime-
+// overridable via osp_sim_set_config (the reference hard-coded its
+// OuterSPACEConfig at compile time, SimOuterSPACE.cpp:17-27).
 struct SimConfig {
-  double hbm_bytes_per_cycle = 50.0;    // measured Pallas stream rate
+  double hbm_bytes_per_cycle = 500.0;   // measured Pallas stream rate
                                         // (spec: 871 = 819 GB/s @ 0.94 GHz)
   int hbm_channels = 16;                // interleaved (parity: 16 ch)
   int hbm_latency = 100;                // cycles to first beat
   int dma_max_outstanding = 8;          // concurrent DMAs per engine
   double vpu_lanes = 8 * 128;           // f32 ops/cycle
   double mxu_ops_per_cycle = 16384.0;   // 128x128 MACs/cycle (bf16)
-  int grid_overhead = 10;               // cycles per grid step dispatch
+  int grid_overhead = 200;              // cycles per grid step (measured)
 };
 
 static SimConfig g_cfg;

@@ -95,9 +95,12 @@ def load(build: bool = True):
 
 # Chip-spec machine values (v5e): the analytical roofline's
 # speed-of-light numbers. The library's built-in default is instead the
-# CALIBRATED tunnel-slice machine (see csrc/perfsim.cpp SimConfig —
-# measured Pallas stream rate ~47 GB/s, round-3 kernel measurements).
-SPEC_CONFIG = dict(hbm_bytes_per_cycle=871.0)
+# CALIBRATED machine (see csrc/perfsim.cpp SimConfig — serialized-chain
+# kernel measurements: ~470 GB/s large-block Pallas streams, ~200-cycle
+# per-grid-step overhead); restore it with set_config(**CALIBRATED_CONFIG)
+# after pinning SPEC_CONFIG.
+SPEC_CONFIG = dict(hbm_bytes_per_cycle=871.0, grid_overhead=10)
+CALIBRATED_CONFIG = dict(hbm_bytes_per_cycle=500.0, grid_overhead=200)
 _CFG_KEYS = (
     "hbm_bytes_per_cycle",
     "hbm_channels",

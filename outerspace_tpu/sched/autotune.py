@@ -31,13 +31,17 @@ import numpy as np
 from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.sched.planner import TILE_A_CLASSES, TILE_B
 
-# ns per element, calibrated on v5e hardware (round-3 long-chain
-# measurements — ≥100 ms of chained device work per sync so the ~30 ms
-# tunnel RPC floor cannot pollute the rates; the round-2 values were
-# floor-inflated). Relative magnitudes are what matters for the argmin.
-SORT_NS = 1.3   # ~890 M pairs/s single-key unstable sort
-TILE_NS = 0.19  # dense-tile expand, flat across (8/32/128, 128) classes
-GATHER_NS = 0.45
+# ns per element, calibrated on v5e hardware with SERIALIZED fori_loop
+# chains (each call's input depends on the previous call's output —
+# without that, XLA CSE collapses repeated calls and the RPC floor
+# pollutes the rate; two earlier calibration rounds fell for it).
+# Measured: tile expand ≈ 0.22 µs per grid step nearly independent of
+# tile height → per-element cost ~ step/(tile_a·128); windowed gather
+# 0.141 ns/product; single-key sort 1.3 ns/pair at ~20M scaling to
+# 2.8 ns/pair at 128M (one mid constant here).
+SORT_NS = 1.6
+TILE_NS = 0.22  # the (8, 128) anchor class; taller classes via tile_ns()
+GATHER_NS = 0.15
 FLAT_NS = 9.0
 GATHER_MAX_NB = 256
 WASTE_GRID = (1.05, 1.1, 1.15, 1.25, 1.5, 2.0)
@@ -50,9 +54,10 @@ def tile_ns(tile_a: int) -> float:
 
     The *relative* cost across tile classes comes from the C++
     discrete-event model (``perf.perfsim.simulate_expand_schedule``:
-    DMA queues + double-buffered VMEM FIFOs per grid step — taller
-    tiles amortise per-step overhead over more elements), anchored to
-    the *measured* ``TILE_NS`` of the (8, 128) class so absolute
+    the ~200-cycle per-grid-step overhead dominates small steps, so
+    taller tiles amortise it over 16x more elements — measured 0.217
+    vs 0.017 ns/elem for the (8,128) vs (128,128) classes), anchored
+    to the *measured* ``TILE_NS`` of the (8, 128) class so absolute
     magnitudes stay calibrated against real kernels. Falls back to the
     flat constant when the native library isn't built."""
     got = _TILE_NS_CACHE.get(tile_a)
