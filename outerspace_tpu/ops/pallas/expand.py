@@ -15,10 +15,8 @@ products is produced at HBM streaming bandwidth instead of ~10 cycles per
 element through XLA gather. When ``m·n ≤ 2³²`` the kernel emits merged
 biased-uint32 sort keys directly (packed mode: two output streams instead
 of three), fusing the merge phase's key construction. Masked lanes carry
-either the int32 sentinel (bounded duplicate runs, for the XLA scan) or —
-with ``clamp_pad`` — a replicated real in-tile coordinate with value 0,
-keeping every flattened tile a fully sorted run (the property the Pallas
-merge kernels exploit).
+the int32 sentinel with value 0, keeping duplicate runs bounded by
+``max_run`` for the merge's segmented scan.
 
 Mosaic layout notes: TPU block shapes must be (8k, 128)-aligned in their
 last two dimensions, so the A-side task slices are fetched in (8, tile_a)
@@ -55,7 +53,6 @@ def _expand_kernel_packed(
     *,
     tile_a: int,
     n_cols: int,
-    clamp_pad: bool,
 ):
     t = pl.program_id(0)
     a_len = task_ref[t * 4]
@@ -71,38 +68,18 @@ def _expand_kernel_packed(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_a, TILE_B), 1)
-    amask = sub < a_len
-    lmask = (lane >= b_lo) & (lane < b_hi)
-    mask = amask & lmask
+    mask = (sub < a_len) & (lane >= b_lo) & (lane < b_hi)
 
     rows_b = jnp.broadcast_to(a_rows, (tile_a, TILE_B))
     cols_b = jnp.broadcast_to(b_cols, (tile_a, TILE_B))
     vals = a_vals * b_vals  # (tile_a, TILE_B) outer product on the VPU
-    if clamp_pad:
-        # Sentinel-free padding: masked slots replicate a real in-tile
-        # coordinate with value 0 — a no-op under accumulation — chosen
-        # so the flattened tile stays a fully sorted run (the property
-        # the Pallas merge kernels exploit):
-        #   lanes < b_lo  → first valid column of this B-row window,
-        #   lanes ≥ b_hi  → last valid column,
-        #   sublanes ≥ a_len → (last valid row, last valid column).
-        col_lo = jnp.min(jnp.where(lmask, cols_b, _I32_MAX))
-        col_hi = jnp.max(jnp.where(lmask, cols_b, -1))
-        row_hi = jnp.max(jnp.where(amask, rows_b, -1))
-        cols_c = jnp.where(
-            lane < b_lo, col_lo, jnp.where(lane >= b_hi, col_hi, cols_b)
-        )
-        key_valid = rows_b * np.int32(n_cols) + cols_c
-        key_tail = row_hi * np.int32(n_cols) + col_hi
-        keys = jnp.where(amask, key_valid, key_tail) + _KEY_BIAS
-    else:
-        # Sentinel padding: masked slots sort past every real key; the
-        # merge discards them (with the 2^32-corner correction in
-        # ops.spgemm.merge_biased_keys). Keeps duplicate runs bounded by
-        # max_run for the XLA segmented scan.
-        keys = jnp.where(
-            mask, rows_b * np.int32(n_cols) + cols_b + _KEY_BIAS, _I32_MAX
-        )
+    # Sentinel padding: masked slots sort past every real key; the
+    # merge discards them (with the 2^32-corner correction in
+    # ops.spgemm.merge_biased_keys). Keeps duplicate runs bounded by
+    # max_run for the XLA segmented scan.
+    keys = jnp.where(
+        mask, rows_b * np.int32(n_cols) + cols_b + _KEY_BIAS, _I32_MAX
+    )
     out_keys_ref[0] = keys
     out_vals_ref[0] = jnp.where(mask, vals, 0.0)
 
@@ -183,7 +160,7 @@ def _grid_spec(ntasks: int, tile_a: int, n_outputs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ntasks", "tile_a", "n_cols", "interpret", "clamp_pad"),
+    static_argnames=("ntasks", "tile_a", "n_cols", "interpret"),
 )
 def expand_tiles_packed(
     tasks: jax.Array,
@@ -196,12 +173,10 @@ def expand_tiles_packed(
     tile_a: int,
     n_cols: int,
     interpret: bool = False,
-    clamp_pad: bool = False,
 ):
     """Dense-tile expand with fused biased-uint32 key packing; returns
-    flat (keys, vals) of length ntasks·tile_a·TILE_B. ``clamp_pad``
-    selects sentinel-free padding (fully-sorted tiles, for the Pallas
-    merge) vs sentinel padding (bounded runs, for the XLA scan)."""
+    flat (keys, vals) of length ntasks·tile_a·TILE_B (padding slots
+    carry the int32 sentinel with value 0)."""
     out_shape = [
         jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.int32),
         jax.ShapeDtypeStruct((ntasks, tile_a, TILE_B), jnp.float32),
@@ -211,7 +186,6 @@ def expand_tiles_packed(
             _expand_kernel_packed,
             tile_a=tile_a,
             n_cols=n_cols,
-            clamp_pad=clamp_pad,
         ),
         grid_spec=_grid_spec(ntasks, tile_a, 2),
         out_shape=out_shape,
@@ -254,18 +228,6 @@ def expand_tiles_coords(
     )(tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk)
     n = ntasks * tile_a * TILE_B
     return rows.reshape(n), cols.reshape(n), vals.reshape(n)
-
-
-def expand_tiles_device(
-    tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk,
-    *, ntasks, sentinel_row, tile_a: int = 8, interpret: bool = False,
-):
-    """Backwards-compatible coordinate-stream entry point."""
-    return expand_tiles_coords(
-        tasks, a_rows_t, a_vals_t, b_cols_blk, b_vals_blk,
-        ntasks=ntasks, tile_a=tile_a, sentinel_row=sentinel_row,
-        interpret=interpret,
-    )
 
 
 def schedule_to_device(
