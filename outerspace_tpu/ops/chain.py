@@ -134,11 +134,15 @@ def square_device(merged: MergedCOO) -> MergedCOO:
         merged.rows, merged.cols, merged.vals, merged.valid,
         nnz_pad=nnz_pad, m=m,
     )
-    stats = np.asarray(_chain_stats_jit(rows, indptr, m=m))
-    p_exact, max_row = int(stats[0]), int(stats[1])
-    if p_exact >= 2**31:
+    raw = np.asarray(_chain_stats_jit(rows, indptr, m=m))
+    p_exact = int(raw[:1].view(np.int32)[0])
+    max_row = int(raw[1:2].view(np.int32)[0])
+    p_approx = float(raw[2])
+    # the f32 estimate catches int32 wrap of the exact sum (its own
+    # error is tiny relative to 2^31), so over-scale inputs fail loudly
+    if p_exact < 0 or p_approx >= 2**31 * 0.999:
         raise ValueError(
-            f"chained expansion {p_exact} exceeds int32 index space"
+            f"chained expansion ~{p_approx:.3g} exceeds int32 index space"
         )
     p_pad = round_up_bucket(max(p_exact, 1), min_size=4096)
     r, c, v, valid, out_nnz = spgemm_from_device_csr(
@@ -151,11 +155,19 @@ def square_device(merged: MergedCOO) -> MergedCOO:
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _chain_stats_jit(rows, indptr, *, m: int):
-    """[exact P for M@M, max nnz per row] in one fetchable array."""
+    """[P for M@M (exact int32, bit-cast), max nnz per row (int32,
+    bit-cast), P again as f32] in one fetchable f32 array. The f32
+    channel guards the exact sum against int32 wrap (no int64 on
+    device without x64 mode — the old int64 cast silently truncated)."""
     deg = indptr[1:] - indptr[:-1]
     contrib = jnp.where(rows < m, deg[jnp.minimum(rows, m - 1)], 0)
+    p_i = jnp.sum(contrib)
     return jnp.stack(
-        [jnp.sum(contrib.astype(jnp.int64)), jnp.max(deg).astype(jnp.int64)]
+        [
+            jax.lax.bitcast_convert_type(p_i, jnp.float32),
+            jax.lax.bitcast_convert_type(jnp.max(deg), jnp.float32),
+            jnp.sum(contrib.astype(jnp.float32)),
+        ]
     )
 
 
