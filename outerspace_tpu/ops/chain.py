@@ -248,9 +248,12 @@ def _mcl_iteration(state, *, p_pad, m, n, inflation, threshold):
     2-operand sort pass costs ~1.4 ns/elem."""
     rows, cols, vals, valid, ok = state
     idx = jnp.arange(p_pad, dtype=jnp.int32)
-    # ---- compact to contiguous CSR-ish streams via one stable-order
-    # sort (valid slots keep their row-major order at the front) ----
-    ckey = jnp.where(valid, idx + KEY_BIAS, _I32_MAX)
+    # ---- compact to contiguous row-major CSR-ish streams via one
+    # packed-key sort (works from ANY input order — the first loop
+    # input arrives CSC-ordered from the stage-1 inflation) ----
+    ckey = jnp.where(
+        valid, rows * np.int32(n) + cols + KEY_BIAS, _I32_MAX
+    )
     _, cr, cc, cv = jax.lax.sort(
         (ckey, jnp.where(valid, rows, m), jnp.where(valid, cols, 0),
          jnp.where(valid, vals, 0.0)),
@@ -332,30 +335,31 @@ def mcl_whole_traced(
     sq = spgemm_padded_tiled(tplan)
     L = sq.rows.shape[0]
     # ---- inflation without the 16k-bin scatter-add (slow at this
-    # stream size): one CSC-order 2-stream sort makes columns
-    # contiguous, the merge epilogue's segmented sum produces the
-    # per-column totals in a single pass, and an m-sized searchsorted
-    # + gather builds the colsum table ----
-    kcsc = jnp.where(
-        sq.valid, sq.cols * np.int32(m) + sq.rows + KEY_BIAS, _I32_MAX
-    )
-    kc, vc = jax.lax.sort((kcsc, sq.vals), num_keys=1, is_stable=False)
-    validc = kc != _I32_MAX
-    colu, rowu = unpack_key_biased(kc, m)  # key = col·m + row
-    vp = jnp.where(
-        validc,
-        jnp.power(jnp.maximum(vc, 0.0), np.float32(inflation)),
+    # stream size), with ONE L-sized sort: prune first on the
+    # unnormalised powered values (the reference/scipy semantics — the
+    # prune decision does not need column sums), then a single masked
+    # CSC-order 2-stream sort makes surviving columns contiguous; the
+    # merge epilogue's segmented sum produces the per-column survivor
+    # totals in one pass, and the bitcast-diff cumsum trick broadcasts
+    # them back. The loop accepts the CSC-ordered result directly (its
+    # compaction sorts by row-major packed key, order-agnostic). ----
+    vp0 = jnp.where(
+        sq.valid,
+        jnp.power(jnp.maximum(sq.vals, 0.0), np.float32(inflation)),
         0.0,
     )
-    # prune BEFORE normalisation, on the unnormalised powered values —
-    # the reference/scipy semantics — so the column totals only count
-    # survivors (pruned slots contribute exact zeros to the sums)
-    valid1 = validc & (vp > threshold)
-    vp_kept = jnp.where(valid1, vp, 0.0)
-    kcol = jnp.where(validc, colu + KEY_BIAS, _I32_MAX)  # sorted too
-    pad_c = jnp.sum((~validc).astype(jnp.int32))
+    survive = sq.valid & (vp0 > threshold)
+    kcsc = jnp.where(
+        survive, sq.cols * np.int32(m) + sq.rows + KEY_BIAS, _I32_MAX
+    )
+    kc, vp = jax.lax.sort((kcsc, vp0), num_keys=1, is_stable=False)
+    valid1 = kc != _I32_MAX
+    vp = jnp.where(valid1, vp, 0.0)
+    colu, rowu = unpack_key_biased(kc, m)  # key = col·m + row
+    kcol = jnp.where(valid1, colu + KEY_BIAS, _I32_MAX)  # sorted too
+    pad_c = jnp.sum((~valid1).astype(jnp.int32))
     col_of, _, col_tot, tot_valid, _ = merge_epilogue(
-        kcol, vp_kept, 1, m, None, pad_count=pad_c
+        kcol, vp, 1, m, None, pad_count=pad_c
     )
     # colsum table: last slot of column j via searchsorted on the
     # sorted column keys (m queries, not an L-sized scatter)
@@ -384,23 +388,19 @@ def mcl_whole_traced(
     vn = jnp.where(valid1, vp / colsum_bc, 0.0)
     nnz1 = jnp.sum(valid1.astype(jnp.int32))
     ok = nnz1 <= p_pad
-    # ---- compact the pruned stream into the loop buffers: row-major
-    # 2-stream key sort + slice (rows/cols travel packed in the key) ----
-    krm = jnp.where(
-        valid1, rowu * np.int32(n_cols) + colu + KEY_BIAS, _I32_MAX
-    )
-    k3, v3 = jax.lax.sort((krm, vn), num_keys=1, is_stable=False)
+    # ---- slice the compacted (valid-front, CSC-ordered) stream into
+    # the loop buffers ----
     if L >= p_pad:
-        k3, v3 = k3[:p_pad], v3[:p_pad]
+        kp, vnp_ = kc[:p_pad], vn[:p_pad]
     else:
         ext = p_pad - L
-        k3 = jnp.concatenate([k3, jnp.full(ext, _I32_MAX, jnp.int32)])
-        v3 = jnp.concatenate([v3, jnp.zeros(ext, jnp.float32)])
-    r3, c3 = unpack_key_biased(k3, n_cols)
+        kp = jnp.concatenate([kc, jnp.full(ext, _I32_MAX, jnp.int32)])
+        vnp_ = jnp.concatenate([vn, jnp.zeros(ext, jnp.float32)])
+    cp_, rp_ = unpack_key_biased(kp, m)
     valid_p = jnp.arange(p_pad, dtype=jnp.int32) < nnz1
-    rows_p = jnp.where(valid_p, r3, m)
-    cols_p = jnp.where(valid_p, c3, 0)
-    vals_p = jnp.where(valid_p, v3, 0.0)
+    rows_p = jnp.where(valid_p, rp_, m)
+    cols_p = jnp.where(valid_p, cp_, 0)
+    vals_p = jnp.where(valid_p, vnp_, 0.0)
 
     def body(_, state):
         return _mcl_iteration(
