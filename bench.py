@@ -399,7 +399,9 @@ def bench_spgemm_suite() -> list[dict]:
             rec = dict(name=name, error=str(e)[:300])
         results.append(rec)
         cost = time.perf_counter() - _w0
-        degrade = max(degrade, cost / est_base.get(name, 90.0))
+        # most-recent ratio, not a ratchet: a one-off compile overshoot
+        # on the first workload must not permanently inflate estimates
+        degrade = max(1.0, cost / est_base.get(name, 90.0))
         print(json.dumps(rec), file=sys.stderr, flush=True)
     return results
 

@@ -66,6 +66,16 @@ def cmd_spgemm(args) -> int:
     p_pad = plan.padded_size()
     roof_mult = predict_multiply_time(p_pad, m1.nnz, m2.nnz)
     roof_merge = predict_merge_time(p_pad)
+    # Resolve the waste limit once up front (default = per-operand
+    # autotune) and thread it through the config, so the two spgemm
+    # calls and the event-model report below all reuse one cost-model
+    # evaluation instead of re-running the waste-grid search each time.
+    if cfg.waste_limit is None:
+        import dataclasses as _dc
+
+        from outerspace_tpu.sched.autotune import autotune
+
+        cfg = _dc.replace(cfg, waste_limit=autotune(a_csc, b_csr)[1])
     # Warm-up (compile), then measure.
     c = spgemm(a_csc, b_csr, strategy=args.strategy, config=cfg)
     t0 = time.perf_counter()
@@ -85,12 +95,9 @@ def cmd_spgemm(args) -> int:
         from outerspace_tpu.sched.planner import plan_outer_classes
 
         if available():
-            wl = cfg.waste_limit
-            if wl is None:  # autotuned per operand (the default)
-                from outerspace_tpu.sched.autotune import autotune
-
-                wl = autotune(a_csc, b_csr)[1]
-            cp = plan_outer_classes(a_csc, b_csr, waste_limit=wl)
+            cp = plan_outer_classes(
+                a_csc, b_csr, waste_limit=cfg.waste_limit
+            )
             # Cached-pipeline event model over the real task tables: the
             # B-major ordering's VMEM residency shows up as the hit rate
             # (the reference's per-module printStats reported the same

@@ -563,6 +563,19 @@ int64_t osp_sim_kernel(int64_t ntasks, const int64_t* in_bytes,
 // mxu_ops_per_cycle, grid_overhead]; any value < 0 keeps the current
 // setting. Used by perf/perfsim.py to switch between the calibrated
 // tunnel-slice machine (default) and chip-spec values.
+// Read back the current machine config in osp_sim_set_config's layout —
+// the single source of truth for the calibrated defaults (Python
+// snapshots it at load time instead of duplicating the literals).
+void osp_sim_get_config(double* vals) {
+  vals[0] = g_cfg.hbm_bytes_per_cycle;
+  vals[1] = g_cfg.hbm_channels;
+  vals[2] = g_cfg.hbm_latency;
+  vals[3] = g_cfg.dma_max_outstanding;
+  vals[4] = g_cfg.vpu_lanes;
+  vals[5] = g_cfg.mxu_ops_per_cycle;
+  vals[6] = g_cfg.grid_overhead;
+}
+
 void osp_sim_set_config(const double* vals) {
   if (vals[0] >= 0) g_cfg.hbm_bytes_per_cycle = vals[0];
   if (vals[1] >= 0) g_cfg.hbm_channels = static_cast<int>(vals[1]);

@@ -18,8 +18,8 @@ whole chain stays on device:
 
 Capability matched: the reference's multiply→merge→re-read loop
 (``TaskProvider`` reconstruction per squaring) with the host removed
-from the data path. Requires m·n ≤ 2^32 (packed keys; the graph kernels'
-regime).
+from the data path. Requires m·n < 2^32 (packed CSC-reorder keys; the
+graph kernels' regime).
 """
 
 from __future__ import annotations
@@ -127,7 +127,9 @@ def square_device(merged: MergedCOO) -> MergedCOO:
     fetches (nnz, then [P, max-row-nnz]) to size the next static buckets
     — instead of transferring the whole matrix."""
     m, n = merged.shape
-    assert m == n and m * n <= 2**32
+    # strictly < 2^32: the device CSC-reorder key (col*m + row) would
+    # collide with the int32 sentinel at the (m-1, m-1) corner
+    assert m == n and m * n < 2**32
     nnz = int(np.asarray(merged.nnz))
     nnz_pad = round_up_bucket(max(nnz, 1), min_size=1024)
     rows, cols, vals, indptr, _ = compact_to_csr_device(
@@ -460,7 +462,9 @@ def markov_cluster_device_fused(
     later iterations fit the same buffers in practice; the device ``ok``
     flag triggers an exact stepwise fallback if one ever does not."""
     m, n = merged0.shape
-    assert m == n and m * n <= 2**32
+    # strictly < 2^32: the device CSC-reorder key (col*m + row) would
+    # collide with the int32 sentinel at the (m-1, m-1) corner
+    assert m == n and m * n < 2**32
     if iters <= 0:
         return merged0
     nnz0, p1 = _decode_flow_stats(

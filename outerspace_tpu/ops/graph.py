@@ -258,7 +258,10 @@ def markov_cluster(
 
     if iters <= 0:
         return flow
-    if backend == "tpu" and expansion == 2 and n * n <= 2**32:
+    # strictly < 2^32: the device chain's CSC-reorder keys cannot
+    # represent the (n-1, n-1) corner at exactly 2^32 (the plain A@B
+    # pipeline CAN — its merge recovers the corner exactly)
+    if backend == "tpu" and expansion == 2 and n * n < 2**32:
         return mcl_run(
             mcl_prepare(
                 flow, inflation=inflation, iters=iters,
@@ -304,7 +307,7 @@ def mcl_prepare(
     from outerspace_tpu.ops.spgemm import plan_tiled
 
     n = flow.shape[0]
-    assert flow.shape[0] == flow.shape[1] and n * n <= 2**32
+    assert flow.shape[0] == flow.shape[1] and n * n < 2**32
     if iters < 1:
         raise ValueError("mcl_prepare stages >= 1 iteration; iters=0 is a no-op")
     tplan = plan_tiled(flow.to_csc(), flow)
@@ -378,10 +381,26 @@ def mcl_run(prep):
         prep["program"] = program
     r, c, v, nnz, ok = prep["program"]()
     if not bool(np.asarray(ok)):
-        # static budgets violated: exact stepwise re-run, re-learn sizes
-        prep.pop("p_pad", None)
+        # Static budgets violated: run the EXACT stepwise chain (its own
+        # per-iteration sizing cannot overflow) — bounded, no recursion —
+        # and double the budgets so future runs retake the fast path.
+        sq = spgemm_padded_tiled(tplan)
+        v1, valid1, nnz1 = inflate_device(
+            sq.rows, sq.cols, sq.vals, sq.valid,
+            m=n, inflation=inflation, threshold=threshold,
+        )
+        flow1 = MergedCOO(sq.shape, sq.rows, sq.cols, v1, valid1, nnz1)
+        out = markov_cluster_device_fused(
+            flow1, inflation=inflation, iters=iters - 1,
+            prune_threshold=threshold,
+        )
+        prep["p_pad"] = round_up_bucket(prep["p_pad"] * 2, min_size=4096)
+        prep["nnz_pad"] = round_up_bucket(
+            max(prep["nnz_pad"] * 2, int(np.asarray(out.nnz))),
+            min_size=1024,
+        )
         prep.pop("program", None)
-        return mcl_run(prep)
+        return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz
     return MergedCOO((n, n), r, c, v, valid, nnz)
 

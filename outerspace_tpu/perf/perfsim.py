@@ -89,6 +89,17 @@ def load(build: bool = True):
     if hasattr(lib, "osp_sim_set_config"):
         lib.osp_sim_set_config.restype = None
         lib.osp_sim_set_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    if hasattr(lib, "osp_sim_get_config"):
+        lib.osp_sim_get_config.restype = None
+        lib.osp_sim_get_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
+        # snapshot the library's built-in CALIBRATED defaults at load
+        # time (before any set_config) — the C++ SimConfig literals are
+        # the single source of truth, nothing is duplicated here
+        vals = (ctypes.c_double * len(_CFG_KEYS))()
+        lib.osp_sim_get_config(vals)
+        CALIBRATED_CONFIG.update(
+            {k: float(vals[i]) for i, k in enumerate(_CFG_KEYS)}
+        )
     _LIB = lib
     return lib
 
@@ -97,10 +108,11 @@ def load(build: bool = True):
 # speed-of-light numbers. The library's built-in default is instead the
 # CALIBRATED machine (see csrc/perfsim.cpp SimConfig — serialized-chain
 # kernel measurements: ~470 GB/s large-block Pallas streams, ~200-cycle
-# per-grid-step overhead); restore it with set_config(**CALIBRATED_CONFIG)
-# after pinning SPEC_CONFIG.
+# per-grid-step overhead); CALIBRATED_CONFIG is snapshotted from the
+# library at load time, so set_config(**CALIBRATED_CONFIG) restores the
+# C++ defaults exactly.
 SPEC_CONFIG = dict(hbm_bytes_per_cycle=871.0, grid_overhead=10)
-CALIBRATED_CONFIG = dict(hbm_bytes_per_cycle=500.0, grid_overhead=200)
+CALIBRATED_CONFIG: dict[str, float] = {}
 _CFG_KEYS = (
     "hbm_bytes_per_cycle",
     "hbm_channels",

@@ -108,8 +108,8 @@ class TestNativePerfsim:
         # The two models must agree within an order of magnitude when
         # simulating the SAME machine — the cross-checking-by-redundancy
         # the reference ran both models for. The event model's *default*
-        # is the calibrated tunnel-slice machine (~18x less stream
-        # bandwidth than spec), so pin chip-spec values for this check.
+        # is the calibrated machine (~1.7x below spec bandwidth and a
+        # 200-cycle grid step vs spec's 10), so pin chip-spec values.
         native.set_config(**native.SPEC_CONFIG)
         try:
             n = 2000
