@@ -33,7 +33,8 @@ from outerspace_tpu.sched.gplanner import (
     B_WIN,
     GROUP_SUBS,
     SUB_P,
-    SUPER,
+    SUPER_A,
+    SUPER_B,
     GatherPlan,
 )
 
@@ -59,35 +60,27 @@ def _win_gather(win_rows, idx):
 def _expand_gather_kernel(
     bases_ref,  # SMEM int32[ngroups*2]: (a_base8, b_base8)
     tab_ref,  # VMEM int32[1, GROUP_SUBS, 128] per-subtile table
-    a0_ref,  # VMEM int32[1, 8, 4, 128]   a_pack blocks [a_base8*8 .. +8)
-    a1_ref,  # VMEM int32[1, 8, 4, 128]   next 8 blocks
-    a2_ref,  # VMEM int32[1, 8, 4, 128]   next 8 blocks
-    b0_ref,  # VMEM int32[1, 8, 2, 128]
-    b1_ref,
-    b2_ref,
-    okey_ref,  # VMEM int32[1, GROUP_SUBS*8, 128]
-    oval_ref,  # VMEM f32[1, GROUP_SUBS*8, 128]
-    s_row,  # scratch VMEM int32[24, 128]  (a fields, super-window copies)
-    s_aval,  # scratch VMEM int32[24, 128]
-    s_jb,  # scratch VMEM int32[24, 128]
-    s_cum,  # scratch VMEM int32[24, 128]
-    s_bcol,  # scratch VMEM int32[24, 128]
-    s_bval,  # scratch VMEM int32[24, 128]
+    *refs,  # SUPER_A a-refs (1,8,4,128), SUPER_B b-refs (1,8,2,128),
+    # okey/oval outputs, then 6 scratch buffers (see pallas_call below)
 ):
+    a_refs = refs[:SUPER_A]
+    b_refs = refs[SUPER_A : SUPER_A + SUPER_B]
+    okey_ref, oval_ref = refs[SUPER_A + SUPER_B : SUPER_A + SUPER_B + 2]
+    s_row, s_aval, s_jb, s_cum, s_bcol, s_bval = refs[
+        SUPER_A + SUPER_B + 2 :
+    ]
     g = pl.program_id(0)
-    b_super_blk = bases_ref[g * 2 + 1] * 8  # absolute block of b0_ref
+    b_super_blk = bases_ref[g * 2 + 1] * 8  # absolute block of b_refs[0]
     # Stage the super-windows field-major in scratch so subtile windows
     # become dynamically-offset *ref* slices (Mosaic has no dynamic_slice
     # on values).
     for fi, ref in enumerate((s_row, s_aval, s_jb, s_cum)):
         ref[:] = jnp.concatenate(
-            [a0_ref[0, :, fi, :], a1_ref[0, :, fi, :], a2_ref[0, :, fi, :]],
-            axis=0,
+            [ar[0, :, fi, :] for ar in a_refs], axis=0
         )
     for fi, ref in enumerate((s_bcol, s_bval)):
         ref[:] = jnp.concatenate(
-            [b0_ref[0, :, fi, :], b1_ref[0, :, fi, :], b2_ref[0, :, fi, :]],
-            axis=0,
+            [br[0, :, fi, :] for br in b_refs], axis=0
         )
     n_cols = tab_ref[0, 0, 5]
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, _BLK), 0)
@@ -183,8 +176,8 @@ def expand_gather_packed(
                 memory_space=pltpu.VMEM,
             ),
         ]
-        + [_clamp_spec("a", i, nab8, 4) for i in range(SUPER)]
-        + [_clamp_spec("b", i, nbb8, 2) for i in range(SUPER)],
+        + [_clamp_spec("a", i, nab8, 4) for i in range(SUPER_A)]
+        + [_clamp_spec("b", i, nbb8, 2) for i in range(SUPER_B)],
         out_specs=[
             pl.BlockSpec(
                 (1, rows_out, _BLK),
@@ -193,7 +186,8 @@ def expand_gather_packed(
             )
         ]
         * 2,
-        scratch_shapes=[pltpu.VMEM((8 * SUPER, _BLK), jnp.int32)] * 6,
+        scratch_shapes=[pltpu.VMEM((8 * SUPER_A, _BLK), jnp.int32)] * 4
+        + [pltpu.VMEM((8 * SUPER_B, _BLK), jnp.int32)] * 2,
     )
     keys, vals = pl.pallas_call(
         _expand_gather_kernel,
@@ -203,7 +197,7 @@ def expand_gather_packed(
             jax.ShapeDtypeStruct((ngroups, rows_out, _BLK), jnp.float32),
         ],
         interpret=interpret,
-    )(bases, table, a_pack, a_pack, a_pack, b_pack, b_pack, b_pack)
+    )(bases, table, *([a_pack] * SUPER_A), *([b_pack] * SUPER_B))
     n = ngroups * rows_out * _BLK
     return keys.reshape(n), vals.reshape(n)
 
@@ -211,23 +205,23 @@ def expand_gather_packed(
 def expand_gather_slabbed(
     dev: dict, ngroups: int, interpret: bool = False
 ):
-    """Run the gather expand as fixed-shape slab calls (``GROUP_SLAB``
-    groups each) so the executable is compiled once and reused across
-    operands and workloads; returns lists of (keys, vals) streams."""
-    from outerspace_tpu.sched.gplanner import GROUP_SLAB
+    """Run the gather expand as fixed-shape slab calls (whole
+    ``GROUP_SLAB`` slabs plus {slab/2, slab/4} coarse tails — see
+    ``gplanner.group_slab_layout``) so executables are compiled once
+    and reused across operands; returns lists of (keys, vals) streams."""
+    from outerspace_tpu.sched.gplanner import group_slab_layout
 
-    slab = GROUP_SLAB if ngroups >= GROUP_SLAB else ngroups
     keys_l, vals_l = [], []
-    for g0 in range(0, ngroups, slab):
+    for g0, size in group_slab_layout(ngroups):
         k, v = expand_gather_packed(
-            jax.lax.slice(dev["bases"], (g0 * 2,), ((g0 + slab) * 2,)),
+            jax.lax.slice(dev["bases"], (g0 * 2,), ((g0 + size) * 2,)),
             jax.lax.slice(
                 dev["table"], (g0, 0, 0),
-                (g0 + slab, dev["table"].shape[1], dev["table"].shape[2]),
+                (g0 + size, dev["table"].shape[1], dev["table"].shape[2]),
             ),
             dev["a_pack"],
             dev["b_pack"],
-            ngroups=slab,
+            ngroups=size,
             interpret=interpret,
         )
         keys_l.append(k)

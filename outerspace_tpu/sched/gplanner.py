@@ -34,8 +34,15 @@ SUB_P = 1024  # products per subtile (one (8,128) output vreg-tile)
 GROUP_SUBS = 8  # subtiles per grid step
 GROUP_SLAB = 128  # groups per kernel call (fixed-shape executable slabs)
 A_WIN = 2  # A-window blocks per subtile (256 candidates)
-B_WIN = 3  # B-window blocks per subtile (384 elements)
-SUPER = 3  # super-window fetch: 3 refs of 8 blocks = 24 blocks per side
+B_WIN = 3  # B-window blocks per subtile (384 elements; measured: even
+#            the ER regime's subtiles span ~1-2 blocks because elements
+#            of one k share jb — widening to 9 changed nothing but the
+#            select-chain cost, so 3 stays)
+# Super-window fetch refs (8 blocks each) per grid step, per side (the
+# kernel is generic over both counts).
+SUPER_A = 3
+SUPER_B = 3
+SUPER = SUPER_A  # back-compat alias (A-side)
 _BLK = 128
 
 
@@ -60,6 +67,35 @@ class GatherPlan:
     #   [2]=cum0 (cumprod at window base offset), [3]=plen,
     #   [4]=p0 (absolute product index of subtile start)
     table: np.ndarray
+
+
+def group_slab_layout(ngroups: int) -> list[tuple[int, int]]:
+    """Kernel calls as (group_start, call_size) over a (possibly padded)
+    group count: whole ``GROUP_SLAB`` slabs + coarse tails from the
+    fixed set {slab/2, slab/4}, or one bucketed call for small plans.
+    Deterministic from the padded total, so the device loop can derive
+    the same layout from ``plan.ngroups`` alone."""
+    if ngroups <= 0:
+        return []
+    granule = GROUP_SLAB // 4
+    if ngroups < granule:
+        from outerspace_tpu.ops.symbolic import round_up_bucket
+
+        return [(0, round_up_bucket(ngroups, min_size=1))]
+    full = ngroups // GROUP_SLAB
+    layout = [(i * GROUP_SLAB, GROUP_SLAB) for i in range(full)]
+    pos = full * GROUP_SLAB
+    rem_g = -(-(ngroups - pos) // granule)  # 0..4 granules
+    if rem_g >= 4:
+        layout.append((pos, GROUP_SLAB))
+        return layout
+    if rem_g >= 2:
+        layout.append((pos, 2 * granule))
+        pos += 2 * granule
+        rem_g -= 2
+    if rem_g:
+        layout.append((pos, granule))
+    return layout
 
 
 def plan_gather(
@@ -128,8 +164,8 @@ def plan_gather(
             a0, b0 = a_lo, b_lo
             fits = (
                 len(cur) < GROUP_SUBS
-                and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER
-                and bl + B_WIN <= (b0 // 8) * 8 + 8 * SUPER
+                and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER_A
+                and bl + B_WIN <= (b0 // 8) * 8 + 8 * SUPER_B
             )
             if not fits:
                 groups.append(cur)
@@ -139,15 +175,16 @@ def plan_gather(
         cur.append(t)
     if cur:
         groups.append(cur)
-    # Pad the group count so the kernel runs as fixed-shape slab calls
-    # whose executables are shared across operands (empty groups emit
-    # pure sentinel padding); small plans use one bucketed call.
-    from outerspace_tpu.ops.symbolic import round_up_bucket
+    # Pad the group count to the coarse slab layout (whole GROUP_SLAB
+    # slabs + {slab/2, slab/4} tails from a fixed shape set — empty
+    # groups emit pure sentinel padding). Round-up-to-whole-slabs wasted
+    # up to 24% of the output stream on ER-shaped plans (409 real groups
+    # → 512); the fixed tail set bounds that at slab/8 average while
+    # keeping the executable count suite-bounded. Small plans use one
+    # bucketed call.
+    ngroups = sum(size for _, size in group_slab_layout(len(groups)))
 
-    if len(groups) >= GROUP_SLAB:
-        ngroups = -(-len(groups) // GROUP_SLAB) * GROUP_SLAB
-    else:
-        ngroups = round_up_bucket(len(groups), min_size=1)
+    from outerspace_tpu.ops.symbolic import round_up_bucket
 
     # --- stage device arrays ---
     def _pack_fields(fields, blocks_pad):
@@ -178,7 +215,7 @@ def plan_gather(
         nab,
     )
     nnz_b = b_cols.shape[0]
-    nbb = -(-nnz_b // _BLK) + (8 * SUPER)
+    nbb = -(-nnz_b // _BLK) + (8 * SUPER_B)
     nbb = round_up_bucket(-(-nbb // 8) * 8, min_size=8)
     nbb = -(-nbb // 8) * 8
     b_pack = _pack_fields(

@@ -87,19 +87,22 @@ def test_gexpand_stream_exactness():
 
 
 def test_gexpand_wide_rows_fall_back():
-    # A matrix with one very wide B row: those elements must route to the
-    # fallback plan, and the combined result must stay exact.
-    rows = np.concatenate([np.zeros(600, np.int64), [1, 2, 3]])
-    cols = np.concatenate([np.arange(600), [5, 6, 7]])
-    vals = np.ones(603, np.float32)
+    # A matrix with one B row wider than the (B_WIN-1)*128 window bound:
+    # those elements must route to the fallback plan, and the combined
+    # result must stay exact.
+    from outerspace_tpu.sched.gplanner import B_WIN
+
+    wide = (B_WIN - 1) * 128 + 76  # just past the window bound
+    rows = np.concatenate([np.zeros(wide, np.int64), [1, 2, 3]])
+    cols = np.concatenate([np.arange(wide), [5, 6, 7]])
+    vals = np.ones(wide + 3, np.float32)
     from outerspace_tpu.formats import COO
 
-    b = COO((10, 700), np.concatenate([[0] * 600, [1, 2, 3]]).astype(np.int64),
-            cols, vals)
+    b = COO((10, wide + 100), rows, cols, vals)
     a = COO((4, 10), [0, 1, 2, 3], [0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0])
     a_csc, b_csr = a.to_csc(), b.to_csr()
     plan, fb_plan = plan_gather_from_csr(a_csc, b_csr)
-    assert fb_plan is not None and fb_plan.expansion_size == 600
+    assert fb_plan is not None and fb_plan.expansion_size == wide
     got = _gexpand_spgemm(a, b)
     assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-6)
 
