@@ -266,7 +266,7 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
                 dev["p_real_total"] = jnp.int32(p.p_real)
                 dev["bases"] = dev["bases"] + bump_i
                 out = _part_device(
-                    dev, ngroups=p.ngroups,
+                    dev, ngroups=p.ngroups, b_win=p.b_win,
                     merge_pad=p.merge_pad, n_cols=plan.n,
                     sentinel_row=p.span, max_run=p.max_run,
                 )

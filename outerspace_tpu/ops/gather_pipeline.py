@@ -32,6 +32,7 @@ from outerspace_tpu.ops.spgemm import (
 )
 from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import (
+    WIDE_B_WIN,
     plan_gather_ranges,
     row_partition,
 )
@@ -41,6 +42,7 @@ from outerspace_tpu.sched.gplanner import (
 class GatherPart:
     row_base: int
     span: int
+    b_win: int  # B-window blocks (kernel variant) this part planned with
     ngroups: int
     p_out: int  # gather stream length
     p_real: int
@@ -74,16 +76,58 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
     bounds = row_partition(a_csc, b_csr)
     nbv = b_csr.major_nnz().astype(np.int64)
     b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
+    b_cols_all = np.asarray(b_csr.indices)
+    b_vals_all = np.asarray(b_csr.data)
     ks = np.nonzero(nbv > 0)[0].astype(np.int64)
+    multi = len(bounds) > 2
+    a_rows_all = np.asarray(a_csc.indices)
+    a_k_all = np.repeat(
+        np.arange(a_csc.shape[1], dtype=np.int64),
+        a_csc.major_nnz().astype(np.int64),
+    )
     parts = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         lo, hi = int(lo), int(hi)
-        plan = plan_gather_ranges(
-            a_csc, ks, b_ptr[ks], nbv[ks],
-            np.asarray(b_csr.indices), np.asarray(b_csr.data), m, n,
-            row_range=(lo, hi) if len(bounds) > 2 else None,
-            row_base=lo,
-        )
+        if multi:
+            # Per-part COMPACTED B: only the k's with at least one
+            # in-range A element keep their rows, laid out contiguously.
+            # Without this, k's whose elements all fall outside the row
+            # range leave jb gaps that the subtile B-span constraint
+            # charges against every window — er100k's parts lost ~18%
+            # subtile fill to them. Also cuts per-part b_pack staging.
+            sel = (a_rows_all >= lo) & (a_rows_all < hi)
+            ks_ref = np.unique(a_k_all[sel])
+            ks_ref = ks_ref[nbv[ks_ref] > 0]
+            if ks_ref.shape[0] == 0:
+                continue
+            nb_ref = nbv[ks_ref]
+            jb_sub = np.zeros(ks_ref.shape[0], dtype=np.int64)
+            np.cumsum(nb_ref[:-1], out=jb_sub[1:])
+            flat_keep = np.concatenate(
+                [np.arange(b_ptr[k], b_ptr[k] + nbv[k]) for k in ks_ref]
+            ) if ks_ref.shape[0] < 4096 else None
+            if flat_keep is None:
+                # vectorised flat selection for large k sets
+                row_of_flat = np.repeat(
+                    np.arange(nbv.shape[0], dtype=np.int64), nbv
+                )
+                keep_mask = np.zeros(nbv.shape[0], dtype=bool)
+                keep_mask[ks_ref] = True
+                flat_keep = np.nonzero(keep_mask[row_of_flat])[0]
+            # the compacted jb advances ~1 position per product, so a
+            # full subtile spans up to ~(SUB_P/2) lanes: plan with the
+            # wide window variant to keep subtiles ~full
+            plan = plan_gather_ranges(
+                a_csc, ks_ref, jb_sub, nb_ref,
+                b_cols_all[flat_keep], b_vals_all[flat_keep], m, n,
+                row_range=(lo, hi), row_base=lo, b_win=WIDE_B_WIN,
+            )
+        else:
+            plan = plan_gather_ranges(
+                a_csc, ks, b_ptr[ks], nbv[ks],
+                b_cols_all, b_vals_all, m, n,
+                row_base=lo,
+            )
         if plan is None:
             continue
         dev = {}
@@ -100,6 +144,7 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
             GatherPart(
                 row_base=lo,
                 span=hi - lo,
+                b_win=plan.b_win,
                 ngroups=ngroups,
                 p_out=p_out,
                 p_real=p_real,
@@ -114,7 +159,7 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ngroups", "merge_pad", "n_cols", "sentinel_row",
+        "ngroups", "b_win", "merge_pad", "n_cols", "sentinel_row",
         "max_run", "interpret",
     ),
 )
@@ -122,6 +167,7 @@ def _part_device(
     dev: dict,
     *,
     ngroups: int,
+    b_win: int,
     merge_pad: int,
     n_cols: int,
     sentinel_row: int,
@@ -134,7 +180,7 @@ def _part_device(
     from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
 
     keys_l, vals_l = expand_gather_slabbed(
-        dev, ngroups, interpret=interpret
+        dev, ngroups, b_win=b_win, interpret=interpret
     )
     key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
     vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
@@ -167,6 +213,7 @@ def spgemm_gather_padded(
         r, c, v, valid, pn = _part_device(
             dev,
             ngroups=p.ngroups,
+            b_win=p.b_win,
             merge_pad=p.merge_pad,
             n_cols=plan.n,
             sentinel_row=p.span,  # relative-row sentinel within the part

@@ -62,6 +62,7 @@ def _expand_gather_kernel(
     tab_ref,  # VMEM int32[1, GROUP_SUBS, 128] per-subtile table
     *refs,  # SUPER_A a-refs (1,8,4,128), SUPER_B b-refs (1,8,2,128),
     # okey/oval outputs, then 6 scratch buffers (see pallas_call below)
+    b_win: int,
 ):
     a_refs = refs[:SUPER_A]
     b_refs = refs[SUPER_A : SUPER_A + SUPER_B]
@@ -102,8 +103,8 @@ def _expand_gather_kernel(
             )
         ][0]
         bwin = (
-            s_bcol[pl.ds(r_b, B_WIN), :],
-            s_bval[pl.ds(r_b, B_WIN), :],
+            s_bcol[pl.ds(r_b, b_win), :],
+            s_bval[pl.ds(r_b, b_win), :],
         )
         cum_w = [awin[3][i] for i in range(A_WIN)]
         p = p0 + slot
@@ -125,10 +126,10 @@ def _expand_gather_kernel(
         cum_e = _win_gather(cum_w, ow)
 
         jloc = jbase + (p - cum_e) - (b_super_blk + r_b) * _BLK
-        jloc = jnp.clip(jloc, 0, B_WIN * _BLK - 1)
-        bcol = _win_gather([bwin[0][i] for i in range(B_WIN)], jloc)
+        jloc = jnp.clip(jloc, 0, b_win * _BLK - 1)
+        bcol = _win_gather([bwin[0][i] for i in range(b_win)], jloc)
         bval = pltpu.bitcast(
-            _win_gather([bwin[1][i] for i in range(B_WIN)], jloc), jnp.float32
+            _win_gather([bwin[1][i] for i in range(b_win)], jloc), jnp.float32
         )
 
         live = slot < plen
@@ -152,7 +153,9 @@ def _clamp_spec(side: str, ref_i: int, nblocks8: int, nfields: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("ngroups", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ngroups", "b_win", "interpret")
+)
 def expand_gather_packed(
     bases: jax.Array,  # int32[ngroups*2]
     table: jax.Array,  # int32[ngroups, GROUP_SUBS, 128]
@@ -160,6 +163,7 @@ def expand_gather_packed(
     b_pack: jax.Array,  # int32[NBB/8, 8, 2, 128]
     *,
     ngroups: int,
+    b_win: int = B_WIN,
     interpret: bool = False,
 ):
     """Returns flat (keys, vals) of length ngroups·GROUP_SUBS·SUB_P."""
@@ -190,7 +194,7 @@ def expand_gather_packed(
         + [pltpu.VMEM((8 * SUPER_B, _BLK), jnp.int32)] * 2,
     )
     keys, vals = pl.pallas_call(
-        _expand_gather_kernel,
+        functools.partial(_expand_gather_kernel, b_win=b_win),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngroups, rows_out, _BLK), jnp.int32),
@@ -203,7 +207,7 @@ def expand_gather_packed(
 
 
 def expand_gather_slabbed(
-    dev: dict, ngroups: int, interpret: bool = False
+    dev: dict, ngroups: int, b_win: int = B_WIN, interpret: bool = False
 ):
     """Run the gather expand as fixed-shape slab calls (whole
     ``GROUP_SLAB`` slabs plus {slab/2, slab/4} coarse tails — see
@@ -222,6 +226,7 @@ def expand_gather_slabbed(
             dev["a_pack"],
             dev["b_pack"],
             ngroups=size,
+            b_win=b_win,
             interpret=interpret,
         )
         keys_l.append(k)

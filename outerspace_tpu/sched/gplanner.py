@@ -34,14 +34,20 @@ SUB_P = 1024  # products per subtile (one (8,128) output vreg-tile)
 GROUP_SUBS = 8  # subtiles per grid step
 GROUP_SLAB = 128  # groups per kernel call (fixed-shape executable slabs)
 A_WIN = 2  # A-window blocks per subtile (256 candidates)
-B_WIN = 3  # B-window blocks per subtile (384 elements; measured: even
-#            the ER regime's subtiles span ~1-2 blocks because elements
-#            of one k share jb — widening to 9 changed nothing but the
-#            select-chain cost, so 3 stays)
+# Default B-window blocks per subtile (384 lanes). Plans may override
+# per call: the row-split pipeline's per-part COMPACTED B makes a full
+# 1024-product ER subtile span ~300-400 compact positions, so it plans
+# with b_win=5 (WIDE_B_WIN) to keep subtiles ~full; the tiled
+# strategy's skewed residue keeps 3 (its per-k clustering makes spans
+# tiny, and each extra window block grows the kernel's B-side select
+# chain). The kernel compiles one variant per distinct b_win.
+B_WIN = 3
+WIDE_B_WIN = 5
 # Super-window fetch refs (8 blocks each) per grid step, per side (the
-# kernel is generic over both counts).
+# kernel is generic over both counts). B holds GROUP_SUBS fat subtiles
+# × ~3 blocks each plus the widest window: 5 refs = 40 blocks.
 SUPER_A = 3
-SUPER_B = 3
+SUPER_B = 5
 SUPER = SUPER_A  # back-compat alias (A-side)
 _BLK = 128
 
@@ -52,6 +58,7 @@ class GatherPlan:
 
     m: int
     n: int
+    b_win: int  # per-subtile B-window blocks (selects the kernel variant)
     ngroups: int
     p_out: int  # output stream length = nsubtiles * SUB_P
     p_real: int  # true products covered (rest sentinel-padded)
@@ -107,15 +114,19 @@ def plan_gather(
     b_vals: np.ndarray,
     m: int,
     n: int,
+    b_win: int = B_WIN,
 ) -> tuple[GatherPlan | None, np.ndarray]:
     """Build the gather plan. Returns (plan, fallback_mask) where
-    fallback_mask marks input elements the windows cannot serve."""
+    fallback_mask marks input elements the windows cannot serve.
+    ``b_win`` is the per-subtile B-window in 128-blocks (≤ SUPER_B·8
+    minus packing slack); it is recorded on the plan and selects the
+    kernel variant."""
     nA = a_rows.shape[0]
     nb = nb.astype(np.int64)
     jb = jb.astype(np.int64)
     # Window-servable elements: nonzero products, B row fits a subtile
     # window with room for alignment slack.
-    ok = (nb > 0) & (nb <= (B_WIN - 1) * _BLK)
+    ok = (nb > 0) & (nb <= (b_win - 1) * _BLK)
     fallback = ~ok & (nb > 0)
     if not ok.any():
         return None, fallback
@@ -131,7 +142,7 @@ def plan_gather(
 
     # --- earliest feasible subtile start per element (all monotone) ---
     e_p = np.searchsorted(cum, cum[1:] - SUB_P, side="left")
-    jb_floor = ((jend - 1) // _BLK - (B_WIN - 1)) * _BLK
+    jb_floor = ((jend - 1) // _BLK - (b_win - 1)) * _BLK
     e_b = np.searchsorted(jb, jb_floor, side="left")
     e_a = np.arange(nk, dtype=np.int64) - (A_WIN - 1) * _BLK
     earliest = np.maximum.reduce([e_p, e_b, np.maximum(e_a, 0)])
@@ -165,7 +176,7 @@ def plan_gather(
             fits = (
                 len(cur) < GROUP_SUBS
                 and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER_A
-                and bl + B_WIN <= (b0 // 8) * 8 + 8 * SUPER_B
+                and bl + b_win <= (b0 // 8) * 8 + 8 * SUPER_B
             )
             if not fits:
                 groups.append(cur)
@@ -241,6 +252,7 @@ def plan_gather(
     plan = GatherPlan(
         m=m,
         n=n,
+        b_win=b_win,
         ngroups=ngroups,
         p_out=ngroups * GROUP_SUBS * SUB_P,
         p_real=p_real,
@@ -261,9 +273,10 @@ def plan_gather_ranges(
     b_vals: np.ndarray,
     m: int,
     n: int,
-    chunk: int = (B_WIN - 1) * _BLK,
+    chunk: int | None = None,
     row_range: tuple[int, int] | None = None,
     row_base: int = 0,
+    b_win: int = B_WIN,
 ) -> GatherPlan | None:
     """Gather-plan arbitrary per-k flat-B ranges.
 
@@ -281,6 +294,8 @@ def plan_gather_ranges(
     nr = ranges_k.shape[0]
     if nr == 0:
         return None
+    if chunk is None:
+        chunk = (b_win - 1) * _BLK
     order = np.argsort(ranges_jb, kind="stable")
     rk = ranges_k[order].astype(np.int64)
     rjb = ranges_jb[order].astype(np.int64)
@@ -328,6 +343,7 @@ def plan_gather_ranges(
         b_vals,
         m,
         n,
+        b_win=b_win,
     )
     assert not fb.any(), "chunked ranges must be window-servable"
     return plan
