@@ -311,12 +311,19 @@ def mcl_prepare(
     if iters < 1:
         raise ValueError("mcl_prepare stages >= 1 iteration; iters=0 is a no-op")
     tplan = plan_tiled(flow.to_csc(), flow)
+    from outerspace_tpu.sched.sizing_cache import workload_key
+
+    sizing_key = workload_key(
+        (np.asarray(flow.indptr), np.asarray(flow.indices)),
+        ("mcl", n, float(inflation), int(iters), float(prune_threshold)),
+    )
     return {
         "tplan": tplan,
         "n": n,
         "inflation": float(inflation),
         "iters": int(iters),
         "threshold": float(prune_threshold),
+        "sizing_key": sizing_key,
     }
 
 
@@ -346,6 +353,16 @@ def mcl_run(prep):
     inflation, iters, threshold = (
         prep["inflation"], prep["iters"], prep["threshold"],
     )
+    from outerspace_tpu.sched import sizing_cache
+
+    if "p_pad" not in prep and "sizing_key" in prep:
+        # warm path: budgets learned on a previous process for this
+        # exact workload skip the sizing pass (the ok flag still guards)
+        cached = sizing_cache.lookup(prep["sizing_key"])
+        if cached and "p_pad" in cached and "nnz_pad" in cached:
+            prep["p_pad"] = cached["p_pad"]
+            prep["nnz_pad"] = cached["nnz_pad"]
+            prep["sizing_cached"] = True
     if "p_pad" not in prep:
         # sizing pass: one eager first squaring + inflation is enough to
         # learn the static loop sizes (nnz only shrinks under inflation
@@ -367,6 +384,11 @@ def mcl_run(prep):
             max(int(p1 * 1.5) + 4096, nnz1_h, 4096), min_size=4096
         )
         prep["nnz_pad"] = round_up_bucket(max(nnz1_h, 1), min_size=1024)
+        if "sizing_key" in prep:
+            sizing_cache.store(
+                prep["sizing_key"],
+                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"]},
+            )
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
@@ -400,6 +422,12 @@ def mcl_run(prep):
             min_size=1024,
         )
         prep.pop("program", None)
+        prep.pop("sizing_cached", None)
+        if "sizing_key" in prep:
+            sizing_cache.store(
+                prep["sizing_key"],
+                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"]},
+            )
         return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz
     return MergedCOO((n, n), r, c, v, valid, nnz)

@@ -491,6 +491,9 @@ class TiledPlan:
     gather_ngroups: int = 0
     gather_p_out: int = 0
     gather_p_real: int = 0
+    # B-window (in 128-blocks) the gather residue planned with; selects
+    # the gexpand kernel variant, so it must travel with the plan.
+    gather_b_win: int = 0
 
     @property
     def padded_total(self) -> int:
@@ -526,7 +529,7 @@ def plan_tiled(
     }
     light_plan = None
     light_pad = 0
-    gather_ngroups = gather_p_out = gather_p_real = 0
+    gather_ngroups = gather_p_out = gather_p_real = gather_b_win = 0
     m, n = a_csc.shape[0], b_csr.shape[1]
     if m * n <= 2**32 and (
         cp.light_k.shape[0] > 0 or cp.edge_k.shape[0] > 0
@@ -557,6 +560,7 @@ def plan_tiled(
             gather_ngroups = gplan.ngroups
             gather_p_out = gplan.p_out
             gather_p_real = gplan.p_real
+            gather_b_win = gplan.b_win
     elif cp.light_k.shape[0] > 0 and cp.light_p > 0:
         light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
         if light_plan is not None:
@@ -579,6 +583,7 @@ def plan_tiled(
         gather_ngroups=gather_ngroups,
         gather_p_out=gather_p_out,
         gather_p_real=gather_p_real,
+        gather_b_win=gather_b_win,
     )
 
 
@@ -657,7 +662,7 @@ def spgemm_padded_tiled(
 
             gk, gv = expand_gather_slabbed(
                 tplan.device_args["gather"], tplan.gather_ngroups,
-                interpret=interpret,
+                b_win=tplan.gather_b_win, interpret=interpret,
             )
             keys_l.extend(gk)
             vals_l.extend(gv)
@@ -706,7 +711,7 @@ def spgemm_padded_tiled(
 
             gk, gv = expand_gather_slabbed(
                 tplan.device_args["gather"], tplan.gather_ngroups,
-                interpret=interpret,
+                b_win=tplan.gather_b_win, interpret=interpret,
             )
             for k, v in zip(gk, gv):
                 gr, gc = unpack_key_biased(k, n_cols)

@@ -114,9 +114,14 @@ def _class_totals(
     assigned = np.zeros(na.shape[0], dtype=bool)
     padded_cls = [0] * len(TILE_A_CLASSES)
     for ci, ta in enumerate(TILE_A_CLASSES):
-        padded = (-(-na // ta)) * ta * (-(-(nb + b_mis) // TILE_B)) * TILE_B
+        # Decision rule mirrors plan_outer_classes exactly (aligned
+        # padding, no b_mis) so the waste-grid search optimizes the
+        # assignment the planner will actually execute; the *cost*
+        # charged is the real staged footprint incl. misalignment.
+        padded = (-(-na // ta)) * ta * (-(-nb // TILE_B)) * TILE_B
+        cost = (-(-na // ta)) * ta * (-(-(nb + b_mis) // TILE_B)) * TILE_B
         ok = nonzero & ~assigned & (padded <= waste_limit * prod)
-        padded_cls[ci] += int(padded[ok].sum())
+        padded_cls[ci] += int(cost[ok].sum())
         assigned |= ok
     gather_p = 0
     if gather_edges:

@@ -300,6 +300,15 @@ def plan_gather_ranges(
     rk = ranges_k[order].astype(np.int64)
     rjb = ranges_jb[order].astype(np.int64)
     rlen = ranges_len[order].astype(np.int64)
+    # The downstream plan_gather searchsorted needs the per-chunk jb
+    # stream monotone, which sorting range *starts* only guarantees for
+    # disjoint ranges. Every current caller passes non-overlapping
+    # flat-B ranges; fail loudly rather than mis-window if that changes.
+    if nr > 1 and not (rjb[1:] >= rjb[:-1] + rlen[:-1]).all():
+        raise ValueError(
+            "plan_gather_ranges requires disjoint flat-B ranges "
+            "(overlap would break the monotone-window invariant)"
+        )
     na = a_csc.major_nnz().astype(np.int64)
     a_ptr = np.asarray(a_csc.indptr).astype(np.int64)
 

@@ -6,8 +6,13 @@ real TPU hardware via ``xla_force_host_platform_device_count`` — the same
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests must not pollute the repo's committed sizing cache.
+os.environ["OUTERSPACE_SIZING_CACHE"] = os.path.join(
+    tempfile.gettempdir(), "outerspace_test_sizing_cache.json"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
