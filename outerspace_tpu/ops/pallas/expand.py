@@ -230,6 +230,77 @@ def expand_tiles_coords(
     return rows.reshape(n), cols.reshape(n), vals.reshape(n)
 
 
+def b_blocks_host(
+    b_csr_cols: np.ndarray,
+    b_csr_vals: np.ndarray,
+    nblocks_pad: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-pad flat B arrays into (nblocks_pad, TILE_B) block form.
+
+    ``nblocks_pad=None`` buckets the block count (executable sharing);
+    an explicit value (a multiple of ``_A_GROUP`` ≥ the natural count)
+    pins it — the sharded path uses this to stack per-device shards to
+    one common shape.
+    """
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+
+    nnz_b = b_csr_cols.shape[0]
+    nblocks = -(-max(nnz_b, 1) // TILE_B)
+    if nblocks_pad is None:
+        nblocks_pad = round_up_bucket(
+            -(-nblocks // _A_GROUP) * _A_GROUP, min_size=_A_GROUP
+        )
+        nblocks_pad = -(-nblocks_pad // _A_GROUP) * _A_GROUP
+    elif nblocks_pad < nblocks or nblocks_pad % _A_GROUP:
+        raise ValueError(
+            f"nblocks_pad={nblocks_pad} must be a multiple of {_A_GROUP} "
+            f">= the natural block count {nblocks}"
+        )
+    pad_b = nblocks_pad * TILE_B - nnz_b
+    cols_p = np.pad(b_csr_cols, (0, pad_b)).reshape(nblocks_pad, TILE_B)
+    vals_p = np.pad(b_csr_vals, (0, pad_b)).reshape(nblocks_pad, TILE_B)
+    return cols_p.astype(np.int32), vals_p.astype(np.float32)
+
+
+def schedule_to_host(
+    sched: OuterProductSchedule,
+    ntasks_pad: int | None = None,
+) -> dict[str, np.ndarray]:
+    """One class's padded task table as host arrays (no B staging).
+
+    ``ntasks_pad=None`` uses the schedule's own slab layout; an explicit
+    value (a multiple of ``_A_GROUP`` ≥ ntasks) pins the padded count —
+    the sharded path uses this so every device's table stacks to one
+    common shape. Empty padding tasks (a_len = 0) emit pure sentinel
+    output.
+    """
+    ntasks = sched.ntasks
+    if ntasks_pad is None:
+        ntasks_pad = sched.ntasks_padded
+    elif ntasks_pad < ntasks or ntasks_pad % _A_GROUP:
+        raise ValueError(
+            f"ntasks_pad={ntasks_pad} must be a multiple of {_A_GROUP} "
+            f">= ntasks {ntasks}"
+        )
+    tile_a = sched.tile_a
+    pad_t = ntasks_pad - ntasks
+    tasks = np.zeros((ntasks_pad, 4), np.int32)
+    if ntasks:
+        tasks[:ntasks] = np.stack(
+            [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
+        ).astype(np.int32)
+    a_rows_t = np.pad(sched.a_rows_t, ((0, pad_t), (0, 0)))
+    a_vals_t = np.pad(sched.a_vals_t, ((0, pad_t), (0, 0)))
+    if a_rows_t.shape[0] == 0:
+        a_rows_t = np.zeros((max(ntasks_pad, _A_GROUP), tile_a), np.int32)
+        a_vals_t = np.zeros((max(ntasks_pad, _A_GROUP), tile_a), np.float32)
+    return dict(
+        tasks=tasks.reshape(-1),
+        a_rows_t=a_rows_t.astype(np.int32),
+        a_vals_t=a_vals_t.astype(np.float32),
+    )
+
+
 def schedule_to_device(
     sched: OuterProductSchedule,
     b_csr_cols: np.ndarray,
@@ -243,35 +314,12 @@ def schedule_to_device(
     output. B arrays pad to a bucketed block count (memory-only waste)
     for the same executable-sharing reason.
     """
-    from outerspace_tpu.ops.symbolic import round_up_bucket
-
-    ntasks = sched.ntasks
-    ntasks_pad = sched.ntasks_padded
-    tile_a = sched.tile_a
-    pad_t = ntasks_pad - ntasks
-    tasks = np.zeros((ntasks_pad, 4), np.int32)
-    if ntasks:
-        tasks[:ntasks] = np.stack(
-            [sched.a_len, sched.b_block, sched.b_lo, sched.b_hi], axis=1
-        ).astype(np.int32)
-    a_rows_t = np.pad(sched.a_rows_t, ((0, pad_t), (0, 0)))
-    a_vals_t = np.pad(sched.a_vals_t, ((0, pad_t), (0, 0)))
-    if a_rows_t.shape[0] == 0:
-        a_rows_t = np.zeros((_A_GROUP, tile_a), np.int32)
-        a_vals_t = np.zeros((_A_GROUP, tile_a), np.float32)
-    nnz_b = b_csr_cols.shape[0]
-    nblocks = -(-max(nnz_b, 1) // TILE_B)
-    nblocks_pad = round_up_bucket(
-        -(-nblocks // _A_GROUP) * _A_GROUP, min_size=_A_GROUP
-    )
-    nblocks_pad = -(-nblocks_pad // _A_GROUP) * _A_GROUP
-    pad_b = nblocks_pad * TILE_B - nnz_b
-    cols_p = np.pad(b_csr_cols, (0, pad_b)).reshape(nblocks_pad, TILE_B)
-    vals_p = np.pad(b_csr_vals, (0, pad_b)).reshape(nblocks_pad, TILE_B)
+    host = schedule_to_host(sched)
+    cols_p, vals_p = b_blocks_host(b_csr_cols, b_csr_vals)
     return dict(
-        tasks=jnp.asarray(tasks.reshape(-1)),
-        a_rows_t=jnp.asarray(a_rows_t.astype(np.int32)),
-        a_vals_t=jnp.asarray(a_vals_t.astype(np.float32)),
-        b_cols_blk=jnp.asarray(cols_p.astype(np.int32)),
-        b_vals_blk=jnp.asarray(vals_p.astype(np.float32)),
+        tasks=jnp.asarray(host["tasks"]),
+        a_rows_t=jnp.asarray(host["a_rows_t"]),
+        a_vals_t=jnp.asarray(host["a_vals_t"]),
+        b_cols_blk=jnp.asarray(cols_p),
+        b_vals_blk=jnp.asarray(vals_p),
     )

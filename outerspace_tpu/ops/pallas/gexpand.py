@@ -234,17 +234,46 @@ def expand_gather_slabbed(
     return keys_l, vals_l
 
 
+def gather_plan_to_host(
+    plan: GatherPlan,
+    ngroups_pad: int | None = None,
+    nab8_pad: int | None = None,
+    nbb8_pad: int | None = None,
+) -> dict[str, np.ndarray]:
+    """A GatherPlan's kernel arrays as host arrays (packs reshaped to
+    8-block refs). Explicit pad targets (≥ the natural sizes) let the
+    sharded path stack per-device plans to one common shape: padding
+    groups are all-zero table rows (plen = 0 ⇒ pure sentinel output),
+    padding pack blocks are zeros (reads are clamped in-bounds)."""
+    nab8 = plan.a_pack.shape[0] // 8
+    nbb8 = plan.b_pack.shape[0] // 8
+    g = plan.ngroups
+    if ngroups_pad is None:
+        ngroups_pad = g
+    if nab8_pad is None:
+        nab8_pad = nab8
+    if nbb8_pad is None:
+        nbb8_pad = nbb8
+    if ngroups_pad < g or nab8_pad < nab8 or nbb8_pad < nbb8:
+        raise ValueError("pad targets must cover the natural sizes")
+    table = np.zeros((ngroups_pad, GROUP_SUBS, _BLK), np.int32)
+    table[:g] = plan.table
+    table[:, :, 5] = plan.n  # n_cols broadcast into the table
+    bases = np.zeros((ngroups_pad, 2), np.int32)
+    bases[:g] = plan.bases
+    a_pack = np.zeros((nab8_pad, 8, 4, _BLK), np.int32)
+    a_pack[:nab8] = plan.a_pack.reshape(nab8, 8, 4, _BLK)
+    b_pack = np.zeros((nbb8_pad, 8, 2, _BLK), np.int32)
+    b_pack[:nbb8] = plan.b_pack.reshape(nbb8, 8, 2, _BLK)
+    return dict(
+        bases=bases.reshape(-1),
+        table=table,
+        a_pack=a_pack,
+        b_pack=b_pack,
+    )
+
+
 def gather_plan_to_device(plan: GatherPlan) -> dict[str, jax.Array]:
     """Ship a GatherPlan's arrays (a/b packs reshaped to 8-block refs)."""
-    nab = plan.a_pack.shape[0]
-    nbb = plan.b_pack.shape[0]
-    n_cols_lane = np.zeros((plan.ngroups, GROUP_SUBS, 1), np.int32)
-    table = plan.table.copy()
-    table[:, :, 5] = plan.n  # n_cols broadcast into the table
-    del n_cols_lane
-    return dict(
-        bases=jnp.asarray(plan.bases.reshape(-1)),
-        table=jnp.asarray(table),
-        a_pack=jnp.asarray(plan.a_pack.reshape(nab // 8, 8, 4, _BLK)),
-        b_pack=jnp.asarray(plan.b_pack.reshape(nbb // 8, 8, 2, _BLK)),
-    )
+    host = gather_plan_to_host(plan)
+    return {k: jnp.asarray(v) for k, v in host.items()}

@@ -12,3 +12,8 @@ from outerspace_tpu.shard.spgemm_sharded import (  # noqa: F401
     shard_plan,
     spgemm_sharded,
 )
+from outerspace_tpu.shard.tiled import (  # noqa: F401
+    shard_plan_tiled,
+    sharded_tiled_to_csr,
+    spgemm_sharded_tiled,
+)

@@ -35,8 +35,9 @@ from outerspace_tpu.formats.csr import CSC, CSR
 from outerspace_tpu.ops.spgemm import (
     _I32_MAX,
     expand_partial_products,
-    merge_packed_keys,
+    merge_biased_keys,
     merge_twokey,
+    pack_key_biased,
 )
 from outerspace_tpu.ops.symbolic import (
     expansion_plan_subset,
@@ -142,7 +143,7 @@ def shard_plan(a_csc: CSC, b_csr: CSR, ndev: int) -> ShardedPlan:
         b_indptr=np.asarray(b_csr.indptr, dtype=np.int32),
         b_cols=np.asarray(b_csr.indices, dtype=np.int32),
         b_vals=np.asarray(b_csr.data, dtype=np.float32),
-        packed=bool(m * n < 2**31),
+        packed=bool(m * n < 2**32),
         max_run=1
         << (
             max(
@@ -198,17 +199,19 @@ def _local_shard_fn(
         send_v.reshape(ndev, capacity), axis, 0, 0, tiled=False
     ).reshape(ndev * capacity)
     # ---- local merge of owned rows ----
-    # Single-key packed sort where m·n fits int32 (the known-faster
-    # variant the single-chip pipeline prefers); max_run truncates the
-    # segmented scan either way.
+    # Biased-uint32 single-key merge (m·n < 2³²) with the single-pass
+    # Pallas epilogue on TPU — the single-chip pipeline's merge, with a
+    # device-exact pad count; two-key variadic sort otherwise.
     if packed:
+        valid_r = recv_r < sentinel_row
         key = jnp.where(
-            recv_r < sentinel_row,
-            recv_r * np.int32(n_cols) + recv_c,
-            _I32_MAX,
+            valid_r, pack_key_biased(recv_r, recv_c, n_cols), _I32_MAX
         )
-        mr, mc, mv, mvalid, nnz = merge_packed_keys(
-            key, recv_v, n_cols, _I32_MAX, max_run
+        pad = jnp.int32(recv_r.shape[0]) - jnp.sum(
+            valid_r.astype(jnp.int32)
+        )
+        mr, mc, mv, mvalid, nnz = merge_biased_keys(
+            key, recv_v, n_cols, sentinel_row, max_run, pad_count=pad
         )
     else:
         mr, mc, mv, mvalid, nnz = merge_twokey(
@@ -335,9 +338,8 @@ def shard_plan_2d(a_csc: CSC, b_csr: CSR, kx: int, ny: int) -> ShardedPlan2D:
     col_bounds = balanced_contiguous_partition(col_hist, ny)
     rows_per_dev = -(-m // kx)
 
-    b_ptr = np.asarray(b_csr.indptr)
-    b_cols_all = np.asarray(b_csr.indices, dtype=np.int64)
-    b_vals_all = np.asarray(b_csr.data, dtype=np.float32)
+    from outerspace_tpu.shard.tiled import slice_b_rows_cols
+
     a_ptr = np.asarray(a_csc.indptr)
     a_rows_all = np.asarray(a_csc.indices)
     a_vals_all = np.asarray(a_csc.data, dtype=np.float32)
@@ -363,23 +365,13 @@ def shard_plan_2d(a_csc: CSC, b_csr: CSR, kx: int, ny: int) -> ShardedPlan2D:
         max_nnz_a = max(max_nnz_a, a_rows_i.shape[0])
         for j in range(ny):
             c_lo, c_hi = int(col_bounds[j]), int(col_bounds[j + 1])
-            # B shard: rows [k_lo, k_hi), cols [c_lo, c_hi)
-            rows_sel = []
-            ptr_loc = np.zeros(kloc + 1, dtype=np.int64)
-            for kk in range(k_lo, k_hi):
-                s, e = int(b_ptr[kk]), int(b_ptr[kk + 1])
-                cols_k = b_cols_all[s:e]
-                sel = (cols_k >= c_lo) & (cols_k < c_hi)
-                idx = np.nonzero(sel)[0] + s
-                rows_sel.append(idx)
-                ptr_loc[kk - k_lo + 1] = ptr_loc[kk - k_lo] + idx.shape[0]
-            sel_idx = (
-                np.concatenate(rows_sel)
-                if rows_sel
-                else np.zeros(0, np.int64)
-            )
-            b_cols_ij = b_cols_all[sel_idx].astype(np.int32)
-            b_vals_ij = b_vals_all[sel_idx]
+            # B shard: rows [k_lo, k_hi), cols [c_lo, c_hi) — one
+            # vectorised mask + bincount (shard.tiled.slice_b_rows_cols),
+            # no per-k Python loop.
+            b_sl = slice_b_rows_cols(b_csr, k_lo, k_hi, c_lo, c_hi)
+            ptr_loc = np.asarray(b_sl.indptr, dtype=np.int64)
+            b_cols_ij = np.asarray(b_sl.indices).astype(np.int32)
+            b_vals_ij = np.asarray(b_sl.data).astype(np.float32)
             counts = ptr_loc[a_k_i + 1] - ptr_loc[a_k_i]
             offs = np.zeros(a_k_i.shape[0] + 1, dtype=np.int64)
             np.cumsum(counts, out=offs[1:])
@@ -477,13 +469,15 @@ def _local_shard_fn_2d(
         send_v.reshape(kx, capacity), axis, 0, 0, tiled=False
     ).reshape(kx * capacity)
     if packed:
+        valid_r = recv_r < sentinel_row
         key = jnp.where(
-            recv_r < sentinel_row,
-            recv_r * np.int32(n_cols) + recv_c,
-            _I32_MAX,
+            valid_r, pack_key_biased(recv_r, recv_c, n_cols), _I32_MAX
         )
-        mr, mc, mv, mvalid, nnz = merge_packed_keys(
-            key, recv_v, n_cols, _I32_MAX, max_run
+        pad = jnp.int32(recv_r.shape[0]) - jnp.sum(
+            valid_r.astype(jnp.int32)
+        )
+        mr, mc, mv, mvalid, nnz = merge_biased_keys(
+            key, recv_v, n_cols, sentinel_row, max_run, pad_count=pad
         )
     else:
         mr, mc, mv, mvalid, nnz = merge_twokey(
@@ -512,7 +506,7 @@ def spgemm_sharded_2d(plan: ShardedPlan2D, mesh: Mesh,
         capacity=plan.capacity,
         axis=ax,
         n_cols=plan.n,
-        packed=bool(plan.m * plan.n < 2**31),
+        packed=bool(plan.m * plan.n < 2**32),
         max_run=plan.max_run,
     )
     sharded = shard_map(

@@ -140,3 +140,99 @@ class TestSharded2D:
                 nb = int(plan.b_indptr[i, j, -1])
                 total += nb
         assert total == g.nnz
+
+
+class TestShardedTiled:
+    """The Pallas-kernel sharded path (shard.tiled): the single-chip
+    tile/gather kernels run per device under shard_map (VERDICT r2 #4)."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        return make_mesh((8,), ("x",))
+
+    @pytest.fixture(scope="class")
+    def mesh42(self):
+        return make_mesh((4, 2), ("x", "y"))
+
+    def _run(self, a, b, mesh, kx, ny=1):
+        from outerspace_tpu.shard.tiled import (
+            shard_plan_tiled,
+            sharded_tiled_to_csr,
+            spgemm_sharded_tiled,
+        )
+
+        plan = shard_plan_tiled(a.to_csc(), b.to_csr(), kx=kx, ny=ny)
+        axes = ("x", "y") if ny > 1 else "x"
+        out = spgemm_sharded_tiled(plan, mesh, axes=axes)
+        return plan, sharded_tiled_to_csr(plan, out)
+
+    @pytest.mark.parametrize(
+        "gen",
+        [
+            lambda: rmat(7, edge_factor=8, seed=71),
+            lambda: erdos_renyi(256, 256, 0.02, seed=72),
+            lambda: erdos_renyi(100, 300, 0.05, seed=73),
+        ],
+        ids=["rmat7", "er256", "rect"],
+    )
+    def test_matches_scipy_1d(self, mesh8, gen):
+        a = gen()
+        b = (
+            erdos_renyi(a.shape[1], a.shape[1], 0.03, seed=79)
+            if a.shape[0] != a.shape[1]
+            else a
+        )
+        _, got = self._run(a, b, mesh8, kx=8)
+        assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
+
+    def test_matches_scipy_2d(self, mesh42):
+        g = rmat(8, edge_factor=5, seed=75)
+        _, got = self._run(g, g, mesh42, kx=4, ny=2)
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_empty_device_slices(self, mesh8):
+        a = COO((64, 64), [0, 1], [0, 1], [1.0, 2.0])
+        _, got = self._run(a, a, mesh8, kx=8)
+        assert_csr_allclose(got, spgemm_scipy(a, a))
+
+    def test_skewed_single_owner(self, mesh8):
+        rng = np.random.default_rng(5)
+        cols = np.arange(32)
+        a = COO((64, 64), np.zeros(32, np.int64), cols,
+                rng.random(32).astype(np.float32) + 0.5)
+        b = erdos_renyi(64, 64, 0.1, seed=76)
+        _, got = self._run(a, b, mesh8, kx=8)
+        assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
+
+    def test_pallas_kernels_in_program(self, mesh8):
+        # The per-device program must contain the real Pallas expand
+        # kernels (not the flat XLA expand) — VERDICT r2's done-criterion.
+        from outerspace_tpu.shard.tiled import (
+            build_sharded_tiled,
+            shard_plan_tiled,
+        )
+
+        g = rmat(7, edge_factor=8, seed=77)
+        plan = shard_plan_tiled(g.to_csc(), g.to_csr(), kx=8)
+        assert plan.tile_as or plan.ngroups
+        fn, args = build_sharded_tiled(plan, mesh8, axes="x")
+        jaxpr = str(jax.make_jaxpr(fn)(*args))
+        assert "pallas_call" in jaxpr
+        assert "all_to_all" in jaxpr
+
+    def test_b_partitioned_not_replicated(self):
+        # the per-device B shards together hold exactly nnz(B) elements
+        from outerspace_tpu.shard.tiled import slice_b_rows_cols
+
+        g = rmat(8, edge_factor=4, seed=78)
+        b = g.to_csr()
+        k_bounds = [0, 50, 100, 200, 256]
+        c_bounds = [0, 90, 256]
+        total = 0
+        for i in range(4):
+            for j in range(2):
+                total += slice_b_rows_cols(
+                    b, k_bounds[i], k_bounds[i + 1],
+                    c_bounds[j], c_bounds[j + 1],
+                ).nnz
+        assert total == b.nnz
