@@ -36,6 +36,36 @@ import pytest  # noqa: E402
 from outerspace_tpu.formats import COO, erdos_renyi, rmat  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (interpret-mode Pallas heavy)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running (interpret-mode Pallas / big XLA compiles); "
+        "skipped by default for CI-speed signal — enable with --runslow "
+        "or OUTERSPACE_RUN_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if (
+        config.getoption("--runslow")
+        or os.environ.get("OUTERSPACE_RUN_SLOW") == "1"
+    ):
+        return
+    skip = pytest.mark.skip(reason="slow; use --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -75,6 +75,7 @@ class TestChain:
             got.toarray(), ref.toarray(), rtol=2e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_mcl_device_matches_host(self):
         from outerspace_tpu.ops.graph import markov_cluster, mcl_clusters
 
@@ -128,6 +129,7 @@ class TestChain:
             f.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_mcl_one_jit_program_matches_sizing_pass(self):
         # The second mcl_run through the same prep takes the cached
         # one-jit program; it must agree with the stepwise sizing pass

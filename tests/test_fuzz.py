@@ -5,6 +5,10 @@ reference's cross-checking-by-redundancy (it always ran two models)."""
 import numpy as np
 import pytest
 
+# Fuzzing is the opt-in deep-check tier: ~6 min of interpret-mode
+# Pallas on CPU. CI-speed default skips it (conftest slow marker).
+pytestmark = pytest.mark.slow
+
 from outerspace_tpu.formats import COO, erdos_renyi, rmat
 from outerspace_tpu.ops.reference import assert_csr_allclose, spgemm_scipy
 from outerspace_tpu.ops.spgemm import spgemm

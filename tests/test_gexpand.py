@@ -56,9 +56,18 @@ def _gexpand_spgemm(a, b, rtol=1e-5):
     "gen",
     [
         lambda: erdos_renyi(400, 400, 0.01, seed=21),
-        lambda: erdos_renyi(1000, 1000, 0.004, seed=22),
-        lambda: rmat(8, edge_factor=4, seed=23),
-        lambda: erdos_renyi(300, 500, 0.02, seed=24),
+        pytest.param(
+            lambda: erdos_renyi(1000, 1000, 0.004, seed=22),
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            lambda: rmat(8, edge_factor=4, seed=23),
+            marks=pytest.mark.slow,
+        ),
+        pytest.param(
+            lambda: erdos_renyi(300, 500, 0.02, seed=24),
+            marks=pytest.mark.slow,
+        ),
     ],
 )
 def test_gexpand_matches_scipy(gen):
@@ -86,6 +95,7 @@ def test_gexpand_stream_exactness():
     assert live == plan.p_real
 
 
+@pytest.mark.slow
 def test_gexpand_wide_rows_fall_back():
     # A matrix with one B row wider than the (B_WIN-1)*128 window bound:
     # those elements must route to the fallback plan, and the combined
@@ -108,6 +118,7 @@ def test_gexpand_wide_rows_fall_back():
 
 
 class TestGatherPipeline:
+    @pytest.mark.slow
     def test_row_split_big_keyspace(self):
         # m*n = 9e6... use shapes forcing multiple parts with a tiny
         # key_space override via row_partition directly, then the full
@@ -121,6 +132,7 @@ class TestGatherPipeline:
         got = spgemm_gather(a, a, interpret=True)
         assert_csr_allclose(got, spgemm_scipy(a, a), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_single_part_pipeline(self):
         from outerspace_tpu.ops.gather_pipeline import spgemm_gather
 
@@ -129,6 +141,7 @@ class TestGatherPipeline:
         got = spgemm_gather(a, b, interpret=True)
         assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_multi_part_forced(self, monkeypatch):
         # Force row splitting in the real pipeline by shrinking the key
         # space, so part concatenation + row rebasing is exercised.

@@ -1,6 +1,7 @@
 """Driver contract: entry() compile check + multi-chip dry run in-suite."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -21,6 +22,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     import __graft_entry__ as g
 

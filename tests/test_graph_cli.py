@@ -39,6 +39,7 @@ class TestGraphKernels:
         sym = _symmetrize_simple(g)
         assert triangle_count_dense(sym) == _triangle_oracle(g)
 
+    @pytest.mark.slow
     def test_triangle_strategies_agree(self):
         g = rmat(7, edge_factor=6, seed=3)
         want = _triangle_oracle(g)
@@ -61,6 +62,7 @@ class TestGraphKernels:
         )
         assert _triangle_strategy(_symmetrize_simple(big)) == "sparse"
 
+    @pytest.mark.slow
     def test_triangle_no_triangles(self):
         # A path graph has zero triangles.
         n = 16
@@ -120,6 +122,7 @@ class TestCLI:
             },
         )
 
+    @pytest.mark.slow
     def test_spgemm_cli(self, tmp_path):
         a = erdos_renyi(50, 50, 0.1, seed=1)
         b = erdos_renyi(50, 50, 0.1, seed=2)
@@ -133,6 +136,7 @@ class TestCLI:
         out_t = self._run("spgemm", pa, pb)
         assert out_t.returncode == 0, out_t.stderr
 
+    @pytest.mark.slow
     def test_spgemm_cli_writes_result(self, tmp_path):
         from outerspace_tpu.formats import read_mtx
         from outerspace_tpu.ops.reference import spgemm_scipy, compare_coo
@@ -157,6 +161,7 @@ class TestCLI:
         assert out.returncode == 2
         assert "mismatch" in out.stderr
 
+    @pytest.mark.slow
     def test_nn_cli_train_synthetic(self, tmp_path):
         saved = str(tmp_path / "model.pkl")
         out = self._run(
@@ -174,7 +179,12 @@ class TestCLI:
         assert "nnz=" in out2.stdout
 
     @pytest.mark.parametrize(
-        "name", ["rmat10_ef8", "band2048_p5", "mesh2d_48"]
+        "name",
+        [
+            "rmat10_ef8",
+            pytest.param("band2048_p5", marks=pytest.mark.slow),
+            pytest.param("mesh2d_48", marks=pytest.mark.slow),
+        ],
     )
     def test_committed_fixtures_a2(self, name):
         """The committed SuiteSparse-style fixtures (power-law, banded,

@@ -218,6 +218,7 @@ class TestExportAndSparseInfer:
             y, mlp_forward_dense(params, x), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_lenet_sparse_inference(self, mnist):
         from outerspace_tpu.nn.prune import prune_params
         from outerspace_tpu.nn.sparse_infer import lenet_forward_spgemm
@@ -238,6 +239,7 @@ class TestExportAndSparseInfer:
             got_cpu, np.asarray(ref), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_sparse_inference_matches_dense(self, mnist, mlp_params):
         from outerspace_tpu.nn.prune import prune_params
         from outerspace_tpu.nn.sparse_infer import (
@@ -274,6 +276,7 @@ class TestOrbaxCheckpoint:
 
 
 class TestLeNetTrain:
+    @pytest.mark.slow
     def test_lenet_trains_and_prunes(self, mnist):
         cfg = TrainConfig(model_type="LeNet", num_epochs=1, batch_size=256)
         res = train(mnist, cfg, verbose=False)

@@ -68,6 +68,7 @@ class TestPlanner:
 
 
 class TestTiledSpGEMM:
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", range(3))
     def test_matches_scipy_dense_ish(self, seed):
         a = _dense_ish(100, 150, seed)
@@ -90,6 +91,7 @@ class TestTiledSpGEMM:
         got = spgemm(a, a, strategy="tiles", interpret=True)
         assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_rmat_tiled(self):
         g = rmat(6, edge_factor=16, seed=8)
         ref = spgemm_scipy(g, g)
@@ -102,12 +104,14 @@ class TestTiledSpGEMM:
         got = spgemm(a, a, strategy="tiles", interpret=True)
         assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_twokey_tiled(self):
         a = _dense_ish(120, 120, 11)
         ref = spgemm_scipy(a, a)
         got = spgemm(a, a, strategy="tiles", packed=False, interpret=True)
         assert_csr_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_padded_total_accounting(self):
         a = _dense_ish(120, 120, 12)
         tplan = plan_tiled(a.to_csc(), a.to_csr())

@@ -170,8 +170,14 @@ class TestShardedTiled:
         "gen",
         [
             lambda: rmat(7, edge_factor=8, seed=71),
-            lambda: erdos_renyi(256, 256, 0.02, seed=72),
-            lambda: erdos_renyi(100, 300, 0.05, seed=73),
+            pytest.param(
+                lambda: erdos_renyi(256, 256, 0.02, seed=72),
+                marks=pytest.mark.slow,
+            ),
+            pytest.param(
+                lambda: erdos_renyi(100, 300, 0.05, seed=73),
+                marks=pytest.mark.slow,
+            ),
         ],
         ids=["rmat7", "er256", "rect"],
     )
@@ -190,11 +196,13 @@ class TestShardedTiled:
         _, got = self._run(g, g, mesh42, kx=4, ny=2)
         assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_empty_device_slices(self, mesh8):
         a = COO((64, 64), [0, 1], [0, 1], [1.0, 2.0])
         _, got = self._run(a, a, mesh8, kx=8)
         assert_csr_allclose(got, spgemm_scipy(a, a))
 
+    @pytest.mark.slow
     def test_skewed_single_owner(self, mesh8):
         rng = np.random.default_rng(5)
         cols = np.arange(32)

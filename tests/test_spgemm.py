@@ -45,6 +45,13 @@ class TestSymbolic:
 
 
 class TestSpGEMM:
+    def test_matches_scipy_smoke(self):
+        """CI-speed oracle check (the full operand zoo is the slow tier)."""
+        a = erdos_renyi(48, 48, 0.08, seed=41)
+        b = erdos_renyi(48, 48, 0.08, seed=42)
+        assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b), rtol=1e-5)
+
+    @pytest.mark.slow
     def test_matches_scipy(self, operand_pair):
         a, b = operand_pair
         assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b))
@@ -71,6 +78,7 @@ class TestSpGEMM:
         for pad in [plan.expansion_size, plan.padded_size(), 4096]:
             assert_csr_allclose(spgemm(a, b, p_pad=pad), ref)
 
+    @pytest.mark.slow
     def test_packed_and_twokey_agree(self, operand_pair):
         a, b = operand_pair
         ref = spgemm_scipy(a, b)
@@ -102,6 +110,7 @@ class TestSpGEMM:
         with pytest.raises(ValueError):
             spgemm_padded(plan, p_pad=max(plan.expansion_size // 2, 1))
 
+    @pytest.mark.slow
     def test_a_squared_chain(self):
         # Repeated squaring (graph-kernel pattern, BASELINE configs[3]).
         g = rmat(5, edge_factor=4, seed=73, values="ones")
@@ -110,11 +119,13 @@ class TestSpGEMM:
         ref = spgemm_scipy(COO.from_scipy(s @ s), g)
         assert_csr_allclose(ours, ref, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_rectangular(self):
         a = erdos_renyi(40, 100, 0.05, seed=74)
         b = erdos_renyi(100, 24, 0.1, seed=75)
         assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b))
 
+    @pytest.mark.slow
     def test_dense_operands(self):
         # Fully dense corner: every (i,k,j) pairing exists.
         rng = np.random.default_rng(0)
@@ -122,6 +133,7 @@ class TestSpGEMM:
         b = COO.from_dense(rng.random((12, 12)).astype(np.float32) + 0.5)
         assert_csr_allclose(spgemm(a, b), spgemm_scipy(a, b), rtol=1e-4)
 
+    @pytest.mark.slow
     def test_single_entry(self):
         a = COO((4, 4), [2], [3], [2.0])
         b = COO((4, 4), [3], [1], [5.0])
@@ -154,6 +166,7 @@ class TestRound2Guards:
         true_max = int(np.bincount(plan.a_rows, minlength=plan.m).max())
         assert r >= true_max
 
+    @pytest.mark.slow
     def test_config_threads_into_spgemm(self):
         from outerspace_tpu.config import Config
 
@@ -228,6 +241,7 @@ class TestBiasedKeys:
             c = spgemm(a, b, strategy=strategy, packed=True, interpret=True)
             assert_csr_allclose(c, spgemm_scipy(a, b), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_packed_matches_twokey_rmat(self):
         g = rmat(8, edge_factor=6, seed=90)
         c_packed = spgemm(g, g, strategy="tiles", packed=True, interpret=True)
