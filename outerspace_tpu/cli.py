@@ -156,6 +156,9 @@ def cmd_nn(args) -> int:
         model_type=args.model_type,
         num_epochs=args.num_epochs,
         batch_size=args.batch_size,
+        lr=args.lr,
+        lr_schedule=args.lr_schedule,
+        augment=args.augment,
         l2reg=args.l2reg,
     )
     params = load_params(args.load_model_name) if args.load_model_name else None
@@ -270,6 +273,11 @@ def main(argv=None) -> int:
     p.add_argument("--num_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--sparsity_level", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_schedule", default="const",
+                   choices=["const", "cosine"])
+    p.add_argument("--augment", action="store_true",
+                   help="random +-2px shift augmentation (small-split aid)")
     p.add_argument("--l2reg", action="store_true")
     p.add_argument("--load_model_name", default=None)
     p.add_argument("--saved_model_name", default=None)
