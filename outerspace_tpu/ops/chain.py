@@ -216,67 +216,106 @@ def markov_cluster_device(
     static_argnames=("p_pad", "m", "n", "iters", "inflation", "threshold"),
 )
 def _mcl_fused_jit(
-    rows, cols, vals, valid,
+    kcsc, vals,
     *, p_pad: int, m: int, n: int, iters: int, inflation: float,
     threshold: float,
 ):
     """The whole MCL loop as ONE ``lax.fori_loop`` program: every
     iteration re-uses fixed ``p_pad``-sized buffers, so there are ZERO
     host syncs between iterations (vs two per squaring in the stepwise
-    chain — each sync pays the ~30 ms tunnel RPC floor). A device-side
-    ``ok`` flag records whether any iteration's true expansion exceeded
-    the static budget; the host checks it once at the end and falls back
-    to the stepwise chain (exactness is never silently lost)."""
+    chain — each sync pays the ~30 ms tunnel RPC floor). State is the
+    CSC-resident (packed keys, values) pair — see :func:`_mcl_iteration`.
+    A device-side ``ok`` flag records whether any iteration's true
+    expansion exceeded the static budget; the host checks it once at the
+    end and falls back to the stepwise chain (exactness is never
+    silently lost)."""
+    del n
     def body(_, state):
         return _mcl_iteration(
-            state, p_pad=p_pad, m=m, n=n, inflation=inflation,
+            state, p_pad=p_pad, m=m, inflation=inflation,
             threshold=threshold,
         )
 
     state = jax.lax.fori_loop(
-        0, iters, body, (rows, cols, vals, valid, jnp.bool_(True))
+        0, iters, body, (kcsc, vals, jnp.bool_(True))
     )
     return state
 
 
-def _mcl_iteration(state, *, p_pad, m, n, inflation, threshold):
+def _csc_colnorm_sorted(kcol, vp, m: int):
+    """Per-column survivor totals over a stream whose column keys
+    ``kcol`` (biased ``col + KEY_BIAS``) are sorted ascending, broadcast
+    back to every slot: one segmented-sum pass (the merge epilogue with
+    ``n_cols=1``) + an m-probe searchsorted colsum table + the exact
+    bitcast-diff cumsum broadcast. No L-sized scatter or gather."""
+    from outerspace_tpu.ops.spgemm import (
+        _segment_broadcast_bits,
+        merge_epilogue,
+    )
+
+    L = kcol.shape[0]
+    col_of, _, col_tot, tot_valid, _ = merge_epilogue(
+        kcol, vp, 1, m, None, pad_count=jnp.int32(0)
+    )
+    pos = jnp.searchsorted(
+        kcol, jnp.arange(1, m + 1, dtype=jnp.int32) + KEY_BIAS,
+        side="left",
+    ).astype(jnp.int32) - 1
+    pos = jnp.clip(pos, 0, L - 1)
+    hit = tot_valid[pos] & (col_of[pos] == jnp.arange(m, dtype=jnp.int32))
+    colsum = jnp.where(hit, col_tot[pos], 1.0)
+    colsum = jnp.where(colsum == 0, 1.0, colsum)
+    col_starts = jnp.searchsorted(
+        kcol, jnp.arange(m, dtype=jnp.int32) + KEY_BIAS, side="left"
+    ).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        _segment_broadcast_bits(
+            jax.lax.bitcast_convert_type(colsum, jnp.int32),
+            col_starts, L,
+        ),
+        jnp.float32,
+    )
+
+
+def _mcl_iteration(state, *, p_pad, m, inflation, threshold):
     """One MCL iteration (square + inflate) on fixed p_pad buffers.
 
-    Scatter-free: both compaction and CSC reordering are sorts (the
-    merge output is already row-major among valid slots, so a stable
-    sort on a validity-masked position key front-compacts it), and the
-    row pointers come from a searchsorted over the compacted sorted
-    rows — XLA scatters cost ~10 ns/elem on this stream size while a
-    2-operand sort pass costs ~1.4 ns/elem."""
-    rows, cols, vals, valid, ok = state
+    The flow stays in ONE order — CSC, as a (packed biased key
+    ``col·m + row``, value) stream, compacted with a sentinel tail — for
+    the whole loop, which cuts the per-iteration sort count from three
+    (compaction, CSC reorder, merge) to TWO 2-stream sorts:
+
+    - the expansion is *role-flipped*: the outer loop runs over the
+      stream's elements f = (k, c) directly (any order works), each
+      paired with CSC column k of the same stream — so one CSC stream
+      serves both operand sides and no CSR view is ever built. The
+      per-element segment length is the CSC column degree, and the
+      inner gathers read (row, val) from the same stream;
+    - the merge sorts by C's CSC key (``colC·m + rowC`` — any total
+      order groups duplicates), so the output is already in the loop's
+      resident order;
+    - column sums for the inflation are a segmented sum over the
+      already-sorted stream (no 16k-bin scatter-add), and the
+      post-prune compaction is the second 2-stream sort.
+
+    Scatter-free and gather-light throughout: coordinates live packed
+    in the key (unpacked arithmetically), so the sorts move 2 streams
+    instead of 4."""
+    kcsc, vals, ok = state
     idx = jnp.arange(p_pad, dtype=jnp.int32)
-    # ---- compact to contiguous row-major CSR-ish streams via one
-    # packed-key sort (works from ANY input order — the first loop
-    # input arrives CSC-ordered from the stage-1 inflation) ----
-    ckey = jnp.where(
-        valid, rows * np.int32(n) + cols + KEY_BIAS, _I32_MAX
-    )
-    _, cr, cc, cv = jax.lax.sort(
-        (ckey, jnp.where(valid, rows, m), jnp.where(valid, cols, 0),
-         jnp.where(valid, vals, 0.0)),
-        num_keys=1, is_stable=False,
-    )
-    # cr is sorted ascending (row-major merge order, sentinel tail)
-    indptr = jnp.searchsorted(cr, jnp.arange(m + 1, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
-    # ---- CSC order via one packed sort ----
-    valid_a = cr < m
-    csc_key = jnp.where(
-        valid_a, cc * np.int32(m) + cr + KEY_BIAS, _I32_MAX
-    )
-    _, rows_s, cols_s, vals_s = jax.lax.sort(
-        (csc_key, cr, cc, cv), num_keys=1, is_stable=False
-    )
-    valid_s = rows_s < m
-    a_k = jnp.where(valid_s, cols_s, 0)
-    deg = indptr[a_k + 1] - indptr[a_k]
-    deg = jnp.where(valid_s, deg, 0)
+    ku = jax.lax.bitcast_convert_type(kcsc, jnp.uint32) ^ np.uint32(2**31)
+    col_f = (ku // np.uint32(m)).astype(jnp.int32)
+    row_f = (ku % np.uint32(m)).astype(jnp.int32)
+    valid_f = kcsc != _I32_MAX
+    # CSC column pointers via m+1 probes over the sorted keys.
+    indptr = jnp.searchsorted(
+        kcsc,
+        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
+    ).astype(jnp.int32)
+    col_deg = indptr[1:] - indptr[:-1]
+    # Element f = (k=row_f, c=col_f) pairs with CSC column row_f.
+    a_k = jnp.where(valid_f, row_f, 0)
+    deg = jnp.where(valid_f, col_deg[jnp.minimum(a_k, m - 1)], 0)
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(deg).astype(jnp.int32)]
     )
@@ -296,24 +335,41 @@ def _mcl_iteration(state, *, p_pad, m, n, inflation, threshold):
            <= 0.01 * p_f + 1024.0)
     )
     p_clamped = jnp.clip(p_total, 0, p_pad)
-    # ---- expand + merge ----
-    r, c, v = expand_partial_products(
-        jnp.where(valid_s, rows_s, m),
-        jnp.where(valid_s, vals_s, 0.0),
-        a_k, indptr, cc, cv, offsets, p_clamped, p_pad, m,
+    # ---- role-flipped expand: broadcast (col_f, val_f), gather
+    # (row_j, val_j) from the SAME stream's CSC columns ----
+    c_bcast, r_gath, v = expand_partial_products(
+        jnp.where(valid_f, col_f, m),
+        jnp.where(valid_f, vals, 0.0),
+        a_k, indptr, row_f, vals, offsets, p_clamped, p_pad, m,
     )
+    # C's CSC key: colC·m + rowC — duplicates adjacent after one sort,
+    # and the merged output lands directly in the resident order.
     key = jnp.where(
-        idx < p_clamped, pack_key_biased(r, c, n), _I32_MAX
+        idx < p_clamped, pack_key_biased(c_bcast, r_gath, m), _I32_MAX
     )
-    r2, c2, v2, valid2, _ = merge_biased_keys(
-        key, v, n, m, None, pad_count=jnp.int32(p_pad) - p_clamped
+    key_s, v_s = jax.lax.sort((key, v), num_keys=1, is_stable=False)
+    from outerspace_tpu.ops.spgemm import merge_epilogue
+
+    _, _, v2, valid2, _ = merge_epilogue(
+        key_s, v_s, m, m, None, pad_count=jnp.int32(p_pad) - p_clamped
     )
-    # ---- inflation / prune / column normalise ----
-    v3, valid3, _ = inflate_device(
-        r2, c2, v2, valid2, m=m, inflation=inflation,
-        threshold=threshold,
+    # ---- inflation / prune / column normalise on the sorted stream ----
+    vp = jnp.where(
+        valid2,
+        jnp.power(jnp.maximum(v2, 0.0), np.float32(inflation)),
+        0.0,
     )
-    return (r2, c2, v3, valid3, ok)
+    survive = valid2 & (vp > threshold)
+    ku2 = jax.lax.bitcast_convert_type(key_s, jnp.uint32) ^ np.uint32(2**31)
+    kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
+    colsum_bc = _csc_colnorm_sorted(
+        kcol, jnp.where(survive, vp, 0.0), m
+    )
+    vn = jnp.where(survive, vp / colsum_bc, 0.0)
+    # ---- post-prune compaction: the second (and last) 2-stream sort ----
+    ckey2 = jnp.where(survive, key_s, _I32_MAX)
+    k_next, v_next = jax.lax.sort((ckey2, vn), num_keys=1, is_stable=False)
+    return (k_next, v_next, ok)
 
 
 def mcl_whole_traced(
@@ -357,73 +413,44 @@ def mcl_whole_traced(
     kc, vp = jax.lax.sort((kcsc, vp0), num_keys=1, is_stable=False)
     valid1 = kc != _I32_MAX
     vp = jnp.where(valid1, vp, 0.0)
-    colu, rowu = unpack_key_biased(kc, m)  # key = col·m + row
-    kcol = jnp.where(valid1, colu + KEY_BIAS, _I32_MAX)  # sorted too
-    pad_c = jnp.sum((~valid1).astype(jnp.int32))
-    col_of, _, col_tot, tot_valid, _ = merge_epilogue(
-        kcol, vp, 1, m, None, pad_count=pad_c
-    )
-    # colsum table: last slot of column j via searchsorted on the
-    # sorted column keys (m queries, not an L-sized scatter)
-    pos = jnp.searchsorted(
-        kcol, jnp.arange(1, m + 1, dtype=jnp.int32) + KEY_BIAS,
-        side="left",
-    ).astype(jnp.int32) - 1
-    pos = jnp.clip(pos, 0, L - 1)
-    hit = tot_valid[pos] & (col_of[pos] == jnp.arange(m, dtype=jnp.int32))
-    colsum = jnp.where(hit, col_tot[pos], 1.0)
-    colsum = jnp.where(colsum == 0, 1.0, colsum)
-    # broadcast each column's total to its (contiguous) segment with the
-    # exact bitcast-diff + cumsum trick instead of an L-sized gather
-    from outerspace_tpu.ops.spgemm import _segment_broadcast_bits
-
-    col_starts = jnp.searchsorted(
-        kcol, jnp.arange(m, dtype=jnp.int32) + KEY_BIAS, side="left"
-    ).astype(jnp.int32)
-    colsum_bc = jax.lax.bitcast_convert_type(
-        _segment_broadcast_bits(
-            jax.lax.bitcast_convert_type(colsum, jnp.int32),
-            col_starts, L,
-        ),
-        jnp.float32,
-    )
+    colu, _ = unpack_key_biased(kc, m)  # key = col·m + row
+    kcol = colu.astype(jnp.int32) + KEY_BIAS  # sorted too
+    colsum_bc = _csc_colnorm_sorted(kcol, vp, m)
     vn = jnp.where(valid1, vp / colsum_bc, 0.0)
     nnz1 = jnp.sum(valid1.astype(jnp.int32))
     ok = nnz1 <= p_pad
     # ---- slice the compacted (valid-front, CSC-ordered) stream into
-    # the loop buffers ----
+    # the loop's resident (key, value) buffers ----
     if L >= p_pad:
         kp, vnp_ = kc[:p_pad], vn[:p_pad]
     else:
         ext = p_pad - L
         kp = jnp.concatenate([kc, jnp.full(ext, _I32_MAX, jnp.int32)])
         vnp_ = jnp.concatenate([vn, jnp.zeros(ext, jnp.float32)])
-    cp_, rp_ = unpack_key_biased(kp, m)
-    valid_p = jnp.arange(p_pad, dtype=jnp.int32) < nnz1
-    rows_p = jnp.where(valid_p, rp_, m)
-    cols_p = jnp.where(valid_p, cp_, 0)
-    vals_p = jnp.where(valid_p, vnp_, 0.0)
 
     def body(_, state):
         return _mcl_iteration(
-            state, p_pad=p_pad, m=m, n=n_cols, inflation=inflation,
+            state, p_pad=p_pad, m=m, inflation=inflation,
             threshold=threshold,
         )
 
-    r, c, v, valid, ok = jax.lax.fori_loop(
-        0, iters, body, (rows_p, cols_p, vals_p, valid_p, ok)
+    k_out, v_out, ok = jax.lax.fori_loop(
+        0, iters, body, (kp, vnp_, ok)
     )
+    valid = k_out != _I32_MAX
     nnz = jnp.sum(valid.astype(jnp.int32))
     ok = ok & (nnz <= nnz_pad)
-    ckey = jnp.where(
-        valid, jnp.arange(p_pad, dtype=jnp.int32) + KEY_BIAS, _I32_MAX
+    # ---- one row-major sort for the outward-facing CSR contract ----
+    cols_o, rows_o = unpack_key_biased(k_out, m)
+    krow = jnp.where(
+        valid, rows_o * np.int32(n_cols) + cols_o + KEY_BIAS, _I32_MAX
     )
-    _, r2, c2, v2 = jax.lax.sort(
-        (ckey, jnp.where(valid, r, m), jnp.where(valid, c, 0),
-         jnp.where(valid, v, 0.0)),
-        num_keys=1, is_stable=False,
-    )
-    return r2[:nnz_pad], c2[:nnz_pad], v2[:nnz_pad], nnz, ok
+    k_r, v_r = jax.lax.sort((krow, v_out), num_keys=1, is_stable=False)
+    r2, c2 = unpack_key_biased(k_r[:nnz_pad], n_cols)
+    valid_o = k_r[:nnz_pad] != _I32_MAX
+    r2 = jnp.where(valid_o, r2, m)
+    c2 = jnp.where(valid_o, c2, 0)
+    return r2, c2, jnp.where(valid_o, v_r[:nnz_pad], 0.0), nnz, ok
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -492,15 +519,13 @@ def markov_cluster_device_fused(
             (m, n), r0, c0, v0, valid0, jnp.int32(nnz0)
         )
     p_pad = round_up_bucket(max(p_budget, n_in, 4096), min_size=4096)
-    pad = p_pad - n_in
-    rows_p = jnp.concatenate(
-        [merged0.rows, jnp.full(pad, np.int32(m), jnp.int32)]
+    # Enter the loop's CSC-resident (key, value) form: pack + one sort.
+    kcsc0, vals0 = _to_csc_state_jit(
+        merged0.rows, merged0.cols, merged0.vals, merged0.valid,
+        p_pad=p_pad, m=m,
     )
-    cols_p = jnp.concatenate([merged0.cols, jnp.zeros(pad, jnp.int32)])
-    vals_p = jnp.concatenate([merged0.vals, jnp.zeros(pad, jnp.float32)])
-    valid_p = jnp.concatenate([merged0.valid, jnp.zeros(pad, jnp.bool_)])
-    r, c, v, valid, ok = _mcl_fused_jit(
-        rows_p, cols_p, vals_p, valid_p,
+    k_out, v_out, ok = _mcl_fused_jit(
+        kcsc0, vals0,
         p_pad=p_pad, m=m, n=n, iters=iters, inflation=float(inflation),
         threshold=float(prune_threshold),
     )
@@ -509,15 +534,55 @@ def markov_cluster_device_fused(
             merged0, inflation=inflation, iters=iters,
             prune_threshold=prune_threshold,
         )
-    # Compact + slice on device before anything is fetched: the final
-    # flow is tiny relative to the loop buffers, and the tunnel link
-    # moves ~MB/s — fetching p_pad-sized arrays would dwarf the compute.
-    nnz = int(np.asarray(jnp.sum(valid.astype(jnp.int32))))
+    # Convert back to the row-major MergedCOO contract + slice on device
+    # before anything is fetched: the final flow is tiny relative to the
+    # loop buffers, and the tunnel link moves ~MB/s.
+    nnz = int(np.asarray(jnp.sum((k_out != _I32_MAX).astype(jnp.int32))))
     nnz_pad = min(round_up_bucket(max(nnz, 1), min_size=1024), p_pad)
-    r2, c2, v2 = _slice_compact_jit(r, c, v, valid, p_pad=p_pad,
-                                    nnz_pad=nnz_pad)
+    r2, c2, v2 = _from_csc_state_jit(
+        k_out, v_out, m=m, n=n, nnz_pad=nnz_pad
+    )
     valid2 = jnp.arange(nnz_pad, dtype=jnp.int32) < nnz
     return MergedCOO((m, n), r2, c2, v2, valid2, jnp.int32(nnz))
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "m"))
+def _to_csc_state_jit(rows, cols, vals, valid, *, p_pad: int, m: int):
+    """Pack a masked COO stream into the loop's CSC-resident state:
+    (sorted biased ``col·m + row`` keys with sentinel tail, values)."""
+    n_in = rows.shape[0]
+    key = jnp.where(
+        valid, cols * np.int32(m) + rows + KEY_BIAS, _I32_MAX
+    )
+    v = jnp.where(valid, vals, 0.0)
+    if n_in < p_pad:
+        key = jnp.concatenate(
+            [key, jnp.full(p_pad - n_in, _I32_MAX, jnp.int32)]
+        )
+        v = jnp.concatenate([v, jnp.zeros(p_pad - n_in, jnp.float32)])
+    else:
+        key, v = key[:p_pad], v[:p_pad]
+    return jax.lax.sort((key, v), num_keys=1, is_stable=False)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "nnz_pad"))
+def _from_csc_state_jit(kcsc, vals, *, m: int, n: int, nnz_pad: int):
+    """CSC-resident state back to row-major compacted (rows, cols, vals)."""
+    from outerspace_tpu.ops.spgemm import unpack_key_biased
+
+    valid = kcsc != _I32_MAX
+    cols_o, rows_o = unpack_key_biased(kcsc, m)
+    krow = jnp.where(
+        valid, rows_o * np.int32(n) + cols_o + KEY_BIAS, _I32_MAX
+    )
+    k_r, v_r = jax.lax.sort((krow, vals), num_keys=1, is_stable=False)
+    r2, c2 = unpack_key_biased(k_r[:nnz_pad], n)
+    valid_o = k_r[:nnz_pad] != _I32_MAX
+    return (
+        jnp.where(valid_o, r2, m),
+        jnp.where(valid_o, c2, 0),
+        jnp.where(valid_o, v_r[:nnz_pad], 0.0),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "nnz_pad"))
