@@ -277,17 +277,36 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
             return spgemm_gather_padded(plan)
 
     else:
-        tplan = plan_tiled(a_csc, b_csr)
+        from outerspace_tpu.ops.spgemm import (
+            TiledPartsPlan,
+            plan_tiled_parts,
+            spgemm_padded_tiled_parts,
+        )
+
+        tplan = plan_tiled_parts(a_csc, b_csr)
         p_pad = tplan.padded_total
         from outerspace_tpu.ops.symbolic import expansion_plan
 
         flops = expansion_plan(a_csc, b_csr).expansion_size
 
-        def make_once(bump_i, bump_f):
-            return spgemm_padded_tiled(_bump_tiled(tplan, bump_i, bump_f)).nnz
+        if isinstance(tplan, TiledPartsPlan):
+            # row-partitioned pipeline: bump every part's expand inputs
+            def make_once(bump_i, bump_f):
+                nnz = jnp.int32(0)
+                for _, _, tp in tplan.parts:
+                    nnz = nnz + spgemm_padded_tiled(
+                        _bump_tiled(tp, bump_i, bump_f)
+                    ).nnz
+                return nnz
+
+        else:
+            def make_once(bump_i, bump_f):
+                return spgemm_padded_tiled(
+                    _bump_tiled(tplan, bump_i, bump_f)
+                ).nnz
 
         def merged_fn():
-            return spgemm_padded_tiled(tplan)
+            return spgemm_padded_tiled_parts(tplan)
 
     t_plan = time.perf_counter() - t0
     k = _chain_k(flops)

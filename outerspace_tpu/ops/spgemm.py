@@ -787,6 +787,150 @@ def _merge_twokey_multi_jit(
     return merge_twokey(rows, cols, vals, sentinel_row, max_run)
 
 
+# --------------------------------------------------------------------------
+# Row-partitioned tiled pipeline: P independent (expand + sort + merge)
+# parts over contiguous output-row ranges
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TiledPartsPlan:
+    """P-way output-row partition of the tiled pipeline.
+
+    The sort is the pipeline ceiling (ROADMAP: 60-90% of every A²
+    workload) and its cost carries a real log²-factor, so sorting P
+    streams of L/P beats one of L by ~(1 - (k-log₂P)²/k²). The naive
+    row split was measured-and-rejected in round 3 (per-(k, part) tile
+    re-padding: >10⁹ extra elements on rmat16) — here each part is
+    planned by the FULL trim-and-chunk planner on its row-sliced A, so
+    boundary fragments route to the exact-P windowed-gather kernel and
+    the extra stream stays near zero (guarded by a padded-total budget
+    at plan time). Keys stay global (m·n ≤ 2³²); parts cover ascending
+    row ranges, so the concatenated merged parts are globally row-major
+    among valid slots — the same ``MergedCOO`` contract.
+
+    Reference mapping: the row ranges are the output-row ownership the
+    merge PEs had (``SimOuterSPACE.cpp:554-606``), now applied on one
+    chip to shorten the sort network.
+    """
+
+    m: int
+    n: int
+    parts: list  # [(row_lo, row_hi, TiledPlan)]
+
+    @property
+    def padded_total(self) -> int:
+        return sum(p.padded_total for _, _, p in self.parts)
+
+
+def row_products(a_csc: CSC, b_csr: CSR) -> np.ndarray:
+    """Products per output row: Σ over A elements e of nnz_B(k(e))."""
+    nb = b_csr.major_nnz().astype(np.int64)
+    a_k = np.repeat(
+        np.arange(a_csc.shape[1], dtype=np.int64),
+        a_csc.major_nnz().astype(np.int64),
+    )
+    return np.bincount(
+        np.asarray(a_csc.indices, dtype=np.int64),
+        weights=nb[a_k].astype(np.float64),
+        minlength=a_csc.shape[0],
+    ).astype(np.int64)
+
+
+def _slice_a_rows(a_csc: CSC, lo: int, hi: int) -> CSC:
+    """A restricted to output rows [lo, hi) as a CSC of the SAME shape
+    (global row ids, global keys). CSC columns are row-sorted, so the
+    selection keeps per-column contiguity. O(nnz)."""
+    rows = np.asarray(a_csc.indices)
+    sel = (rows >= lo) & (rows < hi)
+    a_k = np.repeat(
+        np.arange(a_csc.shape[1], dtype=np.int64),
+        a_csc.major_nnz().astype(np.int64),
+    )
+    indptr = np.zeros(a_csc.shape[1] + 1, dtype=np.int64)
+    np.cumsum(
+        np.bincount(a_k[sel], minlength=a_csc.shape[1]), out=indptr[1:]
+    )
+    return CSC(
+        a_csc.shape, indptr, rows[sel], np.asarray(a_csc.data)[sel]
+    )
+
+
+def plan_tiled_parts(
+    a_csc: CSC,
+    b_csr: CSR,
+    waste_limit: float | None = None,
+    nparts: int | None = None,
+    min_part_stream: int = 4 << 20,
+    budget: float = 1.12,
+) -> "TiledPartsPlan | TiledPlan":
+    """Plan the row-partitioned tiled pipeline; falls back to the single
+    ``TiledPlan`` when partitioning doesn't pay (small streams, or the
+    per-part planner's padded total exceeds ``budget``× the unsplit
+    plan's — the fragmentation guard)."""
+    base = plan_tiled(a_csc, b_csr, waste_limit=waste_limit)
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    if m * n > 2**32:
+        return base
+    if nparts is None:
+        # one part per ~min_part_stream of padded stream, capped at 8
+        nparts = int(min(8, max(1, base.padded_total // min_part_stream)))
+        nparts = 1 << (nparts - 1).bit_length() if nparts > 1 else 1
+    if nparts <= 1:
+        return base
+    from outerspace_tpu.shard.mesh import balanced_contiguous_partition
+
+    if waste_limit is None:
+        from outerspace_tpu.sched.autotune import autotune
+
+        waste_limit = autotune(a_csc, b_csr)[1]
+    bounds = balanced_contiguous_partition(
+        row_products(a_csc, b_csr).astype(np.float64), nparts
+    )
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        lo, hi = int(lo), int(hi)
+        if hi <= lo:
+            continue
+        a_p = _slice_a_rows(a_csc, lo, hi)
+        if a_p.nnz == 0:
+            continue
+        parts.append(
+            (lo, hi, plan_tiled(a_p, b_csr, waste_limit=waste_limit))
+        )
+    if len(parts) <= 1:
+        return base
+    split = TiledPartsPlan(m, n, parts)
+    # Fragmentation guard: partitioning must not inflate the stream.
+    if split.padded_total > budget * max(base.padded_total, 1):
+        return base
+    return split
+
+
+def spgemm_padded_tiled_parts(
+    plan: "TiledPartsPlan | TiledPlan",
+    packed: bool | None = None,
+    interpret: bool = False,
+) -> MergedCOO:
+    """Run the (possibly row-partitioned) tiled pipeline."""
+    if isinstance(plan, TiledPlan):
+        return spgemm_padded_tiled(plan, packed=packed, interpret=interpret)
+    rows_l, cols_l, vals_l, valid_l = [], [], [], []
+    nnz = jnp.zeros((), jnp.int32)
+    for _, _, tp in plan.parts:
+        part = spgemm_padded_tiled(tp, packed=packed, interpret=interpret)
+        rows_l.append(part.rows)
+        cols_l.append(part.cols)
+        vals_l.append(part.vals)
+        valid_l.append(part.valid)
+        nnz = nnz + part.nnz
+    cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]  # noqa: E731
+    return MergedCOO(
+        (plan.m, plan.n),
+        cat(rows_l), cat(cols_l), cat(vals_l), cat(valid_l), nnz,
+    )
+
+
 def spgemm(
     a: COO | CSR | CSC,
     b: COO | CSR | CSC,
@@ -841,10 +985,10 @@ def spgemm(
             "padding is structural (use strategy='flat' or drop p_pad)"
         )
     if strategy == "tiles":
-        tplan = plan_tiled(
-            a_csc, b_csr, interpret=interpret, waste_limit=cfg.waste_limit
-        )
-        return spgemm_padded_tiled(tplan, packed=packed, interpret=interpret).to_csr()
+        tplan = plan_tiled_parts(a_csc, b_csr, waste_limit=cfg.waste_limit)
+        return spgemm_padded_tiled_parts(
+            tplan, packed=packed, interpret=interpret
+        ).to_csr()
     if strategy == "gather":
         from outerspace_tpu.ops.gather_pipeline import spgemm_gather
 
