@@ -89,6 +89,116 @@ def residency_study(
     return out
 
 
+def simulate_slot_min(
+    accesses: np.ndarray, capacity: int, lookahead: int
+) -> tuple[int, int]:
+    """Finite-lookahead slot-MIN — the reference's ``policySlotMIN``
+    (``SimSpGEMM.cpp:657-810``), the hardware-realistic MIN variant:
+    a fixed array of ``capacity`` slots; on a miss with all slots full,
+    the victim is chosen by a tournament over slots comparing each
+    resident block's next use *within the next ``lookahead`` accesses*
+    (a fresh window scan — blocks unused inside the window all look
+    maximally-distant), ties resolved to the lowest slot index (the
+    deterministic tree order). Infinite lookahead recovers
+    :func:`simulate_belady`; ``lookahead=0`` degrades to FIFO-ish slot
+    replacement. Returns (hits, misses). O(misses × lookahead) — a
+    study tool, not a production path."""
+    n = len(accesses)
+    acc = np.asarray(accesses, dtype=np.int64)
+    slots_block = np.full(capacity, -1, dtype=np.int64)
+    block2slot: dict[int, int] = {}
+    hits = misses = 0
+    free = list(range(capacity - 1, -1, -1))
+    for i in range(n):
+        b = int(acc[i])
+        if b in block2slot:
+            hits += 1
+            continue
+        misses += 1
+        if free:
+            s = free.pop()
+        else:
+            # fresh window scan: first in-window next-use per resident
+            window = acc[i + 1 : i + 1 + lookahead]
+            dist = np.full(capacity, lookahead + 1, dtype=np.int64)
+            seen = 0
+            for d, wb in enumerate(window):
+                s_w = block2slot.get(int(wb))
+                if s_w is not None and dist[s_w] > lookahead:
+                    dist[s_w] = d
+                    seen += 1
+                    if seen == capacity:
+                        break
+            s = int(np.argmax(dist))  # furthest next use; ties → lowest slot
+            del block2slot[int(slots_block[s])]
+        slots_block[s] = b
+        block2slot[b] = s
+    return hits, misses
+
+
+def policy_study(
+    b_blocks: np.ndarray,
+    capacities: list[int],
+    lookaheads: list[int] = (64, 256, 1024),
+) -> dict[int, dict[str, float]]:
+    """Hit rates of LRU vs finite-window slot-MIN vs full MIN over a
+    B-block access stream — the reference's three-policy comparison
+    (``policyMIN``/``policySlotMIN``/LRU) on the real task stream. The
+    LRU↔slot-MIN gap shows what bounded foresight buys; the
+    slot-MIN↔MIN gap what the window costs."""
+    out = {}
+    n = max(len(b_blocks), 1)
+    for cap in capacities:
+        row = {"lru": simulate_lru(b_blocks, cap)[0] / n,
+               "belady": simulate_belady(b_blocks, cap)[0] / n}
+        for la in lookaheads:
+            row[f"slot_min_{la}"] = (
+                simulate_slot_min(b_blocks, cap, la)[0] / n
+            )
+        out[cap] = row
+    return out
+
+
+def task_b_stream(
+    a_csc, b_csr, tile_a: int = 8, order: str = "b_major",
+    waste_limit: float = 8.0,
+) -> np.ndarray:
+    """The expand task stream's B-block access sequence for the heavy
+    outer indices under a given intra-k task order — ``"b_major"`` (the
+    planner's real order: consecutive tasks share a B block) or
+    ``"a_major"`` (the counterfactual: B blocks sweep per A tile).
+    Feeds the policy study that justifies the B-major choice."""
+    from outerspace_tpu.sched.planner import TILE_B, plan_outer_classes
+
+    cp = plan_outer_classes(
+        a_csc, b_csr, tile_a_classes=(tile_a,), waste_limit=waste_limit,
+        gather_edges=False,
+    )
+    sched = cp.classes[0]
+    if sched.ntasks == 0:
+        return np.zeros(0, dtype=np.int64)
+    if order == "b_major":
+        return sched.b_block.astype(np.int64)
+    # Counterfactual: per-k grids are contiguous task ranges laid out
+    # local = jb·nat + ia (B block repeats nat times, then advances);
+    # transposing each k's (nbt, nat) grid emits the A-major sweep.
+    blocks = sched.b_block.astype(np.int64)
+    out = []
+    t = 0
+    na = a_csc.major_nnz().astype(np.int64)
+    nb = b_csr.major_nnz().astype(np.int64)
+    b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
+    for k in sched.heavy_k.astype(np.int64):
+        nat = -(-na[k] // tile_a)
+        b_s = b_ptr[k]
+        b_blk0 = b_s // TILE_B
+        nbt = -(-(b_s + nb[k] - b_blk0 * TILE_B) // TILE_B)
+        grid = blocks[t : t + nat * nbt].reshape(nbt, nat)
+        out.append(grid.T.reshape(-1))
+        t += nat * nbt
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+
+
 def merge_schedule(run_sizes: list[int], ways: int = 2) -> tuple[list, int]:
     """Huffman-style ``ways``-ary merge plan over sorted runs.
 
