@@ -136,24 +136,41 @@ static SimConfig g_cfg;
 // HBM: per-channel striped beat queues, drained one bandwidth quantum per
 // channel per cycle after the first-beat latency (parity with the
 // page-interleaved channel select + queued memory ports,
-// SimOuterSPACE.cpp:240-276,608-719, minus ramulator's DRAM state).
+// SimOuterSPACE.cpp:240-276,608-719, minus ramulator's DRAM state),
+// now with crossbar-style per-channel arbitration (the reference's
+// N×M crossbar granted one request per down-port per cycle with
+// rotating priority and kept response routing fair,
+// SimOuterSPACE.cpp:361-430). Each channel keeps one beat queue PER
+// REQUESTER PORT (in_dma / out_dma / vmem_cache); every cycle a channel
+// grants exactly ONE port, chosen round-robin among ports with a ready
+// beat. Aggregate bandwidth is unchanged (one drain per channel per
+// cycle, fractional-rate credit), so the single-stream calibration
+// holds; under congestion the grant rotation decides WHOSE transfer
+// progresses, and the fairness stats expose it.
 class Hbm : public Module {
  public:
+  static constexpr int kPorts = 3;  // 0=in_dma, 1=out_dma, 2=vmem_cache
+
   explicit Hbm(const SimConfig& cfg)
       : Module("hbm"),
         cfg_(cfg),
         chan_(cfg.hbm_channels),
+        rr_(cfg.hbm_channels, 0),
         credit_(cfg.hbm_channels, 0.0),
-        per_chan_rate_(cfg.hbm_bytes_per_cycle / cfg.hbm_channels) {}
+        per_chan_rate_(cfg.hbm_bytes_per_cycle / cfg.hbm_channels) {
+    for (auto& c : chan_) c.resize(kPorts);
+    for (int p = 0; p < kPorts; ++p) port_grants_[p] = port_stalls_[p] = 0;
+  }
 
-  // Enqueue a transfer; completion is observable via done().
-  void schedule(int64_t id, int64_t bytes) {
+  // Enqueue a transfer on a requester port; completion via done().
+  void schedule(int64_t id, int64_t bytes, int port = 0) {
     total_bytes_ += bytes;
     ++transfers_;
     int64_t per_chan = bytes / cfg_.hbm_channels + 1;
     remaining_beats_[id] = cfg_.hbm_channels;
-    for (auto& q : chan_)
-      q.push_back(Beat{per_chan, now_ + cfg_.hbm_latency, id});
+    int p = port < 0 ? 0 : (port >= kPorts ? kPorts - 1 : port);
+    for (auto& c : chan_)
+      c[p].push_back(Beat{per_chan, now_ + cfg_.hbm_latency, id});
   }
   bool done(int64_t id) const {
     auto it = remaining_beats_.find(id);
@@ -163,14 +180,31 @@ class Hbm : public Module {
   void clockUpdate() override {
     ++now_;
     for (size_t ci = 0; ci < chan_.size(); ++ci) {
-      auto& q = chan_[ci];
-      if (q.empty()) continue;
-      Beat& b = q.front();
-      if (now_ < b.ready_at) continue;
+      auto& ports = chan_[ci];
+      // candidate ports: non-empty queue with a ready front beat
+      int ncand = 0;
+      bool cand[kPorts];
+      for (int p = 0; p < kPorts; ++p) {
+        cand[p] = !ports[p].empty() && now_ >= ports[p].front().ready_at;
+        ncand += cand[p] ? 1 : 0;
+      }
+      if (ncand == 0) continue;
+      if (ncand > 1) ++contended_cycles_;
+      // rotating-priority grant: one port per channel per cycle
+      int pick = -1;
+      for (int off = 0; off < kPorts; ++off) {
+        int p = (rr_[ci] + off) % kPorts;
+        if (cand[p]) { pick = p; break; }
+      }
+      rr_[ci] = (pick + 1) % kPorts;
+      for (int p = 0; p < kPorts; ++p)
+        if (cand[p] && p != pick) ++port_stalls_[p];
+      ++port_grants_[pick];
       // Fractional-rate drain: accumulate bandwidth credit per cycle so
       // the configured bytes/cycle is honored exactly (an int round-up
       // here inflated the simulated bandwidth by up to +1 B/ch/cycle —
       // +28% at the calibrated 50 B/cycle over 16 channels).
+      Beat& b = ports[pick].front();
       credit_[ci] += per_chan_rate_;
       int64_t drain = static_cast<int64_t>(credit_[ci]);
       if (drain <= 0) continue;
@@ -181,16 +215,28 @@ class Hbm : public Module {
         if (--remaining_beats_[b.id] == 0) {
           // transfer complete
         }
-        q.pop_front();
+        ports[pick].pop_front();
       }
     }
   }
   void clockApply() override {}
   void printStats(FILE* f) const override {
-    fprintf(f, "  hbm: transfers=%zu bytes=%lld busy=%lld\n", transfers_,
-            static_cast<long long>(total_bytes_),
-            static_cast<long long>(busy_cycles_));
+    fprintf(f,
+            "  hbm: transfers=%zu bytes=%lld busy=%lld contended=%lld "
+            "grants=[%lld,%lld,%lld] stalls=[%lld,%lld,%lld]\n",
+            transfers_, static_cast<long long>(total_bytes_),
+            static_cast<long long>(busy_cycles_),
+            static_cast<long long>(contended_cycles_),
+            static_cast<long long>(port_grants_[0]),
+            static_cast<long long>(port_grants_[1]),
+            static_cast<long long>(port_grants_[2]),
+            static_cast<long long>(port_stalls_[0]),
+            static_cast<long long>(port_stalls_[1]),
+            static_cast<long long>(port_stalls_[2]));
   }
+  int64_t portGrants(int p) const { return port_grants_[p]; }
+  int64_t portStalls(int p) const { return port_stalls_[p]; }
+  int64_t contendedCycles() const { return contended_cycles_; }
 
  private:
   struct Beat {
@@ -199,12 +245,16 @@ class Hbm : public Module {
     int64_t id;
   };
   SimConfig cfg_;
-  std::vector<std::deque<Beat>> chan_;
+  std::vector<std::vector<std::deque<Beat>>> chan_;  // [chan][port]
+  std::vector<int> rr_;
   std::vector<double> credit_;
   double per_chan_rate_;
   std::unordered_map<int64_t, int> remaining_beats_;
   int64_t now_ = 0;
   int64_t total_bytes_ = 0, busy_cycles_ = 0;
+  int64_t contended_cycles_ = 0;
+  int64_t port_grants_[kPorts];
+  int64_t port_stalls_[kPorts];
   size_t transfers_ = 0;
 };
 
@@ -236,7 +286,7 @@ class InDma : public Module {
     // issue the next fetch when a slot frees
     if (next_ < ntasks_ &&
         static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
-      hbm_.schedule(next_ + 1, in_bytes_[next_]);
+      hbm_.schedule(next_ + 1, in_bytes_[next_], /*port=*/0);
       inflight_.push_back(next_ + 1);
       ++next_;
     }
@@ -331,7 +381,7 @@ class OutDma : public Module {
         static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
       int64_t task = vmem_out_.read(0);
       // ids offset past input ids
-      hbm_.schedule(ntasks_ + task + 1, out_bytes_[task]);
+      hbm_.schedule(ntasks_ + task + 1, out_bytes_[task], /*port=*/1);
       inflight_.push_back(ntasks_ + task + 1);
     }
   }
@@ -383,7 +433,7 @@ class BlockCache : public Module {
       return false;
     }
     ++misses_;
-    hbm_.schedule(kCacheIdBase + block_id, line_bytes_);
+    hbm_.schedule(kCacheIdBase + block_id, line_bytes_, /*port=*/2);
     pending_[block_id] = 1;
     return false;
   }
@@ -469,6 +519,10 @@ struct KernelTiming {
   double compute_util = 0.0;
   int64_t cache_hits = 0;
   int64_t cache_misses = 0;
+  // crossbar arbitration fairness (per requester port)
+  int64_t hbm_grants[Hbm::kPorts] = {0, 0, 0};
+  int64_t hbm_stalls[Hbm::kPorts] = {0, 0, 0};
+  int64_t hbm_contended = 0;
 };
 
 // Cycle-stepped kernel pipeline: InDma → VMEM FIFO (double-buffer
@@ -539,6 +593,11 @@ KernelTiming simulate_kernel_cached(const SimConfig& cfg, int64_t ntasks,
       cycle > 0 ? static_cast<double>(t.compute_cycles) / cycle : 0.0;
   t.cache_hits = cache.hits();
   t.cache_misses = cache.misses();
+  for (int p = 0; p < Hbm::kPorts; ++p) {
+    t.hbm_grants[p] = hbm.portGrants(p);
+    t.hbm_stalls[p] = hbm.portStalls(p);
+  }
+  t.hbm_contended = hbm.contendedCycles();
   return t;
 }
 
@@ -613,8 +672,44 @@ int64_t osp_sim_kernel_cached(int64_t ntasks, const int64_t* in_bytes,
     stats[0] = t.compute_util;
     stats[1] = static_cast<double>(t.cache_hits);
     stats[2] = static_cast<double>(t.cache_misses);
+    // crossbar fairness block (callers pass >= 10 slots to read it)
+    stats[3] = static_cast<double>(t.hbm_grants[0]);
+    stats[4] = static_cast<double>(t.hbm_grants[1]);
+    stats[5] = static_cast<double>(t.hbm_grants[2]);
+    stats[6] = static_cast<double>(t.hbm_stalls[0]);
+    stats[7] = static_cast<double>(t.hbm_stalls[1]);
+    stats[8] = static_cast<double>(t.hbm_stalls[2]);
+    stats[9] = static_cast<double>(t.hbm_contended);
   }
   return t.cycles;
+}
+
+// Crossbar-arbitration self-test: two ports saturate the HBM; the
+// round-robin grant must split grants near-evenly and progress both.
+// Returns 0 on success (parity check for SimOuterSPACE.cpp:361-430).
+int osp_sim_arbiter_selftest() {
+  Module::clearAll();
+  SimConfig cfg = g_cfg;
+  cfg.hbm_channels = 4;
+  Hbm hbm(cfg);
+  // saturate ports 0 and 1 with many transfers
+  for (int i = 0; i < 64; ++i) {
+    hbm.schedule(1000 + i, 4096, 0);
+    hbm.schedule(2000 + i, 4096, 1);
+  }
+  for (int c = 0; c < 200000; ++c) {
+    Module::updateAll();
+    if (hbm.done(1000 + 63) && hbm.done(2000 + 63)) break;
+  }
+  if (!hbm.done(1000 + 63) || !hbm.done(2000 + 63)) return 1;
+  int64_t g0 = hbm.portGrants(0), g1 = hbm.portGrants(1);
+  if (g0 == 0 || g1 == 0) return 2;
+  // round-robin fairness: grant imbalance bounded
+  int64_t hi = g0 > g1 ? g0 : g1, lo = g0 > g1 ? g1 : g0;
+  if (hi > lo + lo / 4 + 8) return 3;
+  if (hbm.contendedCycles() == 0) return 4;
+  if (hbm.portStalls(0) + hbm.portStalls(1) == 0) return 5;
+  return 0;
 }
 
 // Structural-hazard self-test of the FIFO framework (used by unit tests

@@ -73,6 +73,9 @@ def load(build: bool = True):
     ]
     lib.osp_sim_fifo_selftest.restype = ctypes.c_int
     lib.osp_sim_fifo_selftest.argtypes = []
+    if hasattr(lib, "osp_sim_arbiter_selftest"):
+        lib.osp_sim_arbiter_selftest.restype = ctypes.c_int
+        lib.osp_sim_arbiter_selftest.argtypes = []
     if hasattr(lib, "osp_sim_kernel_cached"):
         lib.osp_sim_kernel_cached.restype = ctypes.c_int64
         lib.osp_sim_kernel_cached.argtypes = [
@@ -219,7 +222,7 @@ def simulate_kernel_cached(
     ob = np.ascontiguousarray(out_bytes, dtype=np.int64)
     fl = np.ascontiguousarray(flops, dtype=np.int64)
     bb = np.ascontiguousarray(b_blocks, dtype=np.int64)
-    stats = (ctypes.c_double * 3)(0.0, 0.0, 0.0)
+    stats = (ctypes.c_double * 10)(*([0.0] * 10))
     cycles = lib.osp_sim_kernel_cached(
         ib.shape[0],
         ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -236,6 +239,11 @@ def simulate_kernel_cached(
         util=float(stats[0]),
         hits=int(stats[1]),
         misses=int(stats[2]),
+        # crossbar arbitration fairness (per requester port:
+        # in_dma / out_dma / vmem_cache) — SimOuterSPACE.cpp:361-430
+        hbm_grants=(int(stats[3]), int(stats[4]), int(stats[5])),
+        hbm_stalls=(int(stats[6]), int(stats[7]), int(stats[8])),
+        hbm_contended=int(stats[9]),
     )
 
 

@@ -259,3 +259,37 @@ class TestNativeMtxReader:
         np.testing.assert_allclose(
             a.to_dense(), g.to_dense(), rtol=1e-6, atol=1e-6
         )
+
+
+class TestCrossbarArbitration:
+    """Per-channel request arbitration among DMA/cache ports
+    (reference crossbar parity, SimOuterSPACE.cpp:361-430)."""
+
+    def test_arbiter_selftest(self):
+        from outerspace_tpu.perf.perfsim import load
+
+        lib = load()
+        if lib is None or not hasattr(lib, "osp_sim_arbiter_selftest"):
+            pytest.skip("native lib not built")
+        assert lib.osp_sim_arbiter_selftest() == 0
+
+    def test_cached_kernel_reports_fairness(self):
+        from outerspace_tpu.perf.perfsim import simulate_kernel_cached
+
+        n = 64
+        in_b = np.full(n, 4096, dtype=np.int64)
+        out_b = np.full(n, 4096, dtype=np.int64)
+        fl = np.full(n, 1024, dtype=np.int64)
+        # alternate B groups so the cache misses repeatedly and its HBM
+        # port contends with the DMA ports
+        blocks = np.arange(n, dtype=np.int64) % 32
+        out = simulate_kernel_cached(
+            in_b, out_b, fl, blocks, cache_slots=4
+        )
+        if "hbm_grants" not in out:
+            pytest.skip("native lib not built")
+        g = out["hbm_grants"]
+        assert g[0] > 0 and g[1] > 0 and g[2] > 0  # all ports granted
+        assert out["hbm_contended"] > 0  # congestion actually occurred
+        # rotating priority: no port is starved while others run
+        assert min(g) > 0
