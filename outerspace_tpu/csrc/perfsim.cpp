@@ -133,6 +133,23 @@ struct SimConfig {
 
 static SimConfig g_cfg;
 
+// Periodic in-run stats dumps (parity: the reference printed every
+// module's stats every 100k cycles, SimOuterSPACE.cpp:775-780).
+// Configured via osp_sim_set_stats_dump(path, interval); interval 0
+// disables. The dump file is appended per interval tick.
+static std::string g_stats_path;
+static int64_t g_stats_interval = 0;
+
+static void maybeDumpStats(int64_t cycle) {
+  if (g_stats_interval <= 0 || cycle % g_stats_interval != 0) return;
+  FILE* f = g_stats_path.empty() ? stderr
+                                 : std::fopen(g_stats_path.c_str(), "a");
+  if (!f) return;
+  fprintf(f, "cycle %lld:\n", static_cast<long long>(cycle));
+  for (auto* m : *g_modules) m->printStats(f);
+  if (!g_stats_path.empty()) std::fclose(f);
+}
+
 // HBM: per-channel striped beat queues, drained one bandwidth quantum per
 // channel per cycle after the first-beat latency (parity with the
 // page-interleaved channel select + queued memory ports,
@@ -547,6 +564,7 @@ KernelTiming simulate_kernel(const SimConfig& cfg, int64_t ntasks,
   int64_t cycle = 0;
   while (!out_dma.all_retired()) {
     Module::updateAll();
+    maybeDumpStats(cycle);
     if (++cycle > kMaxCycles)
       throw std::runtime_error("perfsim: no forward progress");
   }
@@ -584,6 +602,7 @@ KernelTiming simulate_kernel_cached(const SimConfig& cfg, int64_t ntasks,
   int64_t cycle = 0;
   while (!out_dma.all_retired()) {
     Module::updateAll();
+    maybeDumpStats(cycle);
     if (++cycle > kMaxCycles)
       throw std::runtime_error("perfsim: no forward progress");
   }
@@ -710,6 +729,13 @@ int osp_sim_arbiter_selftest() {
   if (hbm.contendedCycles() == 0) return 4;
   if (hbm.portStalls(0) + hbm.portStalls(1) == 0) return 5;
   return 0;
+}
+
+// Enable periodic per-module stats dumps every `interval` cycles into
+// `path` (append; empty/null path = stderr). interval <= 0 disables.
+void osp_sim_set_stats_dump(const char* path, int64_t interval) {
+  g_stats_path = path ? path : "";
+  g_stats_interval = interval;
 }
 
 // Structural-hazard self-test of the FIFO framework (used by unit tests

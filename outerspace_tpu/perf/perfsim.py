@@ -76,6 +76,12 @@ def load(build: bool = True):
     if hasattr(lib, "osp_sim_arbiter_selftest"):
         lib.osp_sim_arbiter_selftest.restype = ctypes.c_int
         lib.osp_sim_arbiter_selftest.argtypes = []
+    if hasattr(lib, "osp_sim_set_stats_dump"):
+        lib.osp_sim_set_stats_dump.restype = None
+        lib.osp_sim_set_stats_dump.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
     if hasattr(lib, "osp_sim_kernel_cached"):
         lib.osp_sim_kernel_cached.restype = ctypes.c_int64
         lib.osp_sim_kernel_cached.argtypes = [
@@ -278,3 +284,18 @@ def fifo_selftest() -> int:
     if lib is None:
         raise RuntimeError("native perfsim not built")
     return int(lib.osp_sim_fifo_selftest())
+
+
+def set_stats_dump(path: str | None, interval: int) -> bool:
+    """Enable the reference-style periodic per-module stats dumps
+    (every ``interval`` simulated cycles, appended to ``path``; None →
+    stderr; interval <= 0 disables). Returns False if the native lib is
+    unavailable. Parity: SimOuterSPACE.cpp:775-780 printed every module
+    every 100k cycles."""
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_set_stats_dump"):
+        return False
+    lib.osp_sim_set_stats_dump(
+        path.encode() if path else None, int(interval)
+    )
+    return True

@@ -293,3 +293,26 @@ class TestCrossbarArbitration:
         assert out["hbm_contended"] > 0  # congestion actually occurred
         # rotating priority: no port is starved while others run
         assert min(g) > 0
+
+
+class TestPeriodicStatsDump:
+    def test_dump_file_written(self, tmp_path):
+        from outerspace_tpu.perf.perfsim import (
+            set_stats_dump,
+            simulate_kernel,
+        )
+
+        path = str(tmp_path / "dump.txt")
+        if not set_stats_dump(path, 500):
+            pytest.skip("native lib not built")
+        try:
+            n = 32
+            simulate_kernel(
+                np.full(n, 8192, dtype=np.int64),
+                np.full(n, 8192, dtype=np.int64),
+                np.full(n, 4096, dtype=np.int64),
+            )
+        finally:
+            set_stats_dump(None, 0)
+        text = open(path).read()
+        assert "cycle" in text and "hbm:" in text
