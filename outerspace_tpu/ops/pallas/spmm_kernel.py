@@ -28,7 +28,9 @@ from outerspace_tpu.formats.compact import BlockELL
 
 
 def _spmm_kernel(
-    meta_ref,  # SMEM int32[nrb * max_blocks, 2]: (block_col, mask)
+    meta_ref,  # SMEM int32[nrb * max_blocks, 3]: (eff block_col, mask,
+    #            eff w-slot) — masked slots repeat a neighboring valid
+    #            slot's indices so their grid steps issue NO new DMA
     w_ref,  # VMEM f32[1, 1, bm, bn]
     x_ref,  # VMEM f32[bn, tn]
     out_ref,  # VMEM f32[bm, tn]
@@ -74,7 +76,12 @@ def spmm_blockell_device(
         in_specs=[
             pl.BlockSpec(
                 (1, 1, bm, bn),
-                lambda ib, jt, s, meta: (ib, s, 0, 0),
+                lambda ib, jt, s, meta, mb=max_blocks: (
+                    ib,
+                    meta[ib * mb + s, 2],
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -101,11 +108,29 @@ def spmm_blockell_device(
 
 
 def blockell_to_device(w: BlockELL) -> dict[str, jax.Array]:
-    """Stage a BlockELL weight matrix for the kernel."""
+    """Stage a BlockELL weight matrix for the kernel.
+
+    Masked (padding) slots get *effective* fetch indices — the nearest
+    previous valid slot's activation block-col and weight slot (leading
+    pads take the first valid's) — so the Pallas pipeline sees an
+    unchanged block index at masked grid steps and issues no DMA for
+    them (they used to re-fetch block 0 every time; measurable waste on
+    ragged ELL rows)."""
+    bc = np.asarray(w.block_cols, dtype=np.int32)
+    mask = np.asarray(w.block_mask, dtype=bool)
+    nrb, mb = bc.shape
+    slot = np.tile(np.arange(mb, dtype=np.int64), (nrb, 1))
+    idx = np.where(mask, slot, -1)
+    last = np.maximum.accumulate(idx, axis=1)  # -1 before any valid
+    any_valid = mask.any(axis=1)
+    first = np.where(any_valid, mask.argmax(axis=1), 0).astype(np.int64)
+    src = np.where(last >= 0, last, first[:, None])  # [nrb, mb]
+    bc_eff = np.take_along_axis(bc, src, axis=1)
     meta = np.stack(
         [
-            w.block_cols.reshape(-1).astype(np.int32),
-            w.block_mask.reshape(-1).astype(np.int32),
+            bc_eff.reshape(-1).astype(np.int32),
+            mask.reshape(-1).astype(np.int32),
+            src.reshape(-1).astype(np.int32),
         ],
         axis=1,
     )

@@ -52,3 +52,29 @@ class TestSpMM:
         )
         y = np.asarray(spmm(w, x, interpret=True))
         np.testing.assert_allclose(y, w_dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_slots_reuse_neighbor_indices():
+    # Masked ELL slots must carry the neighboring valid slot's fetch
+    # indices (no index change => the Pallas pipeline issues no DMA).
+    import numpy as np
+
+    from outerspace_tpu.formats.coo import COO
+    from outerspace_tpu.formats.compact import BlockELL
+    from outerspace_tpu.ops.pallas.spmm_kernel import blockell_to_device
+
+    rng = np.random.default_rng(0)
+    dense = np.zeros((16, 32), np.float32)
+    dense[0, :8] = 1.0          # row block 0: one valid block
+    dense[8:, :] = rng.random((8, 32)).astype(np.float32)  # full row
+    w = BlockELL.from_coo(COO.from_dense(dense), block_shape=(8, 8))
+    dev = blockell_to_device(w)
+    meta = np.asarray(dev["meta"]).reshape(w.block_cols.shape[0], -1, 3)
+    for rb in range(meta.shape[0]):
+        prev = None
+        for s in range(meta.shape[1]):
+            col, mask, slot = meta[rb, s]
+            if mask:
+                prev = (col, slot)
+            elif prev is not None:
+                assert (col, slot) == prev, (rb, s)
