@@ -861,13 +861,18 @@ def plan_tiled_parts(
     b_csr: CSR,
     waste_limit: float | None = None,
     nparts: int | None = None,
-    min_part_stream: int = 4 << 20,
+    min_part_stream: int = 2 << 20,
     budget: float = 1.12,
 ) -> "TiledPartsPlan | TiledPlan":
     """Plan the row-partitioned tiled pipeline; falls back to the single
     ``TiledPlan`` when partitioning doesn't pay (small streams, or the
     per-part planner's padded total exceeds ``budget``× the unsplit
-    plan's — the fragmentation guard)."""
+    plan's — the fragmentation guard, retried at halved part counts).
+
+    Measured (v5e, 16.8M pairs): 8 sequential 1-D pair-sorts of L/8 run
+    at 1.52 ns/pair vs 2.35 for one L-sort — a 35% cut of the dominant
+    cost; batched 2-D [P, L/P] sorts are SLOWER than one 1-D sort, so
+    each part keeps its own 1-D sort call."""
     base = plan_tiled(a_csc, b_csr, waste_limit=waste_limit)
     m, n = a_csc.shape[0], b_csr.shape[1]
     if m * n > 2**32:
@@ -884,27 +889,27 @@ def plan_tiled_parts(
         from outerspace_tpu.sched.autotune import autotune
 
         waste_limit = autotune(a_csc, b_csr)[1]
-    bounds = balanced_contiguous_partition(
-        row_products(a_csc, b_csr).astype(np.float64), nparts
-    )
-    parts = []
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        lo, hi = int(lo), int(hi)
-        if hi <= lo:
-            continue
-        a_p = _slice_a_rows(a_csc, lo, hi)
-        if a_p.nnz == 0:
-            continue
-        parts.append(
-            (lo, hi, plan_tiled(a_p, b_csr, waste_limit=waste_limit))
-        )
-    if len(parts) <= 1:
-        return base
-    split = TiledPartsPlan(m, n, parts)
-    # Fragmentation guard: partitioning must not inflate the stream.
-    if split.padded_total > budget * max(base.padded_total, 1):
-        return base
-    return split
+    rp = row_products(a_csc, b_csr).astype(np.float64)
+    while nparts > 1:
+        bounds = balanced_contiguous_partition(rp, nparts)
+        parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            lo, hi = int(lo), int(hi)
+            if hi <= lo:
+                continue
+            a_p = _slice_a_rows(a_csc, lo, hi)
+            if a_p.nnz == 0:
+                continue
+            parts.append(
+                (lo, hi, plan_tiled(a_p, b_csr, waste_limit=waste_limit))
+            )
+        if len(parts) > 1:
+            split = TiledPartsPlan(m, n, parts)
+            # Fragmentation guard: the split must not inflate the stream.
+            if split.padded_total <= budget * max(base.padded_total, 1):
+                return split
+        nparts //= 2
+    return base
 
 
 def spgemm_padded_tiled_parts(
