@@ -414,14 +414,21 @@ def _element_subset(ep, keep):
     )
 
 
-def row_partition(a_csc, b_csr, key_space: int = 2**32) -> np.ndarray:
+def row_partition(
+    a_csc, b_csr, key_space: int = 2**32,
+    max_part_products: int = 5 << 19,
+) -> np.ndarray:
     """Output-row range boundaries such that each part's rows_span × n
     fits the packed-uint32 key space, product-balanced across parts.
-    Returns int64[nparts+1] row bounds (nparts == 1 when m·n fits)."""
+    Returns int64[nparts+1] row bounds.
+
+    Beyond the key-space requirement, large streams split further so
+    each part's merge sorts ≲ ``max_part_products`` pairs (capped at 8
+    parts): measured on v5e, eight L/8 pair-sorts run 35% faster than
+    one L-sort (1.52 vs 2.35 ns/pair at L = 16.8M) — the same
+    sort-network shortening the tiled pipeline's ``plan_tiled_parts``
+    exploits."""
     m, n = a_csc.shape[0], b_csr.shape[1]
-    if m * n <= key_space:
-        return np.array([0, m], dtype=np.int64)
-    max_span = max(key_space // max(n, 1), 1)
     # per-row product counts: sum over A nonzeros in that row of nnz_B(k)
     nb_per_k = b_csr.major_nnz().astype(np.int64)
     a_k = np.repeat(
@@ -433,8 +440,19 @@ def row_partition(a_csc, b_csr, key_space: int = 2**32) -> np.ndarray:
         weights=nb_per_k[a_k].astype(np.float64),
         minlength=m,
     )
+    total = float(per_row.sum())
+    perf_parts = 1
+    if max_part_products and total > 1.5 * max_part_products:
+        perf_parts = int(min(8, np.ceil(total / max_part_products)))
+    if m * n <= key_space and perf_parts <= 1:
+        return np.array([0, m], dtype=np.int64)
+    max_span = max(key_space // max(n, 1), 1) if m * n > key_space else m
     cum = np.concatenate([[0.0], np.cumsum(per_row)])
-    nparts = max(int(-(-(m) // max_span)), int(np.ceil(m * n / key_space)))
+    nparts = max(
+        int(-(-(m) // max_span)),
+        int(np.ceil(m * n / key_space)),
+        perf_parts,
+    )
     bounds = [0]
     for p in range(1, nparts):
         target = cum[-1] * p / nparts
