@@ -878,8 +878,11 @@ def plan_tiled_parts(
     if m * n > 2**32:
         return base
     if nparts is None:
-        # one part per ~min_part_stream of padded stream, capped at 8
-        nparts = int(min(8, max(1, base.padded_total // min_part_stream)))
+        # One part per ~min_part_stream of padded stream, capped at 4:
+        # measured on rmat14, 8 parts buys only ~2 ms over 4 (34.6 vs
+        # 36.5 ms/op) while its shape diversity ballooned compiles
+        # (1233 s vs 27.6 s on a degraded-compile day) — 4 is the knee.
+        nparts = int(min(4, max(1, base.padded_total // min_part_stream)))
         nparts = 1 << (nparts - 1).bit_length() if nparts > 1 else 1
     if nparts <= 1:
         return base
