@@ -213,12 +213,14 @@ def markov_cluster_device(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p_pad", "m", "n", "iters", "inflation", "threshold"),
+    static_argnames=(
+        "p_pad", "elem_pad", "m", "n", "iters", "inflation", "threshold"
+    ),
 )
 def _mcl_fused_jit(
     kcsc, vals,
-    *, p_pad: int, m: int, n: int, iters: int, inflation: float,
-    threshold: float,
+    *, p_pad: int, elem_pad: int, m: int, n: int, iters: int,
+    inflation: float, threshold: float,
 ):
     """The whole MCL loop as ONE ``lax.fori_loop`` program: every
     iteration re-uses fixed ``p_pad``-sized buffers, so there are ZERO
@@ -232,8 +234,8 @@ def _mcl_fused_jit(
     del n
     def body(_, state):
         return _mcl_iteration(
-            state, p_pad=p_pad, m=m, inflation=inflation,
-            threshold=threshold,
+            state, p_pad=p_pad, elem_pad=elem_pad, m=m,
+            inflation=inflation, threshold=threshold,
         )
 
     state = jax.lax.fori_loop(
@@ -277,7 +279,7 @@ def _csc_colnorm_sorted(kcol, vp, m: int):
     )
 
 
-def _mcl_iteration(state, *, p_pad, m, inflation, threshold):
+def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     """One MCL iteration (square + inflate) on fixed p_pad buffers.
 
     The flow stays in ONE order — CSC, as a (packed biased key
@@ -300,8 +302,13 @@ def _mcl_iteration(state, *, p_pad, m, inflation, threshold):
 
     Scatter-free and gather-light throughout: coordinates live packed
     in the key (unpacked arithmetically), so the sorts move 2 streams
-    instead of 4."""
-    kcsc, vals, ok = state
+    instead of 4. The ELEMENT arrays live at ``elem_pad`` (the nnz
+    budget, ~20-50× smaller than the ``p_pad`` product stream) — the
+    expansion's per-element scatters and offset cumsums cost O(nnz),
+    not O(p_pad); only the product-stream passes are p_pad-sized
+    (measured: carrying elements at p_pad made each iteration
+    ~70 ms on 917K buffers — scatter/gather-bound, not sort-bound)."""
+    kcsc, vals, ok = state  # compacted CSC elements, [elem_pad]
     idx = jnp.arange(p_pad, dtype=jnp.int32)
     ku = jax.lax.bitcast_convert_type(kcsc, jnp.uint32) ^ np.uint32(2**31)
     col_f = (ku // np.uint32(m)).astype(jnp.int32)
@@ -366,15 +373,19 @@ def _mcl_iteration(state, *, p_pad, m, inflation, threshold):
         kcol, jnp.where(survive, vp, 0.0), m
     )
     vn = jnp.where(survive, vp / colsum_bc, 0.0)
-    # ---- post-prune compaction: the second (and last) 2-stream sort ----
+    # ---- post-prune compaction: the second (and last) 2-stream sort,
+    # sliced back to the small element buffers (the dropped tail must be
+    # pure sentinel — guarded) ----
     ckey2 = jnp.where(survive, key_s, _I32_MAX)
+    nnz_next = jnp.sum(survive.astype(jnp.int32))
+    ok = ok & (nnz_next <= elem_pad)
     k_next, v_next = jax.lax.sort((ckey2, vn), num_keys=1, is_stable=False)
-    return (k_next, v_next, ok)
+    return (k_next[:elem_pad], v_next[:elem_pad], ok)
 
 
 def mcl_whole_traced(
     tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
-    inflation: float, threshold: float,
+    inflation: float, threshold: float, elem_pad: int | None = None,
 ):
     """The ENTIRE staged MCL as one traceable program: tiled first
     squaring (Pallas expand over the host plan) + inflation + compaction
@@ -386,11 +397,14 @@ def mcl_whole_traced(
     stepwise chain)."""
     from outerspace_tpu.ops.spgemm import (
         merge_epilogue,
-        spgemm_padded_tiled,
+        spgemm_padded_tiled_parts,
         unpack_key_biased,
     )
 
-    sq = spgemm_padded_tiled(tplan)
+    # stage 1 accepts a TiledPlan or a row-partitioned TiledPartsPlan
+    # (the parts pipeline's shorter sorts cut the dominant first
+    # squaring ~30%; measured on rmat14-scale streams)
+    sq = spgemm_padded_tiled_parts(tplan)
     L = sq.rows.shape[0]
     # ---- inflation without the 16k-bin scatter-add (slow at this
     # stream size), with ONE L-sized sort: prune first on the
@@ -418,20 +432,24 @@ def mcl_whole_traced(
     colsum_bc = _csc_colnorm_sorted(kcol, vp, m)
     vn = jnp.where(valid1, vp / colsum_bc, 0.0)
     nnz1 = jnp.sum(valid1.astype(jnp.int32))
-    ok = nnz1 <= p_pad
+    if elem_pad is None:
+        elem_pad = nnz_pad
+    elem_pad = min(max(elem_pad, nnz_pad), p_pad)
+    ok = nnz1 <= elem_pad
     # ---- slice the compacted (valid-front, CSC-ordered) stream into
-    # the loop's resident (key, value) buffers ----
-    if L >= p_pad:
-        kp, vnp_ = kc[:p_pad], vn[:p_pad]
+    # the loop's SMALL element buffers (kc is sorted: all real keys sit
+    # in the first nnz1 slots, and ok guards nnz1 <= elem_pad) ----
+    if L >= elem_pad:
+        kp, vnp_ = kc[:elem_pad], vn[:elem_pad]
     else:
-        ext = p_pad - L
+        ext = elem_pad - L
         kp = jnp.concatenate([kc, jnp.full(ext, _I32_MAX, jnp.int32)])
         vnp_ = jnp.concatenate([vn, jnp.zeros(ext, jnp.float32)])
 
     def body(_, state):
         return _mcl_iteration(
-            state, p_pad=p_pad, m=m, inflation=inflation,
-            threshold=threshold,
+            state, p_pad=p_pad, elem_pad=elem_pad, m=m,
+            inflation=inflation, threshold=threshold,
         )
 
     k_out, v_out, ok = jax.lax.fori_loop(
@@ -519,15 +537,19 @@ def markov_cluster_device_fused(
             (m, n), r0, c0, v0, valid0, jnp.int32(nnz0)
         )
     p_pad = round_up_bucket(max(p_budget, n_in, 4096), min_size=4096)
+    elem_pad = min(
+        round_up_bucket(max(int(nnz0 * 1.25) + 256, 1024), min_size=1024),
+        p_pad,
+    )
     # Enter the loop's CSC-resident (key, value) form: pack + one sort.
     kcsc0, vals0 = _to_csc_state_jit(
         merged0.rows, merged0.cols, merged0.vals, merged0.valid,
-        p_pad=p_pad, m=m,
+        p_pad=elem_pad, m=m,
     )
     k_out, v_out, ok = _mcl_fused_jit(
         kcsc0, vals0,
-        p_pad=p_pad, m=m, n=n, iters=iters, inflation=float(inflation),
-        threshold=float(prune_threshold),
+        p_pad=p_pad, elem_pad=elem_pad, m=m, n=n, iters=iters,
+        inflation=float(inflation), threshold=float(prune_threshold),
     )
     if not bool(np.asarray(ok)):  # budget exceeded: exact stepwise path
         return markov_cluster_device(
@@ -549,12 +571,15 @@ def markov_cluster_device_fused(
 @functools.partial(jax.jit, static_argnames=("p_pad", "m"))
 def _to_csc_state_jit(rows, cols, vals, valid, *, p_pad: int, m: int):
     """Pack a masked COO stream into the loop's CSC-resident state:
-    (sorted biased ``col·m + row`` keys with sentinel tail, values)."""
+    (sorted biased ``col·m + row`` keys with sentinel tail, values),
+    sliced/padded to ``p_pad``. Sorts BEFORE slicing, so truncation can
+    only drop sentinel slots (caller guarantees nnz <= p_pad)."""
     n_in = rows.shape[0]
     key = jnp.where(
         valid, cols * np.int32(m) + rows + KEY_BIAS, _I32_MAX
     )
     v = jnp.where(valid, vals, 0.0)
+    key, v = jax.lax.sort((key, v), num_keys=1, is_stable=False)
     if n_in < p_pad:
         key = jnp.concatenate(
             [key, jnp.full(p_pad - n_in, _I32_MAX, jnp.int32)]
@@ -562,7 +587,7 @@ def _to_csc_state_jit(rows, cols, vals, valid, *, p_pad: int, m: int):
         v = jnp.concatenate([v, jnp.zeros(p_pad - n_in, jnp.float32)])
     else:
         key, v = key[:p_pad], v[:p_pad]
-    return jax.lax.sort((key, v), num_keys=1, is_stable=False)
+    return key, v
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "nnz_pad"))

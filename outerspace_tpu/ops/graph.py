@@ -304,13 +304,13 @@ def mcl_prepare(
     largest — the flow is host-side at this point anyway) for the tiled
     Pallas pipeline. Returns an opaque prep consumed by :func:`mcl_run`
     (amortised across repeated runs, like the A² workloads' plans)."""
-    from outerspace_tpu.ops.spgemm import plan_tiled
+    from outerspace_tpu.ops.spgemm import plan_tiled_parts
 
     n = flow.shape[0]
     assert flow.shape[0] == flow.shape[1] and n * n < 2**32
     if iters < 1:
         raise ValueError("mcl_prepare stages >= 1 iteration; iters=0 is a no-op")
-    tplan = plan_tiled(flow.to_csc(), flow)
+    tplan = plan_tiled_parts(flow.to_csc(), flow)
     from outerspace_tpu.sched.sizing_cache import workload_key
 
     sizing_key = workload_key(
@@ -345,7 +345,10 @@ def mcl_run(prep):
         markov_cluster_device_fused,
         mcl_whole_traced,
     )
-    from outerspace_tpu.ops.spgemm import MergedCOO, spgemm_padded_tiled
+    from outerspace_tpu.ops.spgemm import (
+        MergedCOO,
+        spgemm_padded_tiled_parts,
+    )
     from outerspace_tpu.ops.symbolic import round_up_bucket
 
     tplan = prep["tplan"]
@@ -369,7 +372,7 @@ def mcl_run(prep):
         # pruning, and the device ok flag guards the assumption with an
         # exact stepwise fallback) — then fall through to the one-jit
         # program in the same call
-        sq = spgemm_padded_tiled(tplan)
+        sq = spgemm_padded_tiled_parts(tplan)
         v1, valid1, nnz1 = inflate_device(
             sq.rows, sq.cols, sq.vals, sq.valid,
             m=n, inflation=inflation, threshold=threshold,
@@ -406,7 +409,7 @@ def mcl_run(prep):
         # Static budgets violated: run the EXACT stepwise chain (its own
         # per-iteration sizing cannot overflow) — bounded, no recursion —
         # and double the budgets so future runs retake the fast path.
-        sq = spgemm_padded_tiled(tplan)
+        sq = spgemm_padded_tiled_parts(tplan)
         v1, valid1, nnz1 = inflate_device(
             sq.rows, sq.cols, sq.vals, sq.valid,
             m=n, inflation=inflation, threshold=threshold,
