@@ -136,10 +136,10 @@ def square_device(merged: MergedCOO) -> MergedCOO:
         merged.rows, merged.cols, merged.vals, merged.valid,
         nnz_pad=nnz_pad, m=m,
     )
-    raw = np.asarray(_chain_stats_jit(rows, indptr, m=m))
-    p_exact = int(raw[:1].view(np.int32)[0])
-    max_row = int(raw[1:2].view(np.int32)[0])
-    p_approx = float(raw[2])
+    raw = np.asarray(_chain_stats_jit(rows, cols, indptr, m=m))
+    p_exact = int(raw[0])
+    max_row = int(raw[1])
+    p_approx = float(raw[2:3].view(np.float32)[0])
     # the f32 estimate catches int32 wrap of the exact sum (its own
     # error is tiny relative to 2^31), so over-scale inputs fail loudly
     if p_exact < 0 or p_approx >= 2**31 * 0.999:
@@ -156,19 +156,33 @@ def square_device(merged: MergedCOO) -> MergedCOO:
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _chain_stats_jit(rows, indptr, *, m: int):
+def _chain_stats_jit(rows, cols, indptr, *, m: int):
     """[P for M@M (exact int32, bit-cast), max nnz per row (int32,
     bit-cast), P again as f32] in one fetchable f32 array. The f32
     channel guards the exact sum against int32 wrap (no int64 on
-    device without x64 mode — the old int64 cast silently truncated)."""
+    device without x64 mode — the old int64 cast silently truncated).
+
+    P gathers row degrees by each element's COLUMN — the outer index k
+    that feeds the expansion (P = Σ_e rownnz(col(e))). Gathering by row
+    (Σ rownnz(row(e)) = Σ_i rownnz(i)²) is a different number for
+    asymmetric operands and under-sizes ``p_pad`` whenever column mass
+    sits on heavier rows than row mass.
+
+    The container is int32 with the f32 guard bitcast INTO the int lane
+    — NOT int bit patterns bitcast into an f32 array: small ints are f32
+    denormals, and the TPU flushes denormals to zero somewhere between
+    an f32 stack and the host fetch (measured on the tunnel: int32
+    500500 in an f32 lane fetches as 0.0). Integer lanes are exact."""
     deg = indptr[1:] - indptr[:-1]
-    contrib = jnp.where(rows < m, deg[jnp.minimum(rows, m - 1)], 0)
+    contrib = jnp.where(rows < m, deg[jnp.minimum(cols, m - 1)], 0)
     p_i = jnp.sum(contrib)
     return jnp.stack(
         [
-            jax.lax.bitcast_convert_type(p_i, jnp.float32),
-            jax.lax.bitcast_convert_type(jnp.max(deg), jnp.float32),
-            jnp.sum(contrib.astype(jnp.float32)),
+            p_i,
+            jnp.max(deg),
+            jax.lax.bitcast_convert_type(
+                jnp.sum(contrib.astype(jnp.float32)), jnp.int32
+            ),
         ]
     )
 
@@ -433,7 +447,11 @@ def mcl_whole_traced(
     vn = jnp.where(valid1, vp / colsum_bc, 0.0)
     nnz1 = jnp.sum(valid1.astype(jnp.int32))
     if elem_pad is None:
-        elem_pad = nnz_pad
+        # MCL flows transiently GROW before converging (squaring
+        # densifies faster than pruning thins for the first iterations),
+        # so the per-iteration element budget needs margin over the
+        # FINAL nnz budget; the ok flag still guards it exactly.
+        elem_pad = round_up_bucket(4 * nnz_pad, min_size=4096)
     elem_pad = min(max(elem_pad, nnz_pad), p_pad)
     ok = nnz1 <= elem_pad
     # ---- slice the compacted (valid-front, CSC-ordered) stream into
@@ -473,24 +491,28 @@ def mcl_whole_traced(
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _flow_stats_jit(rows, cols, valid, *, m: int):
-    """[nnz (exact int32, bit-cast into the f32 lane — a float cast
-    would be lossy above 2²⁴ and the validity mask built from it must
-    be exact), P of M@M (f32, for bucket sizing only — the fused loop's
+    """[nnz (exact int32 — a float cast would be lossy above 2²⁴ and
+    the validity mask built from it must be exact), P of M@M (f32 for
+    bucket sizing only, bitcast INTO the int32 lane — the fused loop's
     ``ok`` flag guards exactness against that approximation)] in one
-    fetch; decode with :func:`_decode_flow_stats`."""
+    int32 fetch; decode with :func:`_decode_flow_stats`. Int32 is the
+    container because f32 lanes flush denormal bit patterns to zero on
+    the TPU (see :func:`_chain_stats_jit`)."""
     deg = jnp.zeros(m, jnp.float32).at[jnp.where(valid, rows, 0)].add(
         valid.astype(jnp.float32), mode="drop"
     )
     p = jnp.sum(jnp.where(valid, deg[jnp.minimum(cols, m - 1)], 0.0))
-    nnz_bits = jax.lax.bitcast_convert_type(
-        jnp.sum(valid.astype(jnp.int32)), jnp.float32
+    return jnp.stack(
+        [
+            jnp.sum(valid.astype(jnp.int32)),
+            jax.lax.bitcast_convert_type(p, jnp.int32),
+        ]
     )
-    return jnp.stack([nnz_bits, p])
 
 
 def _decode_flow_stats(stats_dev) -> tuple[int, int]:
     raw = np.asarray(stats_dev)
-    return int(raw[:1].view(np.int32)[0]), int(raw[1])
+    return int(raw[0]), int(raw[1:2].view(np.float32)[0])
 
 
 def markov_cluster_device_fused(
@@ -537,8 +559,10 @@ def markov_cluster_device_fused(
             (m, n), r0, c0, v0, valid0, jnp.int32(nnz0)
         )
     p_pad = round_up_bucket(max(p_budget, n_in, 4096), min_size=4096)
+    # 4x margin over the entry nnz: flows transiently grow (see
+    # mcl_whole_traced); the ok flag guards, stepwise fallback is exact.
     elem_pad = min(
-        round_up_bucket(max(int(nnz0 * 1.25) + 256, 1024), min_size=1024),
+        round_up_bucket(max(4 * nnz0, 4096), min_size=4096),
         p_pad,
     )
     # Enter the loop's CSC-resident (key, value) form: pack + one sort.

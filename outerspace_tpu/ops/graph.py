@@ -365,6 +365,12 @@ def mcl_run(prep):
         if cached and "p_pad" in cached and "nnz_pad" in cached:
             prep["p_pad"] = cached["p_pad"]
             prep["nnz_pad"] = cached["nnz_pad"]
+            prep["elem_pad"] = cached.get(
+                "elem_pad",
+                round_up_bucket(
+                    max(4 * cached["nnz_pad"], 4096), min_size=4096
+                ),
+            )
             prep["sizing_cached"] = True
     if "p_pad" not in prep:
         # sizing pass: one eager first squaring + inflation is enough to
@@ -387,20 +393,29 @@ def mcl_run(prep):
             max(int(p1 * 1.5) + 4096, nnz1_h, 4096), min_size=4096
         )
         prep["nnz_pad"] = round_up_bucket(max(nnz1_h, 1), min_size=1024)
+        # per-iteration element budget: 4x margin over the entry nnz
+        # (flows transiently grow before converging; ok-flag guarded)
+        prep["elem_pad"] = round_up_bucket(
+            max(4 * nnz1_h, 4096), min_size=4096
+        )
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
-                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"]},
+                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
+                 "elem_pad": prep["elem_pad"]},
             )
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
+
+        elem_pad = prep.get("elem_pad")
 
         @jax.jit
         def program():
             return mcl_whole_traced(
                 tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
                 iters=iters - 1, inflation=inflation, threshold=threshold,
+                elem_pad=elem_pad,
             )
 
         prep["program"] = program
@@ -424,12 +439,16 @@ def mcl_run(prep):
             max(prep["nnz_pad"] * 2, int(np.asarray(out.nnz))),
             min_size=1024,
         )
+        prep["elem_pad"] = round_up_bucket(
+            prep.get("elem_pad", prep["nnz_pad"]) * 2, min_size=4096
+        )
         prep.pop("program", None)
         prep.pop("sizing_cached", None)
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
-                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"]},
+                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
+                 "elem_pad": prep["elem_pad"]},
             )
         return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz

@@ -60,6 +60,58 @@ class TestChain:
         sq = square_device(merged)
         assert_csr_allclose(sq.to_csr(), spgemm_scipy(g, g), rtol=1e-5)
 
+    def test_square_device_heavy_column_sizing(self):
+        # Regression: P must gather row degrees by each element's COLUMN
+        # (the outer index feeding the expansion). A matrix whose heavy
+        # row h is referenced by many light rows' (i, h) elements has
+        # true P = K·H + H but Σ rownnz(row(e)) = H² + K — the old
+        # row-gathered estimate under-sized p_pad ~4x here and the
+        # expansion silently truncated.
+        n, H, K = 64, 4, 48
+        rows = [0] * H + list(range(1, K + 1))
+        cols = list(range(1, H + 1)) + [0] * K
+        g = COO(
+            (n, n),
+            np.asarray(rows, np.int64),
+            np.asarray(cols, np.int64),
+            np.ones(H + K, np.float32),
+        )
+        merged = _to_merged(g)
+        sq = square_device(merged)
+        assert_csr_allclose(sq.to_csr(), spgemm_scipy(g, g), rtol=1e-5)
+
+    def test_chain_stats_int32_container(self):
+        # Regression (TPU tunnel): int bit patterns bitcast into an f32
+        # fetch lane are denormals and flush to zero between device and
+        # host. The stats containers must be int32 with the f32 guard
+        # bitcast INTO the int lane, never the reverse.
+        from outerspace_tpu.ops.chain import (
+            _chain_stats_jit,
+            _decode_flow_stats,
+            _flow_stats_jit,
+        )
+
+        g = erdos_renyi(100, 100, 0.05, seed=51)
+        merged = _to_merged(g)
+        rows, cols, vals, indptr, _ = compact_to_csr_device(
+            merged.rows, merged.cols, merged.vals, merged.valid,
+            nnz_pad=1024, m=100,
+        )
+        raw = np.asarray(_chain_stats_jit(rows, cols, indptr, m=100))
+        assert raw.dtype == np.int32
+        s = g.to_scipy().tocsr()
+        deg = np.diff(s.indptr)
+        p_true = int(deg[s.tocoo().col].sum())
+        assert int(raw[0]) == p_true
+        assert int(raw[1]) == int(deg.max())
+        assert abs(float(raw[2:3].view(np.float32)[0]) - p_true) <= 1e-3 * p_true
+
+        fraw = _flow_stats_jit(merged.rows, merged.cols, merged.valid, m=100)
+        assert np.asarray(fraw).dtype == np.int32
+        nnz_h, p_h = _decode_flow_stats(fraw)
+        assert nnz_h == s.nnz
+        assert abs(p_h - p_true) <= max(1, int(1e-3 * p_true))
+
     def test_repeated_squaring(self):
         # A^4 chained entirely on device vs scipy
         g = erdos_renyi(150, 150, 0.02, seed=54)
