@@ -374,27 +374,31 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     _, _, v2, valid2, _ = merge_epilogue(
         key_s, v_s, m, m, None, pad_count=jnp.int32(p_pad) - p_clamped
     )
-    # ---- inflation / prune / column normalise on the sorted stream ----
+    # ---- inflation / prune on the sorted stream, then compact FIRST
+    # (the second 2-stream sort) and column-normalise at ELEM scale:
+    # the survivor set is the same either side of the compaction, so
+    # normalising the compacted stream is exact — and the segmented
+    # colsum pass runs over elem_pad instead of p_pad (measured 4.9 ms
+    # at 917K vs ~1 ms at 164K on chip) ----
     vp = jnp.where(
         valid2,
         jnp.power(jnp.maximum(v2, 0.0), np.float32(inflation)),
         0.0,
     )
     survive = valid2 & (vp > threshold)
-    ku2 = jax.lax.bitcast_convert_type(key_s, jnp.uint32) ^ np.uint32(2**31)
-    kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
-    colsum_bc = _csc_colnorm_sorted(
-        kcol, jnp.where(survive, vp, 0.0), m
-    )
-    vn = jnp.where(survive, vp / colsum_bc, 0.0)
-    # ---- post-prune compaction: the second (and last) 2-stream sort,
-    # sliced back to the small element buffers (the dropped tail must be
-    # pure sentinel — guarded) ----
     ckey2 = jnp.where(survive, key_s, _I32_MAX)
     nnz_next = jnp.sum(survive.astype(jnp.int32))
     ok = ok & (nnz_next <= elem_pad)
-    k_next, v_next = jax.lax.sort((ckey2, vn), num_keys=1, is_stable=False)
-    return (k_next[:elem_pad], v_next[:elem_pad], ok)
+    k_next, vp_next = jax.lax.sort(
+        (ckey2, jnp.where(survive, vp, 0.0)), num_keys=1, is_stable=False
+    )
+    k_next, vp_next = k_next[:elem_pad], vp_next[:elem_pad]
+    ku2 = jax.lax.bitcast_convert_type(k_next, jnp.uint32) ^ np.uint32(2**31)
+    kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
+    colsum_bc = _csc_colnorm_sorted(kcol, vp_next, m)
+    valid_next = k_next != _I32_MAX
+    v_next = jnp.where(valid_next, vp_next / colsum_bc, 0.0)
+    return (k_next, v_next, ok)
 
 
 def mcl_whole_traced(
