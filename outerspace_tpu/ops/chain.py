@@ -404,6 +404,7 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
 def mcl_whole_traced(
     tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
     inflation: float, threshold: float, elem_pad: int | None = None,
+    p_pad2: int | None = None,
 ):
     """The ENTIRE staged MCL as one traceable program: tiled first
     squaring (Pallas expand over the host plan) + inflation + compaction
@@ -412,7 +413,15 @@ def mcl_whole_traced(
     run is a single dispatch with one scalar sync. Returns
     (rows[nnz_pad], cols, vals, nnz, ok); ``ok`` guards every static
     budget (compaction overflow ⇒ caller falls back to the exact
-    stepwise chain)."""
+    stepwise chain).
+
+    ``p_pad2`` enables the TWO-PHASE loop: MCL product counts collapse
+    as the flow converges (measured rmat14: P = 562K → 326K → 43K over
+    the loop squarings), so only the FIRST loop iteration runs at the
+    full ``p_pad``; the rest share a smaller fori_loop at ``p_pad2``
+    (sized by the host sweep to bound every later P). The loop state is
+    elem_pad-sized either way, so the phases compose with no
+    re-staging; each phase's true P stays ok-guarded."""
     from outerspace_tpu.ops.spgemm import (
         merge_epilogue,
         spgemm_padded_tiled_parts,
@@ -424,15 +433,22 @@ def mcl_whole_traced(
     # squaring ~30%; measured on rmat14-scale streams)
     sq = spgemm_padded_tiled_parts(tplan)
     L = sq.rows.shape[0]
-    # ---- inflation without the 16k-bin scatter-add (slow at this
-    # stream size), with ONE L-sized sort: prune first on the
+    # ---- inflation with ONE L-sized pass: prune first on the
     # unnormalised powered values (the reference/scipy semantics — the
     # prune decision does not need column sums), then a single masked
-    # CSC-order 2-stream sort makes surviving columns contiguous; the
-    # merge epilogue's segmented sum produces the per-column survivor
-    # totals in one pass, and the bitcast-diff cumsum trick broadcasts
-    # them back. The loop accepts the CSC-ordered result directly (its
-    # compaction sorts by row-major packed key, order-agnostic). ----
+    # CSC-key 2-stream sort BOTH compacts the survivors to the front
+    # AND delivers the loop's resident CSC order, so the stream can be
+    # sliced straight into the small element buffers and everything
+    # after (column-normalise included) runs at elem scale. Cheaper
+    # compactions were hunted and lost on chip at rmat14's ~10M-slot
+    # stage-1 stream: TPU random access costs ~9-14 ns/element
+    # REGARDLESS of operand size (even a 20K-entry cumsum table is not
+    # kept hot), so every gather/scatter/searchsorted-based scheme —
+    # rank-gather (94 ms), monotone-dest scatter (131 ms), scatter-idx
+    # + gather (89 ms), block-sort + block-table search (104 ms) —
+    # loses to the one 45 ms sort. What made the old tail slow was not
+    # this sort but the column-normalise it ran at L scale; that now
+    # costs one elem-scale segmented pass. ----
     vp0 = jnp.where(
         sq.valid,
         jnp.power(jnp.maximum(sq.vals, 0.0), np.float32(inflation)),
@@ -442,14 +458,6 @@ def mcl_whole_traced(
     kcsc = jnp.where(
         survive, sq.cols * np.int32(m) + sq.rows + KEY_BIAS, _I32_MAX
     )
-    kc, vp = jax.lax.sort((kcsc, vp0), num_keys=1, is_stable=False)
-    valid1 = kc != _I32_MAX
-    vp = jnp.where(valid1, vp, 0.0)
-    colu, _ = unpack_key_biased(kc, m)  # key = col·m + row
-    kcol = colu.astype(jnp.int32) + KEY_BIAS  # sorted too
-    colsum_bc = _csc_colnorm_sorted(kcol, vp, m)
-    vn = jnp.where(valid1, vp / colsum_bc, 0.0)
-    nnz1 = jnp.sum(valid1.astype(jnp.int32))
     if elem_pad is None:
         # MCL flows transiently GROW before converging (squaring
         # densifies faster than pruning thins for the first iterations),
@@ -457,26 +465,46 @@ def mcl_whole_traced(
         # FINAL nnz budget; the ok flag still guards it exactly.
         elem_pad = round_up_bucket(4 * nnz_pad, min_size=4096)
     elem_pad = min(max(elem_pad, nnz_pad), p_pad)
+    nnz1 = jnp.sum(survive.astype(jnp.int32))
+    # truncation guard: slicing the sorted stream to elem_pad may only
+    # drop sentinel slots, never real survivors
     ok = nnz1 <= elem_pad
-    # ---- slice the compacted (valid-front, CSC-ordered) stream into
-    # the loop's SMALL element buffers (kc is sorted: all real keys sit
-    # in the first nnz1 slots, and ok guards nnz1 <= elem_pad) ----
+    kc_full, vp_full = jax.lax.sort((kcsc, vp0), num_keys=1, is_stable=False)
     if L >= elem_pad:
-        kp, vnp_ = kc[:elem_pad], vn[:elem_pad]
+        kp, vp = kc_full[:elem_pad], vp_full[:elem_pad]
     else:
         ext = elem_pad - L
-        kp = jnp.concatenate([kc, jnp.full(ext, _I32_MAX, jnp.int32)])
-        vnp_ = jnp.concatenate([vn, jnp.zeros(ext, jnp.float32)])
+        kp = jnp.concatenate([kc_full, jnp.full(ext, _I32_MAX, jnp.int32)])
+        vp = jnp.concatenate([vp_full, jnp.zeros(ext, jnp.float32)])
+    valid1 = kp != _I32_MAX
+    vp = jnp.where(valid1, vp, 0.0)
+    colu, _ = unpack_key_biased(kp, m)  # key = col·m + row
+    kcol = colu.astype(jnp.int32) + KEY_BIAS  # sorted too
+    colsum_bc = _csc_colnorm_sorted(kcol, vp, m)
+    vnp_ = jnp.where(valid1, vp / colsum_bc, 0.0)
 
-    def body(_, state):
-        return _mcl_iteration(
+    state = (kp, vnp_, ok)
+    two_phase = p_pad2 is not None and p_pad2 < p_pad and iters >= 1
+    if two_phase:
+        state = _mcl_iteration(
             state, p_pad=p_pad, elem_pad=elem_pad, m=m,
             inflation=inflation, threshold=threshold,
         )
+    loop_p_pad = max(p_pad2, elem_pad) if two_phase else p_pad
+    loop_iters = iters - 1 if two_phase else iters
 
-    k_out, v_out, ok = jax.lax.fori_loop(
-        0, iters, body, (kp, vnp_, ok)
-    )
+    def body(_, state):
+        return _mcl_iteration(
+            state, p_pad=loop_p_pad, elem_pad=elem_pad, m=m,
+            inflation=inflation, threshold=threshold,
+        )
+
+    if loop_iters > 0:
+        k_out, v_out, ok = jax.lax.fori_loop(
+            0, loop_iters, body, state
+        )
+    else:
+        k_out, v_out, ok = state
     valid = k_out != _I32_MAX
     nnz = jnp.sum(valid.astype(jnp.int32))
     ok = ok & (nnz <= nnz_pad)

@@ -324,7 +324,42 @@ def mcl_prepare(
         "iters": int(iters),
         "threshold": float(prune_threshold),
         "sizing_key": sizing_key,
+        # kept for the host sizing sweep (scipy, sub-second — replaces
+        # the old ~150 s eager device sizing pass); dropped after sizing
+        "flow_scipy": flow.to_scipy().tocsr(),
     }
+
+
+def _host_mcl_sizing(flow_scipy, inflation, iters, threshold):
+    """Run the MCL recurrence once in scipy (host, same semantics as the
+    device loop: square, prune on unnormalised powered values, column
+    normalise) and read every static budget the fused device program
+    needs: per-squaring product counts P_i and per-iteration surviving
+    nnz. Sub-second at the graph sizes the device chain accepts
+    (n² < 2³²) — the budgets get ×1.5 margins and the device ``ok``
+    flag still guards exactness (f32 vs f64 prune boundaries can
+    differ near the threshold)."""
+    import scipy.sparse as sp
+
+    flow = flow_scipy.tocsr()
+    n = flow.shape[0]
+    p_list, nnz_list = [], []
+    for _ in range(iters):
+        rownnz = np.diff(flow.indptr)
+        coo = flow.tocoo()
+        p_list.append(int(rownnz[coo.col].sum()))
+        sq = (flow @ flow).tocoo()
+        vp = np.power(np.maximum(sq.data, 0.0), inflation)
+        keep = vp > threshold
+        r, c, v = sq.row[keep], sq.col[keep], vp[keep]
+        nnz_list.append(int(keep.sum()))
+        cs = np.zeros(n)
+        np.add.at(cs, c, v)
+        cs[cs == 0] = 1.0
+        flow = sp.coo_matrix(
+            (v / cs[c], (r, c)), shape=(n, n)
+        ).tocsr()
+    return p_list, nnz_list
 
 
 def mcl_run(prep):
@@ -340,7 +375,6 @@ def mcl_run(prep):
     import jax.numpy as jnp
 
     from outerspace_tpu.ops.chain import (
-        _flow_stats_jit,
         inflate_device,
         markov_cluster_device_fused,
         mcl_whole_traced,
@@ -360,7 +394,7 @@ def mcl_run(prep):
 
     if "p_pad" not in prep and "sizing_key" in prep:
         # warm path: budgets learned on a previous process for this
-        # exact workload skip the sizing pass (the ok flag still guards)
+        # exact workload skip the sizing sweep (the ok flag still guards)
         cached = sizing_cache.lookup(prep["sizing_key"])
         if cached and "p_pad" in cached and "nnz_pad" in cached:
             prep["p_pad"] = cached["p_pad"]
@@ -371,51 +405,60 @@ def mcl_run(prep):
                     max(4 * cached["nnz_pad"], 4096), min_size=4096
                 ),
             )
+            prep["p_pad2"] = cached.get("p_pad2")
             prep["sizing_cached"] = True
     if "p_pad" not in prep:
-        # sizing pass: one eager first squaring + inflation is enough to
-        # learn the static loop sizes (nnz only shrinks under inflation
-        # pruning, and the device ok flag guards the assumption with an
-        # exact stepwise fallback) — then fall through to the one-jit
-        # program in the same call
-        sq = spgemm_padded_tiled_parts(tplan)
-        v1, valid1, nnz1 = inflate_device(
-            sq.rows, sq.cols, sq.vals, sq.valid,
-            m=n, inflation=inflation, threshold=threshold,
+        # host sizing sweep (scipy, sub-second): exact per-squaring
+        # product counts P_i and survivor nnz for EVERY iteration, so
+        # the static loop buffers fit the measured trajectory (×1.5
+        # margin, device ok flag guards f32-vs-f64 prune boundary
+        # drift) instead of one eager device squaring + a 4× heuristic
+        # — and the source of the TWO-PHASE split: P collapses as the
+        # flow converges (rmat14: 562K → 326K → 43K over the loop
+        # squarings), so only the first loop squaring runs at the full
+        # p_pad and the rest share the smaller p_pad2 fori_loop.
+        p_list, nnz_list = _host_mcl_sizing(
+            prep["flow_scipy"], inflation, iters, threshold
         )
-        flow1 = MergedCOO(sq.shape, sq.rows, sq.cols, v1, valid1, nnz1)
-        from outerspace_tpu.ops.chain import _decode_flow_stats
-
-        nnz1_h, p1 = _decode_flow_stats(
-            _flow_stats_jit(flow1.rows, flow1.cols, flow1.valid, m=n)
+        elem_pad = round_up_bucket(
+            max(int(1.5 * max(nnz_list)) + 1024, 4096), min_size=4096
         )
-        prep["p_pad"] = round_up_bucket(
-            max(int(p1 * 1.5) + 4096, nnz1_h, 4096), min_size=4096
+        nnz_pad = round_up_bucket(
+            max(int(1.5 * nnz_list[-1]) + 256, 1024), min_size=1024
         )
-        prep["nnz_pad"] = round_up_bucket(max(nnz1_h, 1), min_size=1024)
-        # per-iteration element budget: 4x margin over the entry nnz
-        # (flows transiently grow before converging; ok-flag guarded)
-        prep["elem_pad"] = round_up_bucket(
-            max(4 * nnz1_h, 4096), min_size=4096
+        p2 = p_list[1] if len(p_list) > 1 else 0
+        p_pad = round_up_bucket(
+            max(int(1.5 * p2) + 4096, elem_pad, 4096), min_size=4096
         )
+        p_pad2 = None
+        if len(p_list) > 2:
+            p_pad2 = round_up_bucket(
+                max(int(1.5 * max(p_list[2:])) + 4096, elem_pad, 4096),
+                min_size=4096,
+            )
+            if p_pad2 >= p_pad:
+                p_pad2 = None
+        prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
+        prep["elem_pad"], prep["p_pad2"] = elem_pad, p_pad2
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
                 {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"]},
+                 "elem_pad": prep["elem_pad"], "p_pad2": prep["p_pad2"]},
             )
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
 
         elem_pad = prep.get("elem_pad")
+        p_pad2 = prep.get("p_pad2")
 
         @jax.jit
         def program():
             return mcl_whole_traced(
                 tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
                 iters=iters - 1, inflation=inflation, threshold=threshold,
-                elem_pad=elem_pad,
+                elem_pad=elem_pad, p_pad2=p_pad2,
             )
 
         prep["program"] = program
@@ -442,13 +485,17 @@ def mcl_run(prep):
         prep["elem_pad"] = round_up_bucket(
             prep.get("elem_pad", prep["nnz_pad"]) * 2, min_size=4096
         )
+        # an ok violation means the sized trajectory was wrong — retake
+        # the fast path single-phase (no p_pad2 split) at the doubled
+        # budgets rather than trusting the per-phase sizes again
+        prep["p_pad2"] = None
         prep.pop("program", None)
         prep.pop("sizing_cached", None)
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
                 {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"]},
+                 "elem_pad": prep["elem_pad"], "p_pad2": None},
             )
         return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz
