@@ -638,7 +638,10 @@ def main() -> None:
         for gate, name, fn in (
             (60, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
             (45, "triangles_rmat13", bench_triangles),
-            (60, "mcl_rmat14_4iter", bench_mcl),
+            # the MCL program's cold compile is ~115 s (three loop-body
+            # sizes + the split tail); starting it with less head-room
+            # risks the hard process timeout mid-run with no headline
+            (130, "mcl_rmat14_4iter", bench_mcl),
         ):
             if _time_left() > gate:
                 fn()

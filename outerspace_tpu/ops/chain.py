@@ -404,7 +404,7 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
 def mcl_whole_traced(
     tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
     inflation: float, threshold: float, elem_pad: int | None = None,
-    p_pad2: int | None = None,
+    p_pads: tuple[int, ...] | None = None,
 ):
     """The ENTIRE staged MCL as one traceable program: tiled first
     squaring (Pallas expand over the host plan) + inflation + compaction
@@ -415,13 +415,15 @@ def mcl_whole_traced(
     budget (compaction overflow ⇒ caller falls back to the exact
     stepwise chain).
 
-    ``p_pad2`` enables the TWO-PHASE loop: MCL product counts collapse
-    as the flow converges (measured rmat14: P = 562K → 326K → 43K over
-    the loop squarings), so only the FIRST loop iteration runs at the
-    full ``p_pad``; the rest share a smaller fori_loop at ``p_pad2``
-    (sized by the host sweep to bound every later P). The loop state is
-    elem_pad-sized either way, so the phases compose with no
-    re-staging; each phase's true P stays ok-guarded."""
+    ``p_pads`` (static, one entry per loop iteration) schedules PER-
+    ITERATION product buffers: MCL product counts collapse as the flow
+    converges (measured rmat14: P = 562K → 326K → 43K over the loop
+    squarings), so each iteration runs at a buffer sized by the host
+    sweep for ITS squaring instead of all sharing the worst case.
+    Consecutive equal sizes share one ``fori_loop`` body (one compile
+    per distinct size); the loop state is elem_pad-sized throughout, so
+    phases compose with no re-staging, and each iteration's true P
+    stays ok-guarded."""
     from outerspace_tpu.ops.spgemm import (
         merge_epilogue,
         spgemm_padded_tiled_parts,
@@ -466,16 +468,48 @@ def mcl_whole_traced(
         elem_pad = round_up_bucket(4 * nnz_pad, min_size=4096)
     elem_pad = min(max(elem_pad, nnz_pad), p_pad)
     nnz1 = jnp.sum(survive.astype(jnp.int32))
-    # truncation guard: slicing the sorted stream to elem_pad may only
-    # drop sentinel slots, never real survivors
+    # truncation guard: slicing the sorted stream(s) to elem_pad may
+    # only drop sentinel slots, never real survivors (per-split slices
+    # are safe under the SAME guard: each split's survivors ≤ nnz1)
     ok = nnz1 <= elem_pad
-    kc_full, vp_full = jax.lax.sort((kcsc, vp0), num_keys=1, is_stable=False)
-    if L >= elem_pad:
+    n_split = 8 if L >= 16 * elem_pad else 1
+    if n_split > 1:
+        # comparator networks scale ~log²n, so 8 short sorts + one
+        # elem-scale combine beat the monolith (measured at rmat14's
+        # 10M-slot stream: 41.6 vs 52.6 ms)
+        C = -(-L // n_split)
+        pad = n_split * C - L
+        if pad:
+            kcsc = jnp.concatenate(
+                [kcsc, jnp.full(pad, _I32_MAX, jnp.int32)]
+            )
+            vp0 = jnp.concatenate([vp0, jnp.zeros(pad, jnp.float32)])
+        parts_k, parts_v = [], []
+        for s in range(n_split):
+            ks, vs = jax.lax.sort(
+                (kcsc[s * C:(s + 1) * C], vp0[s * C:(s + 1) * C]),
+                num_keys=1, is_stable=False,
+            )
+            parts_k.append(ks[: min(elem_pad, C)])
+            parts_v.append(vs[: min(elem_pad, C)])
+        kc_cat = jnp.concatenate(parts_k)
+        vp_cat = jnp.concatenate(parts_v)
+        kc_full, vp_full = jax.lax.sort(
+            (kc_cat, vp_cat), num_keys=1, is_stable=False
+        )
         kp, vp = kc_full[:elem_pad], vp_full[:elem_pad]
     else:
-        ext = elem_pad - L
-        kp = jnp.concatenate([kc_full, jnp.full(ext, _I32_MAX, jnp.int32)])
-        vp = jnp.concatenate([vp_full, jnp.zeros(ext, jnp.float32)])
+        kc_full, vp_full = jax.lax.sort(
+            (kcsc, vp0), num_keys=1, is_stable=False
+        )
+        if L >= elem_pad:
+            kp, vp = kc_full[:elem_pad], vp_full[:elem_pad]
+        else:
+            ext = elem_pad - L
+            kp = jnp.concatenate(
+                [kc_full, jnp.full(ext, _I32_MAX, jnp.int32)]
+            )
+            vp = jnp.concatenate([vp_full, jnp.zeros(ext, jnp.float32)])
     valid1 = kp != _I32_MAX
     vp = jnp.where(valid1, vp, 0.0)
     colu, _ = unpack_key_biased(kp, m)  # key = col·m + row
@@ -484,27 +518,32 @@ def mcl_whole_traced(
     vnp_ = jnp.where(valid1, vp / colsum_bc, 0.0)
 
     state = (kp, vnp_, ok)
-    two_phase = p_pad2 is not None and p_pad2 < p_pad and iters >= 1
-    if two_phase:
-        state = _mcl_iteration(
-            state, p_pad=p_pad, elem_pad=elem_pad, m=m,
-            inflation=inflation, threshold=threshold,
+    if p_pads is None:
+        p_pads = (p_pad,) * iters
+    if len(p_pads) != iters:
+        raise ValueError(
+            f"p_pads has {len(p_pads)} entries for {iters} iterations"
         )
-    loop_p_pad = max(p_pad2, elem_pad) if two_phase else p_pad
-    loop_iters = iters - 1 if two_phase else iters
+    # run-length segments of equal sizes: one fori body compile each
+    i = 0
+    while i < iters:
+        j = i
+        while j < iters and p_pads[j] == p_pads[i]:
+            j += 1
+        seg_p_pad = max(min(p_pads[i], p_pad), elem_pad)
 
-    def body(_, state):
-        return _mcl_iteration(
-            state, p_pad=loop_p_pad, elem_pad=elem_pad, m=m,
-            inflation=inflation, threshold=threshold,
-        )
+        def body(_, state, _pp=seg_p_pad):
+            return _mcl_iteration(
+                state, p_pad=_pp, elem_pad=elem_pad, m=m,
+                inflation=inflation, threshold=threshold,
+            )
 
-    if loop_iters > 0:
-        k_out, v_out, ok = jax.lax.fori_loop(
-            0, loop_iters, body, state
-        )
-    else:
-        k_out, v_out, ok = state
+        if j - i == 1:
+            state = body(0, state)
+        else:
+            state = jax.lax.fori_loop(0, j - i, body, state)
+        i = j
+    k_out, v_out, ok = state
     valid = k_out != _I32_MAX
     nnz = jnp.sum(valid.astype(jnp.int32))
     ok = ok & (nnz <= nnz_pad)

@@ -405,7 +405,8 @@ def mcl_run(prep):
                     max(4 * cached["nnz_pad"], 4096), min_size=4096
                 ),
             )
-            prep["p_pad2"] = cached.get("p_pad2")
+            pps = cached.get("p_pads")
+            prep["p_pads"] = tuple(pps) if pps else None
             prep["sizing_cached"] = True
     if "p_pad" not in prep:
         # host sizing sweep (scipy, sub-second): exact per-squaring
@@ -426,39 +427,52 @@ def mcl_run(prep):
         nnz_pad = round_up_bucket(
             max(int(1.5 * nnz_list[-1]) + 256, 1024), min_size=1024
         )
-        p2 = p_list[1] if len(p_list) > 1 else 0
-        p_pad = round_up_bucket(
-            max(int(1.5 * p2) + 4096, elem_pad, 4096), min_size=4096
-        )
-        p_pad2 = None
-        if len(p_list) > 2:
-            p_pad2 = round_up_bucket(
-                max(int(1.5 * max(p_list[2:])) + 4096, elem_pad, 4096),
-                min_size=4096,
+        # per-iteration product buffers for the loop squarings (2..iters)
+        p_pads = tuple(
+            round_up_bucket(
+                max(int(1.5 * p) + 4096, elem_pad, 4096), min_size=4096
             )
-            if p_pad2 >= p_pad:
-                p_pad2 = None
+            for p in p_list[1:]
+        )
+        # compile guard: each DISTINCT size compiles its own loop body,
+        # so long chains (iters=10 default) quantize to at most 3 sizes
+        # — every entry rounds UP to the nearest kept size (never down:
+        # budgets may only grow, the ok guard stays sound)
+        distinct = sorted(set(p_pads), reverse=True)
+        if len(distinct) > 3:
+            kept = {distinct[0], distinct[len(distinct) // 2],
+                    distinct[-1]}
+            p_pads = tuple(
+                min(s for s in kept if s >= p) for p in p_pads
+            )
+        # p_pad caps every schedule entry (and is the single size the
+        # fallback reuses), so it is the schedule's worst case; the
+        # schedule itself may legally bump mid-run (transient growth —
+        # each iteration ok-guards its own size)
+        p_pad = max(p_pads) if p_pads else elem_pad
         prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
-        prep["elem_pad"], prep["p_pad2"] = elem_pad, p_pad2
+        prep["elem_pad"] = elem_pad
+        prep["p_pads"] = p_pads if p_pads else None
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
                 {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"], "p_pad2": prep["p_pad2"]},
+                 "elem_pad": prep["elem_pad"],
+                 "p_pads": list(p_pads) if p_pads else None},
             )
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
 
         elem_pad = prep.get("elem_pad")
-        p_pad2 = prep.get("p_pad2")
+        p_pads = prep.get("p_pads")
 
         @jax.jit
         def program():
             return mcl_whole_traced(
                 tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
                 iters=iters - 1, inflation=inflation, threshold=threshold,
-                elem_pad=elem_pad, p_pad2=p_pad2,
+                elem_pad=elem_pad, p_pads=p_pads,
             )
 
         prep["program"] = program
@@ -486,16 +500,16 @@ def mcl_run(prep):
             prep.get("elem_pad", prep["nnz_pad"]) * 2, min_size=4096
         )
         # an ok violation means the sized trajectory was wrong — retake
-        # the fast path single-phase (no p_pad2 split) at the doubled
-        # budgets rather than trusting the per-phase sizes again
-        prep["p_pad2"] = None
+        # the fast path single-size (no per-iteration schedule) at the
+        # doubled budgets rather than trusting the per-phase sizes again
+        prep["p_pads"] = None
         prep.pop("program", None)
         prep.pop("sizing_cached", None)
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
                 {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"], "p_pad2": None},
+                 "elem_pad": prep["elem_pad"], "p_pads": None},
             )
         return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz

@@ -63,20 +63,45 @@ def _load() -> dict:
         return {}
 
 
+def _coerce(v):
+    """Sizing values are ints, int lists (per-iteration schedules), or
+    None (an explicitly disabled schedule); anything else is rejected."""
+    if v is None or isinstance(v, bool):
+        return None if v is None else _reject()
+    if isinstance(v, int):
+        return v
+    if isinstance(v, list) and all(
+        isinstance(x, int) and not isinstance(x, bool) for x in v
+    ):
+        return [int(x) for x in v]
+    return _reject()
+
+
+def _reject():
+    raise ValueError("unsupported sizing value")
+
+
 def lookup(key: str) -> dict | None:
-    """Return the cached sizing dict for ``key`` (ints), or None."""
+    """Return the cached sizing dict for ``key`` (ints, int lists, or
+    None markers), or None."""
     got = _load().get(key)
     if not isinstance(got, dict):
         return None
-    return {k: int(v) for k, v in got.items() if isinstance(v, int)}
+    out = {}
+    for k, v in got.items():
+        try:
+            out[k] = _coerce(v)
+        except ValueError:
+            continue
+    return out
 
 
 def store(key: str, sizes: dict) -> None:
-    """Best-effort atomic write of ``sizes`` (int values) under ``key``."""
+    """Best-effort atomic write of ``sizes`` under ``key``."""
     path = cache_path()
     try:
         d = _load()
-        d[key] = {k: int(v) for k, v in sizes.items()}
+        d[key] = {k: _coerce(v) for k, v in sizes.items()}
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(path), suffix=".tmp"
