@@ -43,7 +43,10 @@ import time
 import numpy as np
 
 _T0 = time.perf_counter()
-_DEADLINE_S = float(os.environ.get("OUTERSPACE_BENCH_DEADLINE", "520"))
+# soft deadline: workload shedding aims here; the watchdog in main()
+# guarantees the headline even if a degraded-tunnel compile blows
+# through it (the driver's hard kill is ~595 s)
+_DEADLINE_S = float(os.environ.get("OUTERSPACE_BENCH_DEADLINE", "545"))
 _CHAIN_K = 4
 
 
@@ -150,19 +153,48 @@ def _chain_k(flops: int) -> int:
 
 
 def _chain_jit(make_once, k):
+    """Chain K pipelines per sync; the fetched vector carries the chained
+    nnz (int32, exact) plus the LAST iteration's validation checksums
+    (f32 bitcast into the int32 lanes — int containers survive the
+    tunnel, f32 lanes flush small-int denormals). Folding the checksums
+    into the chain means validation needs NO second full-pipeline
+    executable — previously each workload silently paid a ~60-80 s
+    Mosaic recompile for an unchained validation run."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run():
         nnz = jnp.int32(0)
+        sums = jnp.zeros(4, jnp.float32)
         for _ in range(k):
             bump_i = jnp.minimum(nnz, 0)  # 0 at runtime, opaque to XLA
             bump_f = bump_i.astype(jnp.float32)
-            nnz = nnz + make_once(bump_i, bump_f)
-        return nnz
+            n_i, sums = make_once(bump_i, bump_f)
+            nnz = nnz + n_i
+        return jnp.concatenate(
+            [nnz[None], jax.lax.bitcast_convert_type(sums, jnp.int32)]
+        )
 
     return run
+
+
+def _stream_sums(rows, cols, vals, valid):
+    """Order-invariant placement-sensitive checksums of a masked COO
+    stream (the device half of ``_validate``)."""
+    import jax.numpy as jnp
+
+    v = jnp.where(valid, vals, 0.0)
+    r = jnp.where(valid, rows, 0)
+    c = jnp.where(valid, cols, 0)
+    return jnp.stack(
+        [
+            jnp.sum(v, dtype=jnp.float32),
+            jnp.sum(jnp.abs(v), dtype=jnp.float32),
+            jnp.sum(r * v, dtype=jnp.float32),
+            jnp.sum(c * v, dtype=jnp.float32),
+        ]
+    )
 
 
 def _bump_tiled(tplan, bump_i, bump_f):
@@ -181,24 +213,13 @@ def _bump_tiled(tplan, bump_i, bump_f):
     return dataclasses.replace(tplan, device_args=dev)
 
 
-def _validate(merged, c_ref):
-    """nnz-exact + order-invariant placement-sensitive checksums."""
-    import jax.numpy as jnp
-
-    nnz_ok = int(merged.nnz) == c_ref.nnz
+def _validate_vec(vec, k, c_ref):
+    """nnz-exact + checksum validation from a fetched chain vector
+    (``_chain_jit`` layout: [k·nnz, 4 × f32-bitcast checksums])."""
+    nnz_ok = int(vec[0]) == k * c_ref.nnz
     if not nnz_ok:
         return False, False
-    v = jnp.where(merged.valid, merged.vals, 0.0)
-    r = jnp.where(merged.valid, merged.rows, 0)
-    c = jnp.where(merged.valid, merged.cols, 0)
-    dev_sums = np.array(
-        [
-            _sync_scalar(jnp.sum(v, dtype=jnp.float32)),
-            _sync_scalar(jnp.sum(jnp.abs(v), dtype=jnp.float32)),
-            _sync_scalar(jnp.sum(r * v, dtype=jnp.float32)),
-            _sync_scalar(jnp.sum(c * v, dtype=jnp.float32)),
-        ]
-    )
+    dev_sums = np.asarray(vec[1:5]).view(np.float32).astype(np.float64)
     co = c_ref.tocoo()
     host_sums = np.array(
         [
@@ -241,9 +262,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
         def make_once(bump_i, bump_f):
             d = dict(dev, a_vals=dev["a_vals"] + bump_f)
-            return spgemm_padded(
-                plan, p_pad, device_args=d, max_run=mr
-            ).nnz
+            m = spgemm_padded(plan, p_pad, device_args=d, max_run=mr)
+            return m.nnz, _stream_sums(m.rows, m.cols, m.vals, m.valid)
 
         def merged_fn():
             return spgemm_padded(plan, p_pad, device_args=dev, max_run=mr)
@@ -261,17 +281,23 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
         def make_once(bump_i, bump_f):
             nnz = jnp.int32(0)
+            sums = jnp.zeros(4, jnp.float32)
             for p in plan.parts:
                 dev = dict(p.dev)
                 dev["p_real_total"] = jnp.int32(p.p_real)
                 dev["bases"] = dev["bases"] + bump_i
-                out = _part_device(
+                r, c, v, valid, pn = _part_device(
                     dev, ngroups=p.ngroups, b_win=p.b_win,
                     merge_pad=p.merge_pad, n_cols=plan.n,
                     sentinel_row=p.span, max_run=p.max_run,
                 )
-                nnz = nnz + out[4]
-            return nnz
+                # part rows are part-relative: lift to global for the
+                # placement-sensitive checksums (as spgemm_gather_padded
+                # does when materializing)
+                rg = jnp.where(valid, r + np.int32(p.row_base), 0)
+                sums = sums + _stream_sums(rg, c, v, valid)
+                nnz = nnz + pn
+            return nnz, sums
 
         def merged_fn():
             return spgemm_gather_padded(plan)
@@ -291,19 +317,26 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
         if isinstance(tplan, TiledPartsPlan):
             # row-partitioned pipeline: bump every part's expand inputs
+            # (parts keep GLOBAL rows, so checksums add across parts)
             def make_once(bump_i, bump_f):
                 nnz = jnp.int32(0)
+                sums = jnp.zeros(4, jnp.float32)
                 for _, _, tp in tplan.parts:
-                    nnz = nnz + spgemm_padded_tiled(
+                    m = spgemm_padded_tiled(
                         _bump_tiled(tp, bump_i, bump_f)
-                    ).nnz
-                return nnz
+                    )
+                    sums = sums + _stream_sums(
+                        m.rows, m.cols, m.vals, m.valid
+                    )
+                    nnz = nnz + m.nnz
+                return nnz, sums
 
         else:
             def make_once(bump_i, bump_f):
-                return spgemm_padded_tiled(
-                    _bump_tiled(tplan, bump_i, bump_f)
-                ).nnz
+                m = spgemm_padded_tiled(_bump_tiled(tplan, bump_i, bump_f))
+                return m.nnz, _stream_sums(
+                    m.rows, m.cols, m.vals, m.valid
+                )
 
         def merged_fn():
             return spgemm_padded_tiled_parts(tplan)
@@ -312,12 +345,12 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
     k = _chain_k(flops)
     run = _chain_jit(make_once, k)
     t0 = time.perf_counter()
-    _sync_scalar(run())  # compile + warm
+    vec = np.asarray(run())  # compile + warm (one 5-lane fetch = 1 RPC)
     t_compile = time.perf_counter() - t0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync_scalar(run())
+        vec = np.asarray(run())
         ts.append(time.perf_counter() - t0)
     t_tpu = _per_op(ts, k)
 
@@ -326,11 +359,12 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
     if c_ref is None:  # baseline thread still running out of budget
         return dict(name=name, error="cpu baseline timeout")
 
-    merged = merged_fn()
-    nnz_ok, val_ok = _validate(merged, c_ref)
+    nnz_ok, val_ok = _validate_vec(vec, k, c_ref)
     exact_ok = None
     if exact_check and nnz_ok:
-        got = merged.to_csr()  # full fetch: only for the small fixture
+        # full fetch: only for the small fixture (the one extra compile
+        # of an unchained pipeline is fixture-sized, XLA-only)
+        got = merged_fn().to_csr()
         ref = c_ref
         exact_ok = bool(
             np.array_equal(got.indptr, ref.indptr)
@@ -401,7 +435,25 @@ def bench_spgemm_suite() -> list[dict]:
         "rmat16_ef8": 150.0,
         "mtx_rmat10_a2": 90.0,
     }
-    degrade = 1.0
+    # tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
+    # degraded) seeds the degrade factor and leaves a diagnostic record
+    # so a thin capture is attributable to tunnel health, not the
+    # framework
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    _sync_scalar(
+        jax.jit(
+            lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1]
+        )(jnp.arange(131072, dtype=jnp.int32))
+    )
+    probe_s = time.perf_counter() - t0
+    print(
+        json.dumps({"tunnel_probe_compile_s": round(probe_s, 1)}),
+        file=sys.stderr, flush=True,
+    )
+    degrade = max(1.0, probe_s / 12.0)
     for name, gen, exact, forced in workloads:
         # reserve ~80 s so the NN/triangle/MCL benches can still run
         est = est_base.get(name, 90.0) * degrade + 80.0
@@ -632,26 +684,14 @@ def bench_mcl() -> dict:
     return rec
 
 
-def main() -> None:
-    results = bench_spgemm_suite()
-    try:
-        for gate, name, fn in (
-            (60, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
-            (45, "triangles_rmat13", bench_triangles),
-            # the MCL program's cold compile is ~115 s (three loop-body
-            # sizes + the split tail); starting it with less head-room
-            # risks the hard process timeout mid-run with no headline
-            (130, "mcl_rmat14_4iter", bench_mcl),
-        ):
-            if _time_left() > gate:
-                fn()
-            else:
-                print(
-                    json.dumps({"skipped": name, "reason": "deadline"}),
-                    file=sys.stderr, flush=True,
-                )
-    except Exception as e:  # auxiliary benches must not kill the headline
-        print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
+_HEADLINE_LOCK = threading.Lock()
+
+
+def _print_headline(results, done_evt) -> None:
+    with _HEADLINE_LOCK:
+        if done_evt.is_set():
+            return
+        done_evt.set()
     good = [r for r in results if "error" not in r]
     ok = bool(good) and all(
         r["nnz_exact"] and r["values_match"] for r in good
@@ -670,9 +710,55 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "x",
                 "vs_baseline": round(value, 3),
+                "records": len(good),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main() -> None:
+    # LAST-RESORT WATCHDOG: a blocked remote compile cannot be aborted
+    # from Python, so a degraded-tunnel workload that hangs after its
+    # deadline check passes would ride straight into the driver's hard
+    # process kill and lose the headline. Shortly before that kill the
+    # watchdog prints the headline from whatever records completed and
+    # exits; the ``done`` event keeps the ONE-json-line contract when
+    # the normal path got there first.
+    results: list[dict] = []
+    done = threading.Event()
+    watchdog_at = min(_DEADLINE_S + 30.0, 578.0)
+
+    def _watchdog():
+        remaining = watchdog_at - (time.perf_counter() - _T0)
+        if remaining > 0 and not done.wait(timeout=remaining):
+            _print_headline(results, done)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    results.extend(bench_spgemm_suite())
+    # the contract line depends only on the A² suite — print it BEFORE
+    # the auxiliary benches so a hard process timeout mid-aux (degraded-
+    # tunnel compiles can eat minutes) can never lose the headline
+    _print_headline(results, done)
+    try:
+        for gate, name, fn in (
+            (60, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
+            (45, "triangles_rmat13", bench_triangles),
+            # the MCL program's cold compile is ~115 s (three loop-body
+            # sizes + the split tail); starting it with less head-room
+            # risks the hard process timeout mid-run
+            (130, "mcl_rmat14_4iter", bench_mcl),
+        ):
+            if _time_left() > gate:
+                fn()
+            else:
+                print(
+                    json.dumps({"skipped": name, "reason": "deadline"}),
+                    file=sys.stderr, flush=True,
+                )
+    except Exception as e:  # auxiliary benches must not kill the run
+        print(json.dumps({"aux_bench_error": str(e)[:300]}), file=sys.stderr)
 
 
 if __name__ == "__main__":

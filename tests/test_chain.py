@@ -216,3 +216,140 @@ class TestChain:
         np.testing.assert_allclose(
             f2.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
         )
+
+    def _prep_flow(self, g):
+        from outerspace_tpu.formats.coo import COO
+        from outerspace_tpu.ops.graph import _col_normalize
+
+        n = g.shape[0]
+        m = COO(
+            g.shape,
+            np.concatenate([g.row, np.arange(n, dtype=g.row.dtype)]),
+            np.concatenate([g.col, np.arange(n, dtype=g.col.dtype)]),
+            np.concatenate([np.abs(g.val), np.ones(n, np.float32)]),
+        ).deduplicated()
+        return _col_normalize(m.to_csr())
+
+    def test_mcl_per_iteration_schedule_end_to_end(self):
+        # the host sizing sweep emits a per-iteration p_pads schedule and
+        # the scheduled program matches scipy exactly on structure
+        from outerspace_tpu.ops.graph import (
+            markov_cluster, mcl_prepare, mcl_run,
+        )
+
+        g = rmat(8, edge_factor=8, seed=11)
+        ref = markov_cluster(g, iters=4, backend="scipy")
+        prep = mcl_prepare(self._prep_flow(g), iters=4)
+        out = mcl_run(prep)
+        assert prep.get("p_pads") is not None
+        assert len(prep["p_pads"]) == 3  # one entry per loop squaring
+        f = out.to_csr()
+        assert f.nnz == ref.nnz
+        np.testing.assert_allclose(
+            f.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
+        )
+
+    def test_mcl_whole_traced_explicit_schedule_and_guards(self):
+        # direct mcl_whole_traced: a hand schedule matches scipy; an
+        # elem budget too small for the survivors trips ok=False
+        from outerspace_tpu.ops.chain import mcl_whole_traced
+        from outerspace_tpu.ops.graph import (
+            _host_mcl_sizing, markov_cluster, mcl_prepare,
+        )
+        from outerspace_tpu.ops.symbolic import round_up_bucket
+
+        g = rmat(8, edge_factor=8, seed=12)
+        iters = 3
+        ref = markov_cluster(g, iters=iters, backend="scipy")
+        flow = self._prep_flow(g)
+        prep = mcl_prepare(flow, iters=iters)
+        p_list, nnz_list = _host_mcl_sizing(
+            flow.to_scipy().tocsr(), 2.0, iters, 1e-4
+        )
+        elem_pad = round_up_bucket(
+            int(1.5 * max(nnz_list)) + 1024, min_size=4096
+        )
+        p_pads = tuple(
+            round_up_bucket(
+                max(int(1.5 * p) + 4096, elem_pad), min_size=4096
+            )
+            for p in p_list[1:]
+        )
+        nnz_pad = round_up_bucket(
+            int(1.5 * nnz_list[-1]) + 256, min_size=1024
+        )
+        r, c, v, nnz, ok = mcl_whole_traced(
+            prep["tplan"], p_pad=max(p_pads), nnz_pad=nnz_pad,
+            m=g.shape[0], n_cols=g.shape[0], iters=iters - 1,
+            inflation=2.0, threshold=1e-4, elem_pad=elem_pad,
+            p_pads=p_pads,
+        )
+        assert bool(np.asarray(ok))
+        n_out = int(np.asarray(nnz))
+        assert n_out == ref.nnz
+        rr = np.asarray(r)[:n_out]
+        cc = np.asarray(c)[:n_out]
+        vv = np.asarray(v)[:n_out]
+        rs = ref.to_scipy().tocoo()
+        np.testing.assert_array_equal(rr, rs.row)
+        np.testing.assert_array_equal(cc, rs.col)
+        np.testing.assert_allclose(vv, rs.data, rtol=5e-4, atol=1e-5)
+        # survivors exceed a deliberately tiny elem budget -> ok False
+        assert max(nnz_list) > 4096, "fixture must overflow the budget"
+        *_, ok_bad = mcl_whole_traced(
+            prep["tplan"], p_pad=max(p_pads), nnz_pad=nnz_pad,
+            m=g.shape[0], n_cols=g.shape[0], iters=iters - 1,
+            inflation=2.0, threshold=1e-4, elem_pad=4096,
+            p_pads=p_pads,
+        )
+        assert not bool(np.asarray(ok_bad))
+
+    def test_mcl_split_tail_matches_single_sort(self):
+        # the 8-way split stage-1 compaction (L >= 16*elem_pad) and the
+        # single-sort path must produce identical flows
+        from outerspace_tpu.ops.chain import mcl_whole_traced
+        from outerspace_tpu.ops.graph import (
+            _host_mcl_sizing, mcl_prepare,
+        )
+        from outerspace_tpu.ops.spgemm import spgemm_padded_tiled_parts
+        from outerspace_tpu.ops.symbolic import round_up_bucket
+
+        # a strong prune threshold makes survivors tiny relative to the
+        # stage-1 stream (the split needs L >= 16·elem_pad)
+        thr = 5e-3
+        g = rmat(10, edge_factor=8, seed=13)
+        flow = self._prep_flow(g)
+        prep = mcl_prepare(flow, iters=2)
+        L = int(spgemm_padded_tiled_parts(prep["tplan"]).rows.shape[0])
+        p_list, nnz_list = _host_mcl_sizing(
+            flow.to_scipy().tocsr(), 2.0, 2, thr
+        )
+        elem_small = round_up_bucket(
+            max(nnz_list) + 1024, min_size=4096
+        )
+        if L < 16 * elem_small:
+            pytest.skip("stream too short to trigger the split tail")
+        outs = []
+        for elem_pad in (elem_small, round_up_bucket(L // 2, min_size=4096)):
+            p_pads = (
+                round_up_bucket(
+                    max(int(1.5 * p_list[1]) + 4096, elem_pad),
+                    min_size=4096,
+                ),
+            )
+            r, c, v, nnz, ok = mcl_whole_traced(
+                prep["tplan"], p_pad=p_pads[0],
+                nnz_pad=round_up_bucket(max(nnz_list), min_size=1024),
+                m=g.shape[0], n_cols=g.shape[0], iters=1,
+                inflation=2.0, threshold=thr, elem_pad=elem_pad,
+                p_pads=p_pads,
+            )
+            assert bool(np.asarray(ok))
+            n_out = int(np.asarray(nnz))
+            outs.append(
+                (np.asarray(r)[:n_out], np.asarray(c)[:n_out],
+                 np.asarray(v)[:n_out])
+            )
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+        np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
