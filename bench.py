@@ -279,17 +279,24 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
         p_pad = plan.padded_total
         flops = plan.flops
 
+        # NO monolithic chain jit here: the planner commonizes part
+        # shapes, so every part (and every chain iteration) reuses the
+        # ONE jitted ``_part_device`` executable — a monolith inlining
+        # the parts compiles N structurally-identical giant sorts and
+        # was the dominant cold-bench cost (rmat16's never survived a
+        # captured run). Dispatches are async; the sampler syncs once
+        # on the fetched vector, and separate executions cannot be
+        # CSE'd, so no bump threading is needed.
         def make_once(bump_i, bump_f):
             nnz = jnp.int32(0)
             sums = jnp.zeros(4, jnp.float32)
             for p in plan.parts:
                 dev = dict(p.dev)
                 dev["p_real_total"] = jnp.int32(p.p_real)
-                dev["bases"] = dev["bases"] + bump_i
                 r, c, v, valid, pn = _part_device(
                     dev, ngroups=p.ngroups, b_win=p.b_win,
                     merge_pad=p.merge_pad, n_cols=plan.n,
-                    sentinel_row=p.span, max_run=p.max_run,
+                    sentinel_row=plan.m, max_run=p.max_run,
                 )
                 # part rows are part-relative: lift to global for the
                 # placement-sensitive checksums (as spgemm_gather_padded
@@ -298,6 +305,17 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
                 sums = sums + _stream_sums(rg, c, v, valid)
                 nnz = nnz + pn
             return nnz, sums
+
+        def run(k=None):
+            kk = _chain_k(flops) if k is None else k
+            nnz = jnp.int32(0)
+            sums = jnp.zeros(4, jnp.float32)
+            for _ in range(kk):
+                n_i, sums = make_once(jnp.int32(0), jnp.float32(0.0))
+                nnz = nnz + n_i
+            return jnp.concatenate(
+                [nnz[None], jax.lax.bitcast_convert_type(sums, jnp.int32)]
+            )
 
         def merged_fn():
             return spgemm_gather_padded(plan)
@@ -343,7 +361,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
     t_plan = time.perf_counter() - t0
     k = _chain_k(flops)
-    run = _chain_jit(make_once, k)
+    if strategy != "gather":  # gather defines its own dispatch-loop run
+        run = _chain_jit(make_once, k)
     t0 = time.perf_counter()
     vec = np.asarray(run())  # compile + warm (one 5-lane fetch = 1 RPC)
     t_compile = time.perf_counter() - t0

@@ -25,14 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from outerspace_tpu.formats.csr import CSC, CSR
-from outerspace_tpu.ops.pallas.gexpand import gather_plan_to_device
+from outerspace_tpu.ops.pallas.gexpand import (
+    gather_plan_to_device,
+    gather_plan_to_host,
+)
 from outerspace_tpu.ops.spgemm import (
     MergedCOO,
     merge_biased_keys,
 )
 from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import (
+    GROUP_SLAB,
+    GROUP_SUBS,
+    SUB_P,
     WIDE_B_WIN,
+    group_slab_layout,
     plan_gather_ranges,
     row_partition,
 )
@@ -85,7 +92,8 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
         np.arange(a_csc.shape[1], dtype=np.int64),
         a_csc.major_nnz().astype(np.int64),
     )
-    parts = []
+    parts: list[GatherPart] = []
+    staged: list[tuple] = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         lo, hi = int(lo), int(hi)
         if multi:
@@ -130,27 +138,72 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
             )
         if plan is None:
             continue
-        dev = {}
-        dev.update(gather_plan_to_device(plan))
-        p_out, p_real, ngroups = plan.p_out, plan.p_real, plan.ngroups
-        total = p_out
-        # bucket values >= 4096 always keep a pow2 divisor >= 1024,
-        # which is what the Pallas epilogue's chunking needs
-        merge_pad = round_up_bucket(max(total, 4096), min_size=4096)
         rows_here = np.asarray(a_csc.indices)
         sel = (rows_here >= lo) & (rows_here < hi)
         mr = int(np.bincount(rows_here[sel] - lo, minlength=1).max(initial=1))
+        staged.append((lo, hi, plan, 1 << (max(mr, 1) - 1).bit_length()))
+
+    if len(staged) > 1:
+        # COMMONIZE the parts to one static/shape signature so every
+        # part runs the SAME ``_part_device`` executable: the jit is
+        # keyed on (ngroups, b_win, merge_pad, sentinel_row, max_run) +
+        # input shapes, and a monolithic program inlining N parts
+        # compiles N structurally-identical giant sorts (measured: the
+        # dominant cost of cold A² benches). Group counts round up to a
+        # slab granule (padding groups emit pure sentinel, plen = 0),
+        # packs pad with clamped-read zero blocks, merge streams share
+        # the widest bucket (sentinels sort to the tail and pad_count
+        # stays per-part exact), and max_run takes the part maximum
+        # (an upper bound is always sound). Product-balanced splits
+        # keep the padding waste small.
+        granule = GROUP_SLAB // 4
+        ng_max = max(p.ngroups for _, _, p, _ in staged)
+        if ng_max >= granule:
+            ngroups_pad = -(-ng_max // granule) * granule
+        else:
+            ngroups_pad = round_up_bucket(ng_max, min_size=1)
+        stream_len = (
+            sum(size for _, size in group_slab_layout(ngroups_pad))
+            * GROUP_SUBS * SUB_P
+        )
+        merge_pad = round_up_bucket(max(stream_len, 4096), min_size=4096)
+        nab8_pad = max(p.a_pack.shape[0] // 8 for _, _, p, _ in staged)
+        nbb8_pad = max(p.b_pack.shape[0] // 8 for _, _, p, _ in staged)
+        max_run = max(r for _, _, _, r in staged)
+        for lo, hi, plan, _ in staged:
+            host = gather_plan_to_host(
+                plan, ngroups_pad=ngroups_pad,
+                nab8_pad=nab8_pad, nbb8_pad=nbb8_pad,
+            )
+            parts.append(
+                GatherPart(
+                    row_base=lo,
+                    span=hi - lo,
+                    b_win=plan.b_win,
+                    ngroups=ngroups_pad,
+                    p_out=stream_len,
+                    p_real=plan.p_real,
+                    merge_pad=merge_pad,
+                    max_run=max_run,
+                    dev={k: jnp.asarray(v) for k, v in host.items()},
+                )
+            )
+    elif staged:
+        lo, hi, plan, max_run = staged[0]
+        # bucket values >= 4096 always keep a pow2 divisor >= 1024,
+        # which is what the Pallas epilogue's chunking needs
+        merge_pad = round_up_bucket(max(plan.p_out, 4096), min_size=4096)
         parts.append(
             GatherPart(
                 row_base=lo,
                 span=hi - lo,
                 b_win=plan.b_win,
-                ngroups=ngroups,
-                p_out=p_out,
-                p_real=p_real,
+                ngroups=plan.ngroups,
+                p_out=plan.p_out,
+                p_real=plan.p_real,
                 merge_pad=merge_pad,
-                max_run=1 << (max(mr, 1) - 1).bit_length(),
-                dev=dev,
+                max_run=max_run,
+                dev=gather_plan_to_device(plan),
             )
         )
     return GatherPipelinePlan(m, n, parts)
@@ -216,7 +269,10 @@ def spgemm_gather_padded(
             b_win=p.b_win,
             merge_pad=p.merge_pad,
             n_cols=plan.n,
-            sentinel_row=p.span,  # relative-row sentinel within the part
+            # COMMON sentinel across parts (invalid rows are masked by
+            # ``valid`` everywhere; a per-part span here would fork the
+            # shared executable on a cosmetic static)
+            sentinel_row=plan.m,
             max_run=p.max_run,
             interpret=interpret,
         )
