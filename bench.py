@@ -287,32 +287,35 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
         # captured run). Dispatches are async; the sampler syncs once
         # on the fetched vector, and separate executions cannot be
         # CSE'd, so no bump threading is needed.
-        def make_once(bump_i, bump_f):
-            nnz = jnp.int32(0)
-            sums = jnp.zeros(4, jnp.float32)
-            for p in plan.parts:
-                dev = dict(p.dev)
-                dev["p_real_total"] = jnp.int32(p.p_real)
-                r, c, v, valid, pn = _part_device(
-                    dev, ngroups=p.ngroups, b_win=p.b_win,
-                    merge_pad=p.merge_pad, n_cols=plan.n,
-                    sentinel_row=plan.m, max_run=p.max_run,
-                )
-                # part rows are part-relative: lift to global for the
-                # placement-sensitive checksums (as spgemm_gather_padded
-                # does when materializing)
-                rg = jnp.where(valid, r + np.int32(p.row_base), 0)
-                sums = sums + _stream_sums(rg, c, v, valid)
-                nnz = nnz + pn
-            return nnz, sums
+        @jax.jit
+        def _post(r, c, v, valid, pn, row_base):
+            # part rows are part-relative: lift to global for the
+            # placement-sensitive checksums (as spgemm_gather_padded
+            # does when materializing); row_base is traced so ONE
+            # executable serves every part
+            rg = jnp.where(valid, r + row_base, 0)
+            return pn, _stream_sums(rg, c, v, valid)
 
         def run(k=None):
             kk = _chain_k(flops) if k is None else k
-            nnz = jnp.int32(0)
-            sums = jnp.zeros(4, jnp.float32)
+            nparts = len(plan.parts)
+            pns, sums_l = [], []
             for _ in range(kk):
-                n_i, sums = make_once(jnp.int32(0), jnp.float32(0.0))
-                nnz = nnz + n_i
+                for p in plan.parts:
+                    dev = dict(p.dev)
+                    dev["p_real_total"] = jnp.int32(p.p_real)
+                    out = _part_device(
+                        dev, ngroups=p.ngroups, b_win=p.b_win,
+                        merge_pad=p.merge_pad, n_cols=plan.n,
+                        sentinel_row=plan.m, max_run=p.max_run,
+                    )
+                    pn, s = _post(*out, jnp.int32(p.row_base))
+                    pns.append(pn)
+                    sums_l.append(s)
+            nnz = jnp.sum(jnp.stack(pns))
+            # separate executions cannot be DCE'd, so any chain
+            # iteration's checksums are the answer — use the last
+            sums = jnp.sum(jnp.stack(sums_l[-nparts:]), axis=0)
             return jnp.concatenate(
                 [nnz[None], jax.lax.bitcast_convert_type(sums, jnp.int32)]
             )
