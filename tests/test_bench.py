@@ -1,0 +1,92 @@
+"""Bench harness contract pieces (bench.py) — CPU-testable invariants.
+
+The bench itself is the TPU driver surface, but its correctness-critical
+plumbing — the chain vector layout, checksum validation, and the
+gather-plan shape commonization the dispatch sampler relies on — must
+hold off-hardware too.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import bench
+from outerspace_tpu.formats import rmat
+
+
+class TestChainVector:
+    def test_chain_jit_layout_and_validation(self):
+        # a fake pipeline with a known merged stream: the chain must
+        # report k·nnz in lane 0 and the f32 checksums bitcast into
+        # lanes 1-4, and _validate_vec must accept them
+        import scipy.sparse as sp
+
+        rows = np.array([0, 1, 2, 2], np.int32)
+        cols = np.array([1, 0, 2, 3], np.int32)
+        vals = np.array([1.5, -2.0, 3.0, 0.5], np.float32)
+        valid = np.array([True, True, True, False])
+        c_ref = sp.coo_matrix(
+            (vals[valid], (rows[valid], cols[valid])), shape=(4, 4)
+        ).tocsr()
+
+        def make_once(bump_i, bump_f):
+            r = jnp.asarray(rows) + bump_i
+            v = jnp.asarray(vals) + bump_f
+            m = jnp.asarray(valid)
+            return (
+                jnp.sum(m.astype(jnp.int32)),
+                bench._stream_sums(r, jnp.asarray(cols), v, m),
+            )
+
+        for k in (1, 3):
+            vec = np.asarray(bench._chain_jit(make_once, k)())
+            assert vec.shape == (5,) and vec.dtype == np.int32
+            nnz_ok, val_ok = bench._validate_vec(vec, k, c_ref)
+            assert nnz_ok and val_ok
+            # a perturbed reference must fail the checksum compare
+            bad = c_ref.copy()
+            bad.data = bad.data + 1.0
+            nnz_ok, val_ok = bench._validate_vec(vec, k, bad)
+            assert nnz_ok and not val_ok
+            # nnz mismatch short-circuits
+            nnz_ok, _ = bench._validate_vec(vec, k + 1, c_ref)
+            assert not nnz_ok
+
+
+class TestGatherCommonization:
+    def test_multi_part_plans_share_one_signature(self):
+        # the bench's dispatch sampler assumes every part of a plan hits
+        # the same _part_device executable: statics + input shapes equal
+        from outerspace_tpu.ops.gather_pipeline import plan_spgemm_gather
+
+        g = rmat(13, edge_factor=8, seed=4)
+        plan = plan_spgemm_gather(g.to_csc(), g.to_csr())
+        if len(plan.parts) < 2:
+            pytest.skip("workload did not row-partition")
+        sigs = {
+            (
+                p.ngroups, p.b_win, p.merge_pad, p.max_run,
+                tuple(p.dev["a_pack"].shape),
+                tuple(p.dev["b_pack"].shape),
+                tuple(p.dev["table"].shape),
+                tuple(p.dev["bases"].shape),
+            )
+            for p in plan.parts
+        }
+        assert len(sigs) == 1
+
+    def test_commonized_plan_is_exact(self):
+        from outerspace_tpu.ops.gather_pipeline import (
+            plan_spgemm_gather,
+            spgemm_gather_padded,
+        )
+        from outerspace_tpu.ops.reference import (
+            assert_csr_allclose,
+            spgemm_scipy,
+        )
+
+        g = rmat(13, edge_factor=8, seed=4)
+        plan = plan_spgemm_gather(g.to_csc(), g.to_csr())
+        out = spgemm_gather_padded(plan)
+        assert_csr_allclose(out.to_csr(), spgemm_scipy(g, g), rtol=1e-5)
