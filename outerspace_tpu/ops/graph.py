@@ -408,6 +408,7 @@ def mcl_run(prep):
             pps = cached.get("p_pads")
             prep["p_pads"] = tuple(pps) if pps else None
             prep["sizing_cached"] = True
+            prep.pop("flow_scipy", None)  # no sweep needed
     if "p_pad" not in prep:
         # host sizing sweep (scipy, sub-second): exact per-squaring
         # product counts P_i and survivor nnz for EVERY iteration, so
@@ -453,6 +454,7 @@ def mcl_run(prep):
         prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
         prep["elem_pad"] = elem_pad
         prep["p_pads"] = p_pads if p_pads else None
+        prep.pop("flow_scipy", None)  # sweep done; free the host copy
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
