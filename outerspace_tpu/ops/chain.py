@@ -401,6 +401,23 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     return (k_next, v_next, ok)
 
 
+def _stage1_squaring(tplan):
+    """Run the MCL chain's first squaring over whichever host plan the
+    autotuner picked for the flow operand — the row-partitioned tiled
+    plan (skewed flows) or the pure windowed-gather pipeline (low-skew;
+    measured faster on the rmat14-scale MCL flow: the A² records show
+    the gather pipeline at 23.7 vs 36.5 ms/op on that shape)."""
+    from outerspace_tpu.ops.gather_pipeline import (
+        GatherPipelinePlan,
+        spgemm_gather_padded,
+    )
+    from outerspace_tpu.ops.spgemm import spgemm_padded_tiled_parts
+
+    if isinstance(tplan, GatherPipelinePlan):
+        return spgemm_gather_padded(tplan)
+    return spgemm_padded_tiled_parts(tplan)
+
+
 def mcl_whole_traced(
     tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
     inflation: float, threshold: float, elem_pad: int | None = None,
@@ -426,14 +443,10 @@ def mcl_whole_traced(
     stays ok-guarded."""
     from outerspace_tpu.ops.spgemm import (
         merge_epilogue,
-        spgemm_padded_tiled_parts,
         unpack_key_biased,
     )
 
-    # stage 1 accepts a TiledPlan or a row-partitioned TiledPartsPlan
-    # (the parts pipeline's shorter sorts cut the dominant first
-    # squaring ~30%; measured on rmat14-scale streams)
-    sq = spgemm_padded_tiled_parts(tplan)
+    sq = _stage1_squaring(tplan)
     L = sq.rows.shape[0]
     # ---- inflation with ONE L-sized pass: prune first on the
     # unnormalised powered values (the reference/scipy semantics — the

@@ -301,16 +301,25 @@ def mcl_prepare(
     prune_threshold: float = 1e-4,
 ):
     """Stage the device MCL: host-plan the first squaring (by far the
-    largest — the flow is host-side at this point anyway) for the tiled
-    Pallas pipeline. Returns an opaque prep consumed by :func:`mcl_run`
-    (amortised across repeated runs, like the A² workloads' plans)."""
+    largest — the flow is host-side at this point anyway) for whichever
+    Pallas pipeline the autotuner picks for the flow operand (tiled
+    parts for skewed flows, the windowed-gather pipeline for low-skew —
+    the latter measured ~35% faster on the rmat14-scale MCL flow).
+    Returns an opaque prep consumed by :func:`mcl_run` (amortised
+    across repeated runs, like the A² workloads' plans)."""
+    from outerspace_tpu.ops.gather_pipeline import plan_spgemm_gather
     from outerspace_tpu.ops.spgemm import plan_tiled_parts
+    from outerspace_tpu.sched.planner import choose_strategy
 
     n = flow.shape[0]
     assert flow.shape[0] == flow.shape[1] and n * n < 2**32
     if iters < 1:
         raise ValueError("mcl_prepare stages >= 1 iteration; iters=0 is a no-op")
-    tplan = plan_tiled_parts(flow.to_csc(), flow)
+    a_csc = flow.to_csc()
+    if choose_strategy(a_csc, flow) == "gather":
+        tplan = plan_spgemm_gather(a_csc, flow)
+    else:
+        tplan = plan_tiled_parts(a_csc, flow)
     from outerspace_tpu.sched.sizing_cache import workload_key
 
     sizing_key = workload_key(
@@ -375,14 +384,12 @@ def mcl_run(prep):
     import jax.numpy as jnp
 
     from outerspace_tpu.ops.chain import (
+        _stage1_squaring,
         inflate_device,
         markov_cluster_device_fused,
         mcl_whole_traced,
     )
-    from outerspace_tpu.ops.spgemm import (
-        MergedCOO,
-        spgemm_padded_tiled_parts,
-    )
+    from outerspace_tpu.ops.spgemm import MergedCOO
     from outerspace_tpu.ops.symbolic import round_up_bucket
 
     tplan = prep["tplan"]
@@ -483,7 +490,7 @@ def mcl_run(prep):
         # Static budgets violated: run the EXACT stepwise chain (its own
         # per-iteration sizing cannot overflow) — bounded, no recursion —
         # and double the budgets so future runs retake the fast path.
-        sq = spgemm_padded_tiled_parts(tplan)
+        sq = _stage1_squaring(tplan)
         v1, valid1, nnz1 = inflate_device(
             sq.rows, sq.cols, sq.vals, sq.valid,
             m=n, inflation=inflation, threshold=threshold,

@@ -307,11 +307,13 @@ class TestChain:
     def test_mcl_split_tail_matches_single_sort(self):
         # the 8-way split stage-1 compaction (L >= 16*elem_pad) and the
         # single-sort path must produce identical flows
-        from outerspace_tpu.ops.chain import mcl_whole_traced
+        from outerspace_tpu.ops.chain import (
+            _stage1_squaring,
+            mcl_whole_traced,
+        )
         from outerspace_tpu.ops.graph import (
             _host_mcl_sizing, mcl_prepare,
         )
-        from outerspace_tpu.ops.spgemm import spgemm_padded_tiled_parts
         from outerspace_tpu.ops.symbolic import round_up_bucket
 
         # a strong prune threshold makes survivors tiny relative to the
@@ -320,7 +322,7 @@ class TestChain:
         g = rmat(10, edge_factor=8, seed=13)
         flow = self._prep_flow(g)
         prep = mcl_prepare(flow, iters=2)
-        L = int(spgemm_padded_tiled_parts(prep["tplan"]).rows.shape[0])
+        L = int(_stage1_squaring(prep["tplan"]).rows.shape[0])
         p_list, nnz_list = _host_mcl_sizing(
             flow.to_scipy().tocsr(), 2.0, 2, thr
         )
