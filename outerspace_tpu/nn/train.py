@@ -18,6 +18,7 @@ under ``jax.sharding`` — the same step function is what
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 from functools import partial
 from typing import Any
@@ -235,6 +236,8 @@ def save_params(path: str, params: Any) -> None:
     ``util.py:16-20``). For sharded/large states prefer the orbax
     checkpointer below."""
     host = jax.tree_util.tree_map(np.asarray, params)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(host, f)
 
