@@ -76,6 +76,7 @@ class TestGatherCommonization:
         }
         assert len(sigs) == 1
 
+    @pytest.mark.slow
     def test_commonized_plan_is_exact(self):
         from outerspace_tpu.ops.gather_pipeline import (
             plan_spgemm_gather,

@@ -230,6 +230,7 @@ class TestChain:
         ).deduplicated()
         return _col_normalize(m.to_csr())
 
+    @pytest.mark.slow
     def test_mcl_per_iteration_schedule_end_to_end(self):
         # the host sizing sweep emits a per-iteration p_pads schedule and
         # the scheduled program matches scipy exactly on structure
@@ -249,6 +250,7 @@ class TestChain:
             f.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_mcl_whole_traced_explicit_schedule_and_guards(self):
         # direct mcl_whole_traced: a hand schedule matches scipy; an
         # elem budget too small for the survivors trips ok=False
@@ -304,6 +306,7 @@ class TestChain:
         )
         assert not bool(np.asarray(ok_bad))
 
+    @pytest.mark.slow
     def test_mcl_split_tail_matches_single_sort(self):
         # the 8-way split stage-1 compaction (L >= 16*elem_pad) and the
         # single-sort path must produce identical flows
