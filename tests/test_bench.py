@@ -91,3 +91,39 @@ class TestGatherCommonization:
         plan = plan_spgemm_gather(g.to_csc(), g.to_csr())
         out = spgemm_gather_padded(plan)
         assert_csr_allclose(out.to_csr(), spgemm_scipy(g, g), rtol=1e-5)
+
+
+class TestSizingCache:
+    def test_store_lookup_roundtrip_with_schedules(self, tmp_path, monkeypatch):
+        from outerspace_tpu.sched import sizing_cache
+
+        monkeypatch.setenv(
+            "OUTERSPACE_SIZING_CACHE", str(tmp_path / "c.json")
+        )
+        key = sizing_cache.workload_key(
+            (np.arange(5, dtype=np.int32),), ("t", 1)
+        )
+        sizes = {
+            "p_pad": 4096,
+            "nnz_pad": 1024,
+            "elem_pad": 4096,
+            "p_pads": [8192, 4096, 4096],
+        }
+        sizing_cache.store(key, sizes)
+        got = sizing_cache.lookup(key)
+        assert got == sizes
+        # a disabled schedule persists as an explicit None marker
+        sizing_cache.store(key, dict(sizes, p_pads=None))
+        assert sizing_cache.lookup(key)["p_pads"] is None
+        # unsupported value types are rejected loudly on store ...
+        with pytest.raises(ValueError):
+            sizing_cache.store(key, {"p_pad": "huge"})
+        # ... and silently dropped on lookup (corrupt file tolerance)
+        import json
+
+        path = str(tmp_path / "c.json")
+        d = json.load(open(path))
+        d[key]["p_pad"] = "corrupt"
+        json.dump(d, open(path, "w"))
+        got = sizing_cache.lookup(key)
+        assert "p_pad" not in got and got["nnz_pad"] == 1024
