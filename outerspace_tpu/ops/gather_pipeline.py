@@ -35,13 +35,11 @@ from outerspace_tpu.ops.spgemm import (
 )
 from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import (
-    GROUP_SLAB,
-    GROUP_SUBS,
-    SUB_P,
     WIDE_B_WIN,
-    group_slab_layout,
+    padded_group_count,
     plan_gather_ranges,
     row_partition,
+    slabbed_stream_len,
 )
 
 
@@ -156,16 +154,10 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
         # stays per-part exact), and max_run takes the part maximum
         # (an upper bound is always sound). Product-balanced splits
         # keep the padding waste small.
-        granule = GROUP_SLAB // 4
-        ng_max = max(p.ngroups for _, _, p, _ in staged)
-        if ng_max >= granule:
-            ngroups_pad = -(-ng_max // granule) * granule
-        else:
-            ngroups_pad = round_up_bucket(ng_max, min_size=1)
-        stream_len = (
-            sum(size for _, size in group_slab_layout(ngroups_pad))
-            * GROUP_SUBS * SUB_P
+        ngroups_pad = padded_group_count(
+            max(p.ngroups for _, _, p, _ in staged)
         )
+        stream_len = slabbed_stream_len(ngroups_pad)
         merge_pad = round_up_bucket(max(stream_len, 4096), min_size=4096)
         nab8_pad = max(p.a_pack.shape[0] // 8 for _, _, p, _ in staged)
         nbb8_pad = max(p.b_pack.shape[0] // 8 for _, _, p, _ in staged)

@@ -333,9 +333,10 @@ def mcl_prepare(
         "iters": int(iters),
         "threshold": float(prune_threshold),
         "sizing_key": sizing_key,
-        # kept for the host sizing sweep (scipy, sub-second — replaces
-        # the old ~150 s eager device sizing pass); dropped after sizing
-        "flow_scipy": flow.to_scipy().tocsr(),
+        # kept (by reference, no copy) for the host sizing sweep; the
+        # scipy CSR is materialized lazily only on the cold path, and
+        # the reference is dropped once budgets are resolved
+        "flow": flow,
     }
 
 
@@ -413,9 +414,14 @@ def mcl_run(prep):
                 ),
             )
             pps = cached.get("p_pads")
+            # a torn/hand-edited schedule of the wrong length would
+            # raise inside the jitted program; corrupt cache must only
+            # cost speed, so degrade to the single-size loop instead
+            if pps and len(pps) != iters - 1:
+                pps = None
             prep["p_pads"] = tuple(pps) if pps else None
             prep["sizing_cached"] = True
-            prep.pop("flow_scipy", None)  # no sweep needed
+            prep.pop("flow", None)  # no sweep needed
     if "p_pad" not in prep:
         # host sizing sweep (scipy, sub-second): exact per-squaring
         # product counts P_i and survivor nnz for EVERY iteration, so
@@ -427,7 +433,7 @@ def mcl_run(prep):
         # squarings), so only the first loop squaring runs at the full
         # p_pad and the rest share the smaller p_pad2 fori_loop.
         p_list, nnz_list = _host_mcl_sizing(
-            prep["flow_scipy"], inflation, iters, threshold
+            prep["flow"].to_scipy().tocsr(), inflation, iters, threshold
         )
         elem_pad = round_up_bucket(
             max(int(1.5 * max(nnz_list)) + 1024, 4096), min_size=4096
@@ -461,7 +467,7 @@ def mcl_run(prep):
         prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
         prep["elem_pad"] = elem_pad
         prep["p_pads"] = p_pads if p_pads else None
-        prep.pop("flow_scipy", None)  # sweep done; free the host copy
+        prep.pop("flow", None)  # sweep done; drop the reference
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],

@@ -105,6 +105,30 @@ def group_slab_layout(ngroups: int) -> list[tuple[int, int]]:
     return layout
 
 
+def padded_group_count(ngroups: int) -> int:
+    """Smallest layout-exact group count ≥ ``ngroups``: a count whose
+    :func:`group_slab_layout` covers exactly that many groups (granule
+    multiples, or the small-plan bucket). The gather pipeline's part
+    commonization pads to this so planner tables and the kernel's
+    derived layout agree by construction."""
+    granule = GROUP_SLAB // 4
+    if ngroups >= granule:
+        return -(-ngroups // granule) * granule
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+
+    return round_up_bucket(max(ngroups, 1), min_size=1)
+
+
+def slabbed_stream_len(ngroups: int) -> int:
+    """Output stream length (products incl. sentinel slots) of the slab
+    layout for ``ngroups`` — the single source of truth for sizing the
+    merge stream that consumes :func:`group_slab_layout`'s calls."""
+    return (
+        sum(size for _, size in group_slab_layout(ngroups))
+        * GROUP_SUBS * SUB_P
+    )
+
+
 def plan_gather(
     a_rows: np.ndarray,  # int32[nA] output row per kept element
     a_vals: np.ndarray,  # f32[nA]

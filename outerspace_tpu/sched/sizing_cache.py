@@ -63,11 +63,20 @@ def _load() -> dict:
         return {}
 
 
-def _coerce(v):
-    """Sizing values are ints, int lists (per-iteration schedules), or
-    None (an explicitly disabled schedule); anything else is rejected."""
-    if v is None or isinstance(v, bool):
-        return None if v is None else _reject()
+# keys that may legitimately hold None (an explicitly disabled
+# per-iteration schedule); a None in any OTHER key is corruption and
+# must be dropped so the sizing pass re-runs — the module contract is
+# that a corrupt cache only ever costs speed, never a crash
+_NONE_OK = frozenset({"p_pads"})
+
+
+def _coerce(k, v):
+    """Sizing values are ints, int lists (per-iteration schedules), or —
+    for schedule keys only — None; anything else is rejected."""
+    if v is None:
+        return None if k in _NONE_OK else _reject()
+    if isinstance(v, bool):
+        return _reject()
     if isinstance(v, int):
         return v
     if isinstance(v, list) and all(
@@ -90,7 +99,7 @@ def lookup(key: str) -> dict | None:
     out = {}
     for k, v in got.items():
         try:
-            out[k] = _coerce(v)
+            out[k] = _coerce(k, v)
         except ValueError:
             continue
     return out
@@ -101,7 +110,7 @@ def store(key: str, sizes: dict) -> None:
     path = cache_path()
     try:
         d = _load()
-        d[key] = {k: _coerce(v) for k, v in sizes.items()}
+        d[key] = {k: _coerce(k, v) for k, v in sizes.items()}
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(path), suffix=".tmp"
