@@ -278,8 +278,24 @@ def _csc_colnorm_sorted(kcol, vp, m: int):
         side="left",
     ).astype(jnp.int32) - 1
     pos = jnp.clip(pos, 0, L - 1)
-    hit = tot_valid[pos] & (col_of[pos] == jnp.arange(m, dtype=jnp.int32))
-    colsum = jnp.where(hit, col_tot[pos], 1.0)
+    # one packed-row gather instead of three at the same indices (TPU
+    # random access is charged per accessed row, not per field)
+    packed = jnp.stack(
+        [
+            col_of,
+            tot_valid.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(col_tot, jnp.int32),
+        ],
+        axis=1,
+    )[pos]
+    hit = (packed[:, 1] != 0) & (
+        packed[:, 0] == jnp.arange(m, dtype=jnp.int32)
+    )
+    colsum = jnp.where(
+        hit,
+        jax.lax.bitcast_convert_type(packed[:, 2], jnp.float32),
+        1.0,
+    )
     colsum = jnp.where(colsum == 0, 1.0, colsum)
     col_starts = jnp.searchsorted(
         kcol, jnp.arange(m, dtype=jnp.int32) + KEY_BIAS, side="left"
