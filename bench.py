@@ -48,6 +48,16 @@ _T0 = time.perf_counter()
 # through it (the driver's hard kill is ~595 s)
 _DEADLINE_S = float(os.environ.get("OUTERSPACE_BENCH_DEADLINE", "545"))
 _CHAIN_K = 4
+# progress marker read by the watchdog headline: on a stalled run
+# (a blocked remote compile cannot be aborted from Python) the headline
+# names the stage that was in flight, so a thin capture is attributable
+# to tunnel health at that exact point rather than left ambiguous
+_STAGE = {"now": "init", "since": _T0}
+
+
+def _stage(name: str) -> None:
+    _STAGE["now"] = name
+    _STAGE["since"] = time.perf_counter()
 
 
 def _time_left() -> float:
@@ -468,6 +478,7 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
+    _stage("tunnel_probe")
     _sync_scalar(
         jax.jit(
             lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1]
@@ -487,6 +498,7 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
                   file=sys.stderr, flush=True)
             continue
         _w0 = time.perf_counter()
+        _stage(name)
         try:
             rec = bench_one_spgemm(
                 name, gen(), exact_check=exact, force_strategy=forced
@@ -712,7 +724,7 @@ def bench_mcl() -> dict:
 _HEADLINE_LOCK = threading.Lock()
 
 
-def _print_headline(results, done_evt) -> None:
+def _print_headline(results, done_evt, stalled: bool = False) -> None:
     with _HEADLINE_LOCK:
         if done_evt.is_set():
             return
@@ -728,18 +740,20 @@ def _print_headline(results, done_evt) -> None:
     ] or [r["speedup"] for r in good]
     median = float(np.median(speedups)) if speedups else 0.0
     value = median if ok else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "spgemm_a2_median_speedup_vs_cpu_reference",
-                "value": round(value, 3),
-                "unit": "x",
-                "vs_baseline": round(value, 3),
-                "records": len(good),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "spgemm_a2_median_speedup_vs_cpu_reference",
+        "value": round(value, 3),
+        "unit": "x",
+        "vs_baseline": round(value, 3),
+        "records": len(good),
+    }
+    if stalled:
+        # watchdog path: the run hung inside a remote compile — name
+        # the in-flight stage so the capture attributes itself (a
+        # total tunnel outage stalls in "tunnel_probe" with 0 records)
+        line["stalled_in"] = _STAGE["now"]
+        line["stalled_for_s"] = round(time.perf_counter() - _STAGE["since"], 1)
+    print(json.dumps(line), flush=True)
 
 
 def main() -> None:
@@ -764,7 +778,7 @@ def main() -> None:
     def _watchdog():
         remaining = watchdog_at - (time.perf_counter() - _T0)
         if remaining > 0 and not done.wait(timeout=remaining):
-            _print_headline(results, done)
+            _print_headline(results, done, stalled=True)
             os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -785,6 +799,7 @@ def main() -> None:
             (130, "mcl_rmat14_4iter", bench_mcl),
         ):
             if _time_left() > gate:
+                _stage(name)
                 fn()
             else:
                 print(

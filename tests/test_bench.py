@@ -127,3 +127,31 @@ class TestSizingCache:
         json.dump(d, open(path, "w"))
         got = sizing_cache.lookup(key)
         assert "p_pad" not in got and got["nnz_pad"] == 1024
+
+
+class TestHeadline:
+    def test_stalled_headline_attributes_stage(self, capsys):
+        # the watchdog path names the in-flight stage so a thin capture
+        # (total tunnel outage) is attributable from the one JSON line
+        import json
+        import threading
+
+        bench._stage("rmat16_ef8")
+        bench._print_headline([], threading.Event(), stalled=True)
+        line = json.loads(capsys.readouterr().out.strip())
+        assert line["records"] == 0 and line["value"] == 0.0
+        assert line["stalled_in"] == "rmat16_ef8"
+        assert line["stalled_for_s"] >= 0.0
+
+    def test_normal_headline_has_no_stall_keys(self, capsys):
+        import json
+        import threading
+
+        rec = dict(
+            name="rmat14_ef8", speedup=20.0, nnz_exact=True,
+            values_match=True,
+        )
+        bench._print_headline([rec], threading.Event())
+        line = json.loads(capsys.readouterr().out.strip())
+        assert line["records"] == 1 and line["value"] == 20.0
+        assert "stalled_in" not in line
