@@ -223,6 +223,86 @@ def _bump_tiled(tplan, bump_i, bump_f):
     return dataclasses.replace(tplan, device_args=dev)
 
 
+def _tiles_parts_run(tplan, flops):
+    """Dispatch-loop sampler for a row-partitioned tiled plan (the
+    gather branch's pattern): per part one cheap expand jit feeding the
+    plan-shared ``_merge_stream_jit`` — a monolithic chain jit inlined
+    k·nparts structurally-identical giant sorts (the dominant cold-
+    bench compile cost), while here the sort program compiles ONCE per
+    workload. Parts keep GLOBAL rows, so checksums add across parts.
+    Separate executions cannot be CSE'd; the bump argument just keeps
+    the expand inputs traced. Returns ``run(k=None)`` producing the
+    ``_chain_jit`` fetch layout [k·nnz, 4 × f32-bitcast checksums]."""
+    import jax
+    import jax.numpy as jnp
+
+    from outerspace_tpu.ops.spgemm import (
+        _merge_stream_jit,
+        tiled_expand_packed,
+    )
+
+    interp = jax.default_backend() == "cpu"
+    mp, mrun = tplan.merge_pad, tplan.max_run
+    m_rows, n_c = tplan.m, tplan.n
+
+    def _mk_expand(tp):
+        @jax.jit
+        def f(bump_i, bump_f):
+            tpb = _bump_tiled(tp, bump_i, bump_f)
+            keys_l, vals_l, _ = tiled_expand_packed(tpb, interpret=interp)
+            key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
+            val = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
+            extra = mp - key.shape[0]
+            if extra:
+                key = jnp.concatenate(
+                    [key, jnp.full(extra, 2**31 - 1, jnp.int32)]
+                )
+                val = jnp.concatenate([val, jnp.zeros(extra, jnp.float32)])
+            return key, val
+        return f
+
+    def _part_real(tp):
+        real = sum(
+            s.heavy_p
+            for s, d in zip(
+                tp.class_plan.classes, tp.device_args["classes"]
+            )
+            if d is not None
+        )
+        real += tp.gather_p_real
+        if tp.light_plan is not None:
+            real += tp.light_plan.expansion_size
+        return real
+
+    part_fns = [_mk_expand(tp) for _, _, tp in tplan.parts]
+    part_pads = [mp - _part_real(tp) for _, _, tp in tplan.parts]
+
+    @jax.jit
+    def _postm(r, c, v, valid, pn):
+        return pn, _stream_sums(r, c, v, valid)
+
+    def run(k=None):
+        kk = _chain_k(flops) if k is None else k
+        pns, sums_l = [], []
+        for _ in range(kk):
+            for f, padc in zip(part_fns, part_pads):
+                key, val = f(jnp.int32(0), jnp.float32(0.0))
+                out = _merge_stream_jit(
+                    key, val, jnp.int32(padc),
+                    n_cols=n_c, sentinel_row=m_rows, max_run=mrun,
+                )
+                pn, s = _postm(*out)
+                pns.append(pn)
+                sums_l.append(s)
+        nnz = jnp.sum(jnp.stack(pns))
+        sums = jnp.sum(jnp.stack(sums_l[-len(part_fns):]), axis=0)
+        return jnp.concatenate(
+            [nnz[None], jax.lax.bitcast_convert_type(sums, jnp.int32)]
+        )
+
+    return run
+
+
 def _validate_vec(vec, k, c_ref):
     """nnz-exact + checksum validation from a fetched chain vector
     (``_chain_jit`` layout: [k·nnz, 4 × f32-bitcast checksums])."""
@@ -254,6 +334,7 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
     a_csc, b_csr = g.to_csc(), g.to_csr()
     t0 = time.perf_counter()
     strategy = force_strategy or choose_strategy(a_csc, b_csr)
+    make_once = None  # branches without a dispatch-loop `run` set this
     if strategy == "flat":
         # XLA-only pipeline: used by the small .mtx fixture so it doesn't
         # add Mosaic compiles of fixture-sized kernel shapes to the suite.
@@ -347,20 +428,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
         flops = expansion_plan(a_csc, b_csr).expansion_size
 
         if isinstance(tplan, TiledPartsPlan):
-            # row-partitioned pipeline: bump every part's expand inputs
-            # (parts keep GLOBAL rows, so checksums add across parts)
-            def make_once(bump_i, bump_f):
-                nnz = jnp.int32(0)
-                sums = jnp.zeros(4, jnp.float32)
-                for _, _, tp in tplan.parts:
-                    m = spgemm_padded_tiled(
-                        _bump_tiled(tp, bump_i, bump_f)
-                    )
-                    sums = sums + _stream_sums(
-                        m.rows, m.cols, m.vals, m.valid
-                    )
-                    nnz = nnz + m.nnz
-                return nnz, sums
+            run = _tiles_parts_run(tplan, flops)
+            make_once = None  # dispatch loop replaces the chain jit
 
         else:
             def make_once(bump_i, bump_f):
@@ -374,7 +443,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
     t_plan = time.perf_counter() - t0
     k = _chain_k(flops)
-    if strategy != "gather":  # gather defines its own dispatch-loop run
+    # gather and row-partitioned tiles define their own dispatch-loop run
+    if strategy != "gather" and make_once is not None:
         run = _chain_jit(make_once, k)
     t0 = time.perf_counter()
     vec = np.asarray(run())  # compile + warm (one 5-lane fetch = 1 RPC)

@@ -597,19 +597,115 @@ def plan_tiled(
     )
 
 
+def _class_slab_calls(sched, dev, fn, interpret, **kw):
+    """Fixed-shape slab calls over the padded task table, plus one
+    bucketed tail call (executables shared across operands; see
+    OuterProductSchedule.slab_layout)."""
+    outs = []
+    for s0, size in sched.slab_layout:
+        outs.append(
+            fn(
+                jax.lax.slice(
+                    dev["tasks"], (s0 * 4,), ((s0 + size) * 4,)
+                ),
+                dev["a_rows_t"][s0 : s0 + size],
+                dev["a_vals_t"][s0 : s0 + size],
+                dev["b_cols_blk"],
+                dev["b_vals_blk"],
+                ntasks=size,
+                tile_a=sched.tile_a,
+                interpret=interpret,
+                **kw,
+            )
+        )
+    return outs
+
+
+def tiled_expand_packed(
+    tplan: TiledPlan, interpret: bool = False
+) -> tuple[list, list, int]:
+    """The packed expand stage of the tiled pipeline: tile-class slab
+    calls + windowed-gather residue + light-path remainder.
+
+    Returns ``(keys_l, vals_l, pad_count)`` — the packed-key/value
+    stream pieces plus the exact count of sentinel padding slots across
+    them. Factored out of :func:`spgemm_padded_tiled` so a dispatch
+    sampler can jit this cheap glue once per part while every part of a
+    row-partitioned plan shares the ONE slow-to-compile sort+merge
+    executable (:func:`_merge_stream_jit`)."""
+    from outerspace_tpu.ops.pallas.expand import expand_tiles_packed
+
+    sentinel = int(tplan.m)
+    n_cols = int(tplan.n)
+    keys_l, vals_l = [], []
+    class_devs = [
+        (sched, dev)
+        for sched, dev in zip(
+            tplan.class_plan.classes, tplan.device_args["classes"]
+        )
+        if dev is not None
+    ]
+    for sched, dev in class_devs:
+        for k, v in _class_slab_calls(
+            sched, dev, expand_tiles_packed, interpret, n_cols=n_cols
+        ):
+            keys_l.append(k)
+            vals_l.append(v)
+    if tplan.gather_ngroups:
+        from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
+
+        gk, gv = expand_gather_slabbed(
+            tplan.device_args["gather"], tplan.gather_ngroups,
+            b_win=tplan.gather_b_win, interpret=interpret,
+        )
+        keys_l.extend(gk)
+        vals_l.extend(gv)
+    if tplan.light_plan is not None:
+        k, v = _expand_light_packed(
+            **tplan.device_args["light"],
+            p_pad=int(tplan.light_pad),
+            sentinel_row=sentinel,
+            n_cols=n_cols,
+        )
+        keys_l.append(k)
+        vals_l.append(v)
+    # Known padding slots across all streams (sentinel-keyed, val 0):
+    # tile-class padding + gather subtile tails + light-path tail.
+    pad_count = sum(
+        sched.padded_heavy - sched.heavy_p for sched, _ in class_devs
+    )
+    pad_count += tplan.gather_p_out - tplan.gather_p_real
+    if tplan.light_plan is not None:
+        pad_count += tplan.light_pad - tplan.light_plan.expansion_size
+    return keys_l, vals_l, pad_count
+
+
 def spgemm_padded_tiled(
-    tplan: TiledPlan, packed: bool | None = None, interpret: bool = False
+    tplan: TiledPlan,
+    packed: bool | None = None,
+    interpret: bool = False,
+    merge_pad: int | None = None,
+    common_max_run: int | None = None,
 ) -> MergedCOO:
-    """Expand via Pallas dense tiles (+ gather residue), then merge."""
+    """Expand via Pallas dense tiles (+ gather residue), then merge.
+
+    ``merge_pad``/``common_max_run``: plan-level COMMON merge statics
+    (``TiledPartsPlan``) — the expanded stream pads to ``merge_pad``
+    with sentinel slots (counted into ``pad_count``, exact) and the
+    sort+epilogue runs as ONE shared executable across all parts of a
+    row-partitioned plan instead of one slow-to-compile program per
+    part. Packed keys only (parts exist only for m·n ≤ 2³²)."""
     if jax.default_backend() == "cpu":
         interpret = True  # Pallas kernels only run interpreted off-TPU
-    from outerspace_tpu.ops.pallas.expand import (
-        expand_tiles_coords,
-        expand_tiles_packed,
-    )
+    from outerspace_tpu.ops.pallas.expand import expand_tiles_coords
 
     if packed is None:
         packed = tplan.m * tplan.n <= 2**32
+    if merge_pad is not None and not packed:
+        raise ValueError(
+            "merge_pad (the shared-merge-executable path) needs packed "
+            "keys; row-partitioned plans only exist for m*n <= 2^32"
+        )
     sentinel = int(tplan.m)
     n_cols = int(tplan.n)
     class_devs = [
@@ -635,68 +731,36 @@ def spgemm_padded_tiled(
         )
 
     def _class_slabs(sched, dev, fn, **kw):
-        """Fixed-shape slab calls over the padded task table, plus one
-        bucketed tail call (executables shared across operands; see
-        OuterProductSchedule.slab_layout)."""
-        outs = []
-        for s0, size in sched.slab_layout:
-            outs.append(
-                fn(
-                    jax.lax.slice(
-                        dev["tasks"], (s0 * 4,), ((s0 + size) * 4,)
-                    ),
-                    dev["a_rows_t"][s0 : s0 + size],
-                    dev["a_vals_t"][s0 : s0 + size],
-                    dev["b_cols_blk"],
-                    dev["b_vals_blk"],
-                    ntasks=size,
-                    tile_a=sched.tile_a,
-                    interpret=interpret,
-                    **kw,
-                )
-            )
-        return outs
+        return _class_slab_calls(sched, dev, fn, interpret, **kw)
 
     if packed:
-        keys_l, vals_l = [], []
-        for sched, dev in class_devs:
-            for k, v in _class_slabs(
-                sched, dev, expand_tiles_packed, n_cols=n_cols
-            ):
-                keys_l.append(k)
-                vals_l.append(v)
-        if tplan.gather_ngroups:
-            from outerspace_tpu.ops.pallas.gexpand import (
-                expand_gather_slabbed,
-            )
-
-            gk, gv = expand_gather_slabbed(
-                tplan.device_args["gather"], tplan.gather_ngroups,
-                b_win=tplan.gather_b_win, interpret=interpret,
-            )
-            keys_l.extend(gk)
-            vals_l.extend(gv)
-        if tplan.light_plan is not None:
-            k, v = _expand_light_packed(
-                **tplan.device_args["light"],
-                p_pad=int(tplan.light_pad),
-                sentinel_row=sentinel,
-                n_cols=n_cols,
-            )
-            keys_l.append(k)
-            vals_l.append(v)
-        # Known padding slots across all streams (sentinel-keyed, val 0):
-        # tile-class padding + gather subtile tails + light-path tail.
-        pad_count = sum(
-            sched.padded_heavy - sched.heavy_p for sched, _ in class_devs
+        keys_l, vals_l, pad_count = tiled_expand_packed(
+            tplan, interpret=interpret
         )
-        pad_count += tplan.gather_p_out - tplan.gather_p_real
-        if tplan.light_plan is not None:
-            pad_count += tplan.light_pad - tplan.light_plan.expansion_size
-        r, c, v, valid, nnz = _merge_packed_keys_jit(
-            tuple(keys_l), tuple(vals_l), jnp.int32(pad_count),
-            n_cols=n_cols, sentinel_row=sentinel, max_run=tplan.max_run,
-        )
+        if merge_pad is not None:
+            stream_len = sum(k.shape[0] for k in keys_l)
+            if merge_pad < stream_len:
+                raise ValueError(
+                    f"merge_pad={merge_pad} < part stream {stream_len}"
+                )
+            pad_count += merge_pad - stream_len
+            key, vals = _concat_pad_packed_jit(
+                tuple(keys_l), tuple(vals_l), merge_pad=merge_pad
+            )
+            r, c, v, valid, nnz = _merge_stream_jit(
+                key, vals, jnp.int32(pad_count),
+                n_cols=n_cols, sentinel_row=sentinel,
+                max_run=(
+                    common_max_run
+                    if common_max_run is not None
+                    else tplan.max_run
+                ),
+            )
+        else:
+            r, c, v, valid, nnz = _merge_packed_keys_jit(
+                tuple(keys_l), tuple(vals_l), jnp.int32(pad_count),
+                n_cols=n_cols, sentinel_row=sentinel, max_run=tplan.max_run,
+            )
     else:
         rows_l, cols_l, vals_l = [], [], []
         for sched, dev in class_devs:
@@ -771,6 +835,35 @@ def _expand_light_packed(
     return jnp.where(valid, pack_key_biased(r, c, n_cols), _I32_MAX), v
 
 
+@functools.partial(jax.jit, static_argnames=("merge_pad",))
+def _concat_pad_packed_jit(keys_t, vals_t, *, merge_pad: int):
+    """Concatenate packed part streams and sentinel-pad to the plan's
+    common ``merge_pad``. Deliberately a SEPARATE executable from the
+    merge: this glue is cheap to compile per part (concats only) while
+    the sort+epilogue it feeds compiles once for the whole plan."""
+    key = jnp.concatenate(keys_t) if len(keys_t) > 1 else keys_t[0]
+    vals = jnp.concatenate(vals_t) if len(vals_t) > 1 else vals_t[0]
+    extra = merge_pad - key.shape[0]
+    if extra:
+        key = jnp.concatenate([key, jnp.full(extra, _I32_MAX, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros(extra, jnp.float32)])
+    return key, vals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cols", "sentinel_row", "max_run")
+)
+def _merge_stream_jit(
+    key, vals, pad_count, *, n_cols: int, sentinel_row: int, max_run: int
+):
+    """Sort + merge one packed stream — the ONE shared slow-to-compile
+    executable of a row-partitioned tiled plan (signature: merge_pad
+    via the input shape, plus the common statics)."""
+    return merge_biased_keys(
+        key, vals, n_cols, sentinel_row, max_run, pad_count=pad_count
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_cols", "sentinel_row", "max_run")
 )
@@ -827,9 +920,21 @@ class TiledPartsPlan:
     m: int
     n: int
     parts: list  # [(row_lo, row_hi, TiledPlan)]
+    # COMMON merge-stage statics across parts: every part's expanded
+    # stream pads (sentinel tail) to ``merge_pad`` and merges with the
+    # max ``max_run``, so the sort+epilogue — the slow-to-compile
+    # program — is ONE executable per plan instead of one per part
+    # (measured pad-to-max inflation: 1.0-2.6% on rmat14/15; the
+    # per-part expand glue keeps its own cheap jit). 0 = uncommonized
+    # (hand-built plans); ``spgemm_padded_tiled_parts`` then falls back
+    # to the per-part merge signature.
+    merge_pad: int = 0
+    max_run: int = 0
 
     @property
     def padded_total(self) -> int:
+        if self.merge_pad:
+            return self.merge_pad * len(self.parts)
         return sum(p.padded_total for _, _, p in self.parts)
 
 
@@ -917,7 +1022,15 @@ def plan_tiled_parts(
                 (lo, hi, plan_tiled(a_p, b_csr, waste_limit=waste_limit))
             )
         if len(parts) > 1:
-            split = TiledPartsPlan(m, n, parts)
+            # Common merge statics: the guard charges the COMMONIZED
+            # total (every part sorts merge_pad slots), so an accepted
+            # split never hides pad-to-max inflation.
+            merge_pad = -(-max(p.padded_total for _, _, p in parts)
+                          // 4096) * 4096
+            max_run = max(p.max_run or 1 for _, _, p in parts)
+            split = TiledPartsPlan(
+                m, n, parts, merge_pad=merge_pad, max_run=max_run
+            )
             # Fragmentation guard: the split must not inflate the stream.
             if split.padded_total <= budget * max(base.padded_total, 1):
                 return split
@@ -935,8 +1048,13 @@ def spgemm_padded_tiled_parts(
         return spgemm_padded_tiled(plan, packed=packed, interpret=interpret)
     rows_l, cols_l, vals_l, valid_l = [], [], [], []
     nnz = jnp.zeros((), jnp.int32)
+    mp = plan.merge_pad or None
+    mr = plan.max_run or None
     for _, _, tp in plan.parts:
-        part = spgemm_padded_tiled(tp, packed=packed, interpret=interpret)
+        part = spgemm_padded_tiled(
+            tp, packed=packed, interpret=interpret,
+            merge_pad=mp, common_max_run=mr,
+        )
         rows_l.append(part.rows)
         cols_l.append(part.cols)
         vals_l.append(part.vals)
