@@ -237,8 +237,10 @@ def _tiles_parts_run(tplan, flops):
     import jax.numpy as jnp
 
     from outerspace_tpu.ops.spgemm import (
+        _concat_pad_packed_jit,
         _merge_stream_jit,
         tiled_expand_packed,
+        tiled_pad_count,
     )
 
     interp = jax.default_backend() == "cpu"
@@ -250,32 +252,19 @@ def _tiles_parts_run(tplan, flops):
         def f(bump_i, bump_f):
             tpb = _bump_tiled(tp, bump_i, bump_f)
             keys_l, vals_l, _ = tiled_expand_packed(tpb, interpret=interp)
-            key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
-            val = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
-            extra = mp - key.shape[0]
-            if extra:
-                key = jnp.concatenate(
-                    [key, jnp.full(extra, 2**31 - 1, jnp.int32)]
-                )
-                val = jnp.concatenate([val, jnp.zeros(extra, jnp.float32)])
-            return key, val
+            return _concat_pad_packed_jit(
+                tuple(keys_l), tuple(vals_l), merge_pad=mp
+            )
         return f
 
-    def _part_real(tp):
-        real = sum(
-            s.heavy_p
-            for s, d in zip(
-                tp.class_plan.classes, tp.device_args["classes"]
-            )
-            if d is not None
-        )
-        real += tp.gather_p_real
-        if tp.light_plan is not None:
-            real += tp.light_plan.expansion_size
-        return real
-
     part_fns = [_mk_expand(tp) for _, _, tp in tplan.parts]
-    part_pads = [mp - _part_real(tp) for _, _, tp in tplan.parts]
+    # pad_count = library truth (tiled_pad_count) + the pad-to-merge_pad
+    # tail; it drives the merge epilogue's corner recovery, so it must
+    # never be re-derived by hand here
+    part_pads = [
+        mp - tp.padded_total + tiled_pad_count(tp)
+        for _, _, tp in tplan.parts
+    ]
 
     @jax.jit
     def _postm(r, c, v, valid, pn):
@@ -428,8 +417,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
         flops = expansion_plan(a_csc, b_csr).expansion_size
 
         if isinstance(tplan, TiledPartsPlan):
+            # dispatch loop replaces the chain jit (make_once stays None)
             run = _tiles_parts_run(tplan, flops)
-            make_once = None  # dispatch loop replaces the chain jit
 
         else:
             def make_once(bump_i, bump_f):

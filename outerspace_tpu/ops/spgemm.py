@@ -669,15 +669,26 @@ def tiled_expand_packed(
         )
         keys_l.append(k)
         vals_l.append(v)
-    # Known padding slots across all streams (sentinel-keyed, val 0):
-    # tile-class padding + gather subtile tails + light-path tail.
+    return keys_l, vals_l, tiled_pad_count(tplan)
+
+
+def tiled_pad_count(tplan: TiledPlan) -> int:
+    """Exact count of sentinel padding slots in the packed expand
+    stream (pure plan arithmetic, no tracing): tile-class padding +
+    gather subtile tails + light-path tail. The ONE source of truth —
+    ``pad_count`` drives the merge epilogue's corner recovery, so any
+    caller re-deriving it by hand risks silent nnz corruption."""
     pad_count = sum(
-        sched.padded_heavy - sched.heavy_p for sched, _ in class_devs
+        sched.padded_heavy - sched.heavy_p
+        for sched, dev in zip(
+            tplan.class_plan.classes, tplan.device_args["classes"]
+        )
+        if dev is not None
     )
     pad_count += tplan.gather_p_out - tplan.gather_p_real
     if tplan.light_plan is not None:
         pad_count += tplan.light_pad - tplan.light_plan.expansion_size
-    return keys_l, vals_l, pad_count
+    return pad_count
 
 
 def spgemm_padded_tiled(
@@ -1054,8 +1065,11 @@ def spgemm_padded_tiled_parts(
         return spgemm_padded_tiled(plan, packed=packed, interpret=interpret)
     rows_l, cols_l, vals_l, valid_l = [], [], [], []
     nnz = jnp.zeros((), jnp.int32)
-    mp = plan.merge_pad or None
-    mr = plan.max_run or None
+    # The shared merge executable is a packed-key feature; an explicit
+    # packed=False caller keeps the per-part two-key merge.
+    packed_eff = plan.m * plan.n <= 2**32 if packed is None else packed
+    mp = (plan.merge_pad or None) if packed_eff else None
+    mr = (plan.max_run or None) if packed_eff else None
     for _, _, tp in plan.parts:
         part = spgemm_padded_tiled(
             tp, packed=packed, interpret=interpret,

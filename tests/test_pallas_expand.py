@@ -270,9 +270,6 @@ class TestTiledPartsSharedMerge:
         assert _merge_stream_jit._cache_size() == 1
 
     def test_bench_dispatch_run_validates(self):
-        import sys
-
-        sys.path.insert(0, "/root/repo")
         import bench
 
         from outerspace_tpu.ops.symbolic import expansion_plan
@@ -291,3 +288,16 @@ class TestTiledPartsSharedMerge:
         )
         nnz_ok, val_ok = bench._validate_vec(vec, 2, c_ref)
         assert nnz_ok and val_ok
+
+    def test_packed_false_keeps_per_part_two_key_merge(self):
+        # regression: forwarding merge_pad unconditionally made an
+        # explicit packed=False raise on any row-partitioned plan
+        from outerspace_tpu.ops.spgemm import spgemm_padded_tiled_parts
+
+        g, plan = self._plan(seed=7)
+        merged = spgemm_padded_tiled_parts(
+            plan, packed=False, interpret=True
+        )
+        assert_csr_allclose(
+            merged.to_csr(), spgemm_scipy(g, g), rtol=1e-5, atol=1e-6
+        )
