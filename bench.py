@@ -525,8 +525,13 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     est_base = {
         "rmat14_ef8": 110.0,
         "er_100k_d1e-4": 90.0,
-        "rmat15_ef8": 100.0,
-        "rmat16_ef8": 150.0,
+        "rmat15_ef8": 90.0,
+        # the shared part-merge executable cut the tiled workloads to
+        # ONE slow sort compile each (the old priors priced the
+        # monolithic chain jit, whose estimate alone shed rmat16 on
+        # marginal days); the running degrade factor still scales these
+        # up when the tunnel is slow
+        "rmat16_ef8": 110.0,
         "mtx_rmat10_a2": 90.0,
     }
     # tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
