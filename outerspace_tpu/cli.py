@@ -65,7 +65,10 @@ def cmd_spgemm(args) -> int:
     plan = expansion_plan(a_csc, b_csr)
     p_pad = plan.padded_size()
     roof_mult = predict_multiply_time(p_pad, m1.nnz, m2.nnz)
-    roof_merge = predict_merge_time(p_pad)
+    from outerspace_tpu.ops.spgemm import default_part_count
+
+    # the merge sort runs row-partitioned; predict the parts it will use
+    roof_merge = predict_merge_time(p_pad, parts=default_part_count(p_pad))
     # Resolve the waste limit once up front (default = per-operand
     # autotune) and thread it through the config, so the two spgemm
     # calls and the event-model report below all reuse one cost-model

@@ -982,6 +982,23 @@ def _slice_a_rows(a_csc: CSC, lo: int, hi: int) -> CSC:
     )
 
 
+def default_part_count(
+    padded_total: int, min_part_stream: int = 2 << 20
+) -> int:
+    """Row-part count for a padded stream: one part per
+    ~``min_part_stream`` elements, pow2. The cap was 4 when every part
+    compiled its own sort program (8 parts ballooned compiles 1233 s vs
+    27.6 s on a degraded day for a ~2 ms gain on rmat14); with the
+    plan-shared merge executable the extra parts only add cheap expand
+    jits, so streams past ~64M padded elements (where the sort's log
+    factor is steep: measured 2.07 ns/pair @ 32M vs ~1.7 @ 16M) go to
+    8. rmat14/15 stay at 4 — their 8-way pad-to-max inflation
+    (+10%/+7%) eats the shorter-sort win."""
+    cap = 8 if padded_total >= (64 << 20) else 4
+    nparts = int(min(cap, max(1, padded_total // min_part_stream)))
+    return 1 << (nparts - 1).bit_length() if nparts > 1 else 1
+
+
 def plan_tiled_parts(
     a_csc: CSC,
     b_csr: CSR,
@@ -1004,18 +1021,7 @@ def plan_tiled_parts(
     if m * n > 2**32:
         return base
     if nparts is None:
-        # One part per ~min_part_stream of padded stream. The cap was 4
-        # when every part compiled its own sort program (8 parts
-        # ballooned compiles 1233 s vs 27.6 s on a degraded day for a
-        # ~2 ms gain on rmat14); with the plan-shared merge executable
-        # the extra parts only add cheap expand jits, so streams past
-        # ~64M padded elements (where the sort's log factor is steep:
-        # measured 2.07 ns/pair @ 32M vs ~1.7 @ 16M) go to 8. rmat14/15
-        # stay at 4 — their 8-way pad-to-max inflation (+10%/+7%) eats
-        # the shorter-sort win.
-        cap = 8 if base.padded_total >= (64 << 20) else 4
-        nparts = int(min(cap, max(1, base.padded_total // min_part_stream)))
-        nparts = 1 << (nparts - 1).bit_length() if nparts > 1 else 1
+        nparts = default_part_count(base.padded_total, min_part_stream)
     if nparts <= 1:
         return base
     from outerspace_tpu.shard.mesh import balanced_contiguous_partition

@@ -79,6 +79,7 @@ def predict_merge_time(
     padded_products: int,
     cfg: TPUConfig = TPUConfig(),
     sort_impl: str = "xla_bitonic",
+    parts: int = 1,
 ) -> float:
     """Merge-phase roofline.
 
@@ -86,7 +87,15 @@ def predict_merge_time(
     (``analyzeMergeTask``, ``SimOuterSPACE.cpp:183-196``) because its PEs
     re-scanned inputs per way; a sort-based merge is O(P log² P) bitonic
     (XLA) or O(P · passes) radix (the planned Pallas kernel).
+
+    ``parts``: the row-partitioned pipeline sorts ``parts`` independent
+    streams of P/parts — the bitonic stage count drops with the shorter
+    length (the measured log factor: 2.07 ns/pair @ 32M vs ~1.7 @ 16M),
+    so the prediction is ``parts ×`` the per-part time.
     """
+    if parts > 1:
+        per = -(-padded_products // parts)
+        return parts * predict_merge_time(per, cfg, sort_impl)
     n = max(padded_products, 2)
     if sort_impl == "xla_bitonic":
         stages = (math.ceil(math.log2(n)) ** 2 + math.ceil(math.log2(n))) // 2

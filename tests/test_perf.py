@@ -316,3 +316,23 @@ class TestPeriodicStatsDump:
             set_stats_dump(None, 0)
         text = open(path).read()
         assert "cycle" in text and "hbm:" in text
+
+
+def test_merge_roofline_parts_monotone():
+    # row-partitioned sorts are shorter: parts>1 must never predict
+    # slower than the single sort, and the gap grows with stream size
+    from outerspace_tpu.perf.roofline import predict_merge_time
+
+    for p in (1 << 24, 1 << 27):
+        one = predict_merge_time(p)
+        four = predict_merge_time(p, parts=4)
+        eight = predict_merge_time(p, parts=8)
+        assert eight <= four <= one
+
+
+def test_default_part_count_rule():
+    from outerspace_tpu.ops.spgemm import default_part_count
+
+    assert default_part_count(1 << 20) == 1  # below min_part_stream
+    assert default_part_count(20 << 20) == 4  # rmat14-scale
+    assert default_part_count(128 << 20) == 8  # rmat16-scale
