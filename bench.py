@@ -246,6 +246,10 @@ def _tiles_parts_run(tplan, flops):
     interp = jax.default_backend() == "cpu"
     mp, mrun = tplan.merge_pad, tplan.max_run
     m_rows, n_c = tplan.m, tplan.n
+    # Rebased plans merge part-local keys under the COMMON global-m
+    # sentinel; the traced row_base add restores global rows for the
+    # checksums (0 for classic global-key plans — same executable).
+    rebased = getattr(tplan, "rebased", False)
 
     def _mk_expand(tp):
         @jax.jit
@@ -267,20 +271,23 @@ def _tiles_parts_run(tplan, flops):
     ]
 
     @jax.jit
-    def _postm(r, c, v, valid, pn):
-        return pn, _stream_sums(r, c, v, valid)
+    def _postm(r, c, v, valid, pn, row_base):
+        rg = jnp.where(valid, r + row_base, 0)
+        return pn, _stream_sums(rg, c, v, valid)
+
+    row_bases = [lo if rebased else 0 for lo, _, _ in tplan.parts]
 
     def run(k=None):
         kk = _chain_k(flops) if k is None else k
         pns, sums_l = [], []
         for _ in range(kk):
-            for f, padc in zip(part_fns, part_pads):
+            for f, padc, rb in zip(part_fns, part_pads, row_bases):
                 key, val = f(jnp.int32(0), jnp.float32(0.0))
                 out = _merge_stream_jit(
                     key, val, jnp.int32(padc),
                     n_cols=n_c, sentinel_row=m_rows, max_run=mrun,
                 )
-                pn, s = _postm(*out)
+                pn, s = _postm(*out, jnp.int32(rb))
                 pns.append(pn)
                 sums_l.append(s)
         nnz = jnp.sum(jnp.stack(pns))
@@ -416,9 +423,24 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
         flops = expansion_plan(a_csc, b_csr).expansion_size
 
-        if isinstance(tplan, TiledPartsPlan):
+        if isinstance(tplan, TiledPartsPlan) and tplan.merge_pad:
             # dispatch loop replaces the chain jit (make_once stays None)
             run = _tiles_parts_run(tplan, flops)
+
+        elif isinstance(tplan, TiledPartsPlan):
+            # uncommonized parts plan (rebased fallback): chain the
+            # whole-plan runner instead of the shared-merge dispatcher
+            def make_once(bump_i, bump_f):
+                parts = [
+                    (lo, hi, _bump_tiled(tp, bump_i, bump_f))
+                    for lo, hi, tp in tplan.parts
+                ]
+                m = spgemm_padded_tiled_parts(
+                    dataclasses.replace(tplan, parts=parts)
+                )
+                return m.nnz, _stream_sums(
+                    m.rows, m.cols, m.vals, m.valid
+                )
 
         else:
             def make_once(bump_i, bump_f):

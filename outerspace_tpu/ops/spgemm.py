@@ -697,15 +697,20 @@ def spgemm_padded_tiled(
     interpret: bool = False,
     merge_pad: int | None = None,
     common_max_run: int | None = None,
+    merge_sentinel: int | None = None,
 ) -> MergedCOO:
     """Expand via Pallas dense tiles (+ gather residue), then merge.
 
-    ``merge_pad``/``common_max_run``: plan-level COMMON merge statics
-    (``TiledPartsPlan``) — the expanded stream pads to ``merge_pad``
-    with sentinel slots (counted into ``pad_count``, exact) and the
-    sort+epilogue runs as ONE shared executable across all parts of a
-    row-partitioned plan instead of one slow-to-compile program per
-    part. Packed keys only (parts exist only for m·n ≤ 2³²)."""
+    ``merge_pad``/``common_max_run``/``merge_sentinel``: plan-level
+    COMMON merge statics (``TiledPartsPlan``) — the expanded stream pads
+    to ``merge_pad`` with sentinel slots (counted into ``pad_count``,
+    exact) and the sort+epilogue runs as ONE shared executable across
+    all parts of a row-partitioned plan instead of one slow-to-compile
+    program per part. ``merge_sentinel`` overrides the merge stage's
+    invalid-row label (a REBASED parts plan passes the global m so the
+    shared executable doesn't fork on each part's local span; rows are
+    only a label — validity is carried by the mask). Packed keys only
+    (parts exist only when each part's key space fits u32)."""
     if jax.default_backend() == "cpu":
         interpret = True  # Pallas kernels only run interpreted off-TPU
     from outerspace_tpu.ops.pallas.expand import expand_tiles_coords
@@ -715,9 +720,11 @@ def spgemm_padded_tiled(
     if merge_pad is not None and not packed:
         raise ValueError(
             "merge_pad (the shared-merge-executable path) needs packed "
-            "keys; row-partitioned plans only exist for m*n <= 2^32"
+            "keys; row-partitioned plans only exist when the (possibly "
+            "part-local) key space fits u32"
         )
     sentinel = int(tplan.m)
+    m_sent = int(merge_sentinel) if merge_sentinel is not None else sentinel
     n_cols = int(tplan.n)
     class_devs = [
         (sched, dev)
@@ -760,7 +767,7 @@ def spgemm_padded_tiled(
             )
             r, c, v, valid, nnz = _merge_stream_jit(
                 key, vals, jnp.int32(pad_count),
-                n_cols=n_cols, sentinel_row=sentinel,
+                n_cols=n_cols, sentinel_row=m_sent,
                 max_run=(
                     common_max_run
                     if common_max_run is not None
@@ -770,7 +777,7 @@ def spgemm_padded_tiled(
         else:
             r, c, v, valid, nnz = _merge_packed_keys_jit(
                 tuple(keys_l), tuple(vals_l), jnp.int32(pad_count),
-                n_cols=n_cols, sentinel_row=sentinel, max_run=tplan.max_run,
+                n_cols=n_cols, sentinel_row=m_sent, max_run=tplan.max_run,
             )
     else:
         rows_l, cols_l, vals_l = [], [], []
@@ -941,6 +948,13 @@ class TiledPartsPlan:
     # to the per-part merge signature.
     merge_pad: int = 0
     max_run: int = 0
+    # Rebased parts: each part's TiledPlan was planned on a LOCAL-row A
+    # slice (``_slice_a_rows(..., local=True)``), so its packed keys
+    # live in the part's span·n space — this lifts the single-key fast
+    # path to any m·n (the two-key 3-stream sort is only a fallback).
+    # The merge runs with the COMMON global-m sentinel (one executable);
+    # global rows are restored by a traced ``row_base`` add after.
+    rebased: bool = False
 
     @property
     def padded_total(self) -> int:
@@ -963,10 +977,14 @@ def row_products(a_csc: CSC, b_csr: CSR) -> np.ndarray:
     ).astype(np.int64)
 
 
-def _slice_a_rows(a_csc: CSC, lo: int, hi: int) -> CSC:
-    """A restricted to output rows [lo, hi) as a CSC of the SAME shape
-    (global row ids, global keys). CSC columns are row-sorted, so the
-    selection keeps per-column contiguity. O(nnz)."""
+def _slice_a_rows(a_csc: CSC, lo: int, hi: int, local: bool = False) -> CSC:
+    """A restricted to output rows [lo, hi). By default the slice keeps
+    the SAME shape (global row ids → global keys). With ``local=True``
+    rows rebase to ``row - lo`` and the shape shrinks to ``(hi-lo, k)``,
+    so downstream packed keys live in the part-local ``span·n`` space —
+    the key-space lift for m·n > 2³² (mirrors the gather pipeline's
+    ``row_base``). CSC columns are row-sorted, so the selection keeps
+    per-column contiguity. O(nnz)."""
     rows = np.asarray(a_csc.indices)
     sel = (rows >= lo) & (rows < hi)
     a_k = np.repeat(
@@ -977,9 +995,12 @@ def _slice_a_rows(a_csc: CSC, lo: int, hi: int) -> CSC:
     np.cumsum(
         np.bincount(a_k[sel], minlength=a_csc.shape[1]), out=indptr[1:]
     )
-    return CSC(
-        a_csc.shape, indptr, rows[sel], np.asarray(a_csc.data)[sel]
-    )
+    out_rows = rows[sel]
+    shape = a_csc.shape
+    if local:
+        out_rows = out_rows - np.asarray(lo, dtype=out_rows.dtype)
+        shape = (hi - lo, a_csc.shape[1])
+    return CSC(shape, indptr, out_rows, np.asarray(a_csc.data)[sel])
 
 
 def default_part_count(
@@ -999,6 +1020,35 @@ def default_part_count(
     return 1 << (nparts - 1).bit_length() if nparts > 1 else 1
 
 
+def _bounds_span_capped(
+    rp: np.ndarray, nparts: int, span_cap: int
+) -> np.ndarray:
+    """Contiguous product-balanced row bounds with every span ≤
+    ``span_cap``: greedy walk toward the remaining-product-even target,
+    clipped to the cap (so rebased parts always fit their key space;
+    low-density stretches just yield extra parts)."""
+    cum = np.zeros(rp.shape[0] + 1, dtype=np.float64)
+    np.cumsum(rp, out=cum[1:])
+    total = cum[-1]
+    m = rp.shape[0]
+    bounds = [0]
+    while bounds[-1] < m:
+        lo = bounds[-1]
+        remaining = max(1, nparts - (len(bounds) - 1))
+        target = cum[lo] + (total - cum[lo]) / remaining
+        hi = int(np.searchsorted(cum, target, side="left"))
+        hi = max(hi, lo + 1)
+        # absorb the zero-product run following hi (free rows): without
+        # this, empty tails creep 1 row/part and explode the part count
+        hi = int(np.searchsorted(cum, cum[hi], side="right")) - 1
+        hi = min(max(hi, lo + 1), lo + span_cap, m)
+        bounds.append(hi)
+    return np.asarray(bounds, dtype=np.int64)
+
+
+_MAX_PARTS = 64  # runaway guard for extreme aspect ratios
+
+
 def plan_tiled_parts(
     a_csc: CSC,
     b_csr: CSR,
@@ -1012,16 +1062,36 @@ def plan_tiled_parts(
     per-part planner's padded total exceeds ``budget``× the unsplit
     plan's — the fragmentation guard, retried at halved part counts).
 
+    For m·n > 2³² the partition is MANDATORY and parts plan on
+    local-row A slices (rebased keys): each part's span is capped at
+    ``2³²//n`` so its packed-key space fits, lifting the single-key
+    sort to any output shape (the unsplit two-key 3-stream sort remains
+    only as the last-resort fallback, with a relaxed budget — it moves
+    1.5× the sort traffic over the FULL stream).
+
     Measured (v5e, 16.8M pairs): 8 sequential 1-D pair-sorts of L/8 run
     at 1.52 ns/pair vs 2.35 for one L-sort — a 35% cut of the dominant
     cost; batched 2-D [P, L/P] sorts are SLOWER than one 1-D sort, so
     each part keeps its own 1-D sort call."""
     base = plan_tiled(a_csc, b_csr, waste_limit=waste_limit)
     m, n = a_csc.shape[0], b_csr.shape[1]
-    if m * n > 2**32:
-        return base
+    rebased = m * n > 2**32
+    span_cap = (2**32 // n) if n else m
+    min_parts = 1
+    if rebased:
+        if span_cap < 1 or n >= 2**31:
+            # n alone (nearly) exceeds the key space — int32 packing
+            # arithmetic can't even hold n; two-key fallback.
+            return base
+        min_parts = -(-m // span_cap)
+        if min_parts > _MAX_PARTS:
+            return base
+        # Rebasing is worth a looser fragmentation budget than an
+        # optional split: the alternative is the two-key merge.
+        budget = max(budget, 1.5)
     if nparts is None:
         nparts = default_part_count(base.padded_total, min_part_stream)
+    nparts = max(nparts, min_parts)
     if nparts <= 1:
         return base
     from outerspace_tpu.shard.mesh import balanced_contiguous_partition
@@ -1031,20 +1101,25 @@ def plan_tiled_parts(
 
         waste_limit = autotune(a_csc, b_csr)[1]
     rp = row_products(a_csc, b_csr).astype(np.float64)
-    while nparts > 1:
-        bounds = balanced_contiguous_partition(rp, nparts)
+    while nparts >= max(min_parts, 2):
+        if rebased:
+            bounds = _bounds_span_capped(rp, nparts, span_cap)
+            if bounds.shape[0] - 1 > _MAX_PARTS:
+                return base
+        else:
+            bounds = balanced_contiguous_partition(rp, nparts)
         parts = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             lo, hi = int(lo), int(hi)
             if hi <= lo:
                 continue
-            a_p = _slice_a_rows(a_csc, lo, hi)
+            a_p = _slice_a_rows(a_csc, lo, hi, local=rebased)
             if a_p.nnz == 0:
                 continue
             parts.append(
                 (lo, hi, plan_tiled(a_p, b_csr, waste_limit=waste_limit))
             )
-        if len(parts) > 1:
+        if len(parts) > 1 or (rebased and parts):
             # Common merge statics: the guard charges the COMMONIZED
             # total (every part sorts merge_pad slots), so an accepted
             # split never hides pad-to-max inflation.
@@ -1052,13 +1127,36 @@ def plan_tiled_parts(
                           // 4096) * 4096
             max_run = max(p.max_run or 1 for _, _, p in parts)
             split = TiledPartsPlan(
-                m, n, parts, merge_pad=merge_pad, max_run=max_run
+                m, n, parts, merge_pad=merge_pad, max_run=max_run,
+                rebased=rebased,
             )
             # Fragmentation guard: the split must not inflate the stream.
             if split.padded_total <= budget * max(base.padded_total, 1):
                 return split
+            if rebased and nparts // 2 < min_parts:
+                # No legal smaller split exists. Before conceding to the
+                # two-key fallback, drop the pad-to-max commonization
+                # (merge_pad=0 → per-part merge signatures, exact
+                # padding): imbalanced mandatory splits can inflate the
+                # commonized total far past the real stream, while the
+                # per-part compile diversity only matters at scales
+                # where the inflation is 1-3% anyway.
+                uncommon = TiledPartsPlan(m, n, parts, rebased=True)
+                if uncommon.padded_total <= budget * max(
+                    base.padded_total, 1
+                ):
+                    return uncommon
+                return base
         nparts //= 2
     return base
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel_row",))
+def _rebase_rows_jit(rows, valid, row_base, *, sentinel_row: int):
+    """Part-local merged rows → global: add the part's traced
+    ``row_base`` where valid, re-label invalid slots with the global
+    sentinel (one executable for every part of every rebased plan)."""
+    return jnp.where(valid, rows + row_base, np.int32(sentinel_row))
 
 
 def spgemm_padded_tiled_parts(
@@ -1066,22 +1164,38 @@ def spgemm_padded_tiled_parts(
     packed: bool | None = None,
     interpret: bool = False,
 ) -> MergedCOO:
-    """Run the (possibly row-partitioned) tiled pipeline."""
+    """Run the (possibly row-partitioned, possibly key-rebased) tiled
+    pipeline."""
     if isinstance(plan, TiledPlan):
         return spgemm_padded_tiled(plan, packed=packed, interpret=interpret)
     rows_l, cols_l, vals_l, valid_l = [], [], [], []
     nnz = jnp.zeros((), jnp.int32)
     # The shared merge executable is a packed-key feature; an explicit
-    # packed=False caller keeps the per-part two-key merge.
-    packed_eff = plan.m * plan.n <= 2**32 if packed is None else packed
+    # packed=False caller keeps the per-part two-key merge. Rebased
+    # plans pack by construction (each part's local key space fits u32).
+    packed_eff = (
+        (plan.rebased or plan.m * plan.n <= 2**32)
+        if packed is None
+        else packed
+    )
     mp = (plan.merge_pad or None) if packed_eff else None
     mr = (plan.max_run or None) if packed_eff else None
-    for _, _, tp in plan.parts:
+    # One common merge sentinel across rebased parts (per-part local
+    # spans would fork the shared executable on a cosmetic static).
+    ms = plan.m if (plan.rebased and packed_eff) else None
+    for lo, _, tp in plan.parts:
+        # packed=None resolves per part (a rebased part's LOCAL key
+        # space fits u32 by construction, so it packs).
         part = spgemm_padded_tiled(
             tp, packed=packed, interpret=interpret,
-            merge_pad=mp, common_max_run=mr,
+            merge_pad=mp, common_max_run=mr, merge_sentinel=ms,
         )
-        rows_l.append(part.rows)
+        rows = part.rows
+        if plan.rebased:
+            rows = _rebase_rows_jit(
+                rows, part.valid, jnp.int32(lo), sentinel_row=plan.m
+            )
+        rows_l.append(rows)
         cols_l.append(part.cols)
         vals_l.append(part.vals)
         valid_l.append(part.valid)

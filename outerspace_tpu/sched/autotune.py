@@ -197,7 +197,18 @@ def autotune(
     total = int(prod.sum())
     if total == 0:
         return "flat", waste_grid[0]
-    gather_edges = a_csc.shape[0] * b_csr.shape[1] <= 2**32
+    # The tiled strategy's residue is gather-servable whenever its
+    # planner can run packed keys: either globally (m·n ≤ 2³²) or via
+    # rebased row parts (every part's local span·n fits u32 —
+    # ``ops.spgemm.plan_tiled_parts``). Mirror that rule here so the
+    # cost model doesn't charge FLAT_NS for a residue the planner
+    # actually serves with the windowed-gather kernel.
+    from outerspace_tpu.ops.spgemm import _MAX_PARTS
+
+    mn = a_csc.shape[0] * b_csr.shape[1]
+    gather_edges = mn <= 2**32 or (
+        b_csr.shape[1] < 2**31 and mn <= _MAX_PARTS * 2**32
+    )
     # every cost evaluation models the same machine: real per-row
     # B misalignment everywhere (grid search AND final comparison)
     b_mis = np.asarray(b_csr.indptr)[:-1].astype(np.int64) % TILE_B
