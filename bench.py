@@ -64,6 +64,14 @@ def _time_left() -> float:
     return _DEADLINE_S - (time.perf_counter() - _T0)
 
 
+def _emit(rec: dict) -> None:
+    """Print one stderr record, stamped with the suite wall clock so a
+    capture shows where the deadline went (compiles and uploads that no
+    per-field timer covers are the difference between records)."""
+    rec["at_s"] = round(time.perf_counter() - _T0, 1)
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+
+
 def _sync_scalar(x) -> float:
     return float(np.asarray(x))
 
@@ -596,7 +604,7 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
         # most-recent ratio, not a ratchet: a one-off compile overshoot
         # on the first workload must not permanently inflate estimates
         degrade = max(1.0, cost / est_base.get(name, 90.0))
-        print(json.dumps(rec), file=sys.stderr, flush=True)
+        _emit(rec)
     return results
 
 
@@ -654,7 +662,7 @@ def bench_nn_inference() -> dict:
         max_rel_err_vs_dense=err,
         parity_1e6=bool(err < 1e-6 * 10),
     )
-    print(json.dumps(rec), file=sys.stderr, flush=True)
+    _emit(rec)
     return rec
 
 
@@ -735,7 +743,7 @@ def bench_triangles() -> dict:
         speedup=round(t_cpu / t_tpu, 3),
         counts_match=bool(n_tpu == n_cpu),
     )
-    print(json.dumps(rec), file=sys.stderr, flush=True)
+    _emit(rec)
     return rec
 
 
@@ -803,7 +811,7 @@ def bench_mcl() -> dict:
             len(mcl_clusters(f_tpu)) == len(mcl_clusters(f_cpu))
         ),
     )
-    print(json.dumps(rec), file=sys.stderr, flush=True)
+    _emit(rec)
     return rec
 
 

@@ -111,7 +111,8 @@ class ShardedTiledPlan:
     kx: int
     ny: int
     rows_per_x: int  # output-row ownership granularity along "x"
-    capacity: int  # per-(src, dst) exchange bucket (multiple of 1024)
+    capacity: int  # per-(src, dst, chunk) exchange bucket (mult. of 1024)
+    chunks: int  # exchange chunks per owner (see shard_plan_tiled)
     max_run: int  # global duplicate bound (pow2)
     # Active tile classes (subset of TILE_A_CLASSES with any task):
     tile_as: tuple[int, ...]
@@ -130,8 +131,8 @@ class ShardedTiledPlan:
     g_table: np.ndarray | None  # int32[kx, ny, G, GROUP_SUBS, 128]
     g_apack: np.ndarray | None  # int32[kx, ny, NAB8, 8, 4, 128]
     g_bpack: np.ndarray | None  # int32[kx, ny, NBB8, 8, 2, 128]
-    recv_pad: np.ndarray  # int32[kx, ny] sentinel count after exchange
-    boundaries: np.ndarray  # int32[kx+1] biased keys of owner row starts
+    recv_pad: np.ndarray  # int32[kx, ny, chunks] sentinels after exchange
+    boundaries: np.ndarray  # int32[kx*chunks+1] biased (owner, chunk) starts
 
     @property
     def stream_len(self) -> int:
@@ -142,7 +143,7 @@ class ShardedTiledPlan:
 
     @property
     def merge_len(self) -> int:
-        return self.kx * self.capacity
+        return self.kx * self.capacity * self.chunks
 
 
 def shard_plan_tiled(
@@ -151,8 +152,23 @@ def shard_plan_tiled(
     kx: int,
     ny: int = 1,
     waste_limit: float | None = None,
+    exchange_chunks: int = 1,
 ) -> ShardedTiledPlan:
-    """Build the stacked per-device Pallas plan for a (kx × ny) grid."""
+    """Build the stacked per-device Pallas plan for a (kx × ny) grid.
+
+    ``exchange_chunks`` > 1 subdivides every owner's row range into that
+    many product-balanced sub-ranges and exchanges/merges them as
+    independent chunks: the multiply→merge exchange becomes ``chunks``
+    smaller ``all_to_all``s whose receive sides feed ``chunks``
+    independent merges — chunk c+1's collective has no data dependency
+    on chunk c's merge, so XLA's latency-hiding scheduler can overlap
+    ICI transfer with merge compute (the reference machine's whole-DRAM
+    exchange barrier, ``SimOuterSPACE.cpp:139``, pipelined away), and
+    each merge sorts a ``chunks``× shorter stream (the row-partition
+    sort win measured on the single-chip pipeline: 8× L/8 pair-sorts at
+    1.52 vs 2.35 ns/pair). Chunk boundaries respect row ownership, so
+    output semantics are unchanged (per-device rows stay ascending
+    across concatenated chunk merges)."""
     if a_csc.shape[1] != b_csr.shape[0]:
         raise ValueError("inner dimensions differ")
     m, n = a_csc.shape[0], b_csr.shape[1]
@@ -178,6 +194,27 @@ def shard_plan_tiled(
     else:
         col_bounds = np.array([0, n], dtype=np.int64)
     rows_per_x = -(-m // kx)
+    chunks = max(1, int(exchange_chunks))
+    # (owner, chunk) row starts: each owner's range subdivides into
+    # `chunks` product-balanced sub-ranges (global per-output-row product
+    # histogram — products of element (r, k) land in output row r).
+    nb_full = b_csr.major_nnz().astype(np.int64)
+    a_k_full = np.repeat(
+        np.arange(a_csc.shape[1]),
+        np.diff(np.asarray(a_csc.indptr)).astype(np.int64),
+    )
+    prod_row = np.bincount(
+        np.asarray(a_csc.indices, dtype=np.int64),
+        weights=nb_full[a_k_full].astype(np.float64),
+        minlength=m,
+    )
+    row_starts_all = np.empty(kx * chunks + 1, dtype=np.int64)
+    for d in range(kx):
+        lo = min(d * rows_per_x, m)
+        hi = min((d + 1) * rows_per_x, m)
+        sub = balanced_contiguous_partition(prod_row[lo:hi], chunks) + lo
+        row_starts_all[d * chunks : (d + 1) * chunks] = sub[:-1]
+    row_starts_all[-1] = m
 
     # ---- per-device planning (host, vectorised inner ops) ----
     cps, gplans, b_slices, per_dst = {}, {}, {}, {}
@@ -188,7 +225,15 @@ def shard_plan_tiled(
             np.arange(a_sl.shape[1]),
             np.diff(np.asarray(a_sl.indptr)).astype(np.int64),
         )
-        owners = np.asarray(a_sl.indices, dtype=np.int64) // rows_per_x
+        # (owner, chunk) bucket of each A-element's output row.
+        owners = (
+            np.searchsorted(
+                row_starts_all,
+                np.asarray(a_sl.indices, dtype=np.int64),
+                side="right",
+            )
+            - 1
+        )
         for j in range(ny):
             c_lo, c_hi = int(col_bounds[j]), int(col_bounds[j + 1])
             b_sl = slice_b_rows_cols(b_csr, k_lo, k_hi, c_lo, c_hi)
@@ -224,7 +269,7 @@ def shard_plan_tiled(
                 else np.zeros(0, dtype=np.int64)
             )
             per_dst[i, j] = np.bincount(
-                owners, weights=counts_e, minlength=kx
+                owners, weights=counts_e, minlength=kx * chunks
             ).astype(np.int64)
 
     # ---- common shapes across the grid ----
@@ -334,16 +379,12 @@ def shard_plan_tiled(
     # Multiple of 1024 so kx·capacity keeps the pow2 chunk divisor the
     # Pallas merge epilogue needs.
     capacity = max(1024, -(-cap // 1024) * 1024)
-    incoming = np.zeros((kx, ny), np.int64)
+    incoming = np.zeros((kx, ny, chunks), np.int64)
     for (i, j), pd in per_dst.items():
-        for dst in range(kx):
-            incoming[dst, j] += pd[dst]
+        incoming[:, j, :] += pd.reshape(kx, chunks)
     recv_pad = (kx * capacity - incoming).astype(np.int32)
 
-    row_starts = np.minimum(
-        np.arange(kx + 1, dtype=np.int64) * rows_per_x, m
-    )
-    boundaries = _pack_u32_biased(row_starts * n)
+    boundaries = _pack_u32_biased(row_starts_all * n)
 
     max_run = int(
         np.bincount(
@@ -354,7 +395,7 @@ def shard_plan_tiled(
 
     plan = ShardedTiledPlan(
         m=m, n=n, kx=kx, ny=ny, rows_per_x=rows_per_x,
-        capacity=capacity, max_run=max_run,
+        capacity=capacity, chunks=chunks, max_run=max_run,
         tile_as=tile_as, class_T=class_T, nblocks=nblocks,
         ngroups=ngroups, b_win=B_WIN,
         class_tasks=class_tasks, class_arow=class_arow,
@@ -382,6 +423,7 @@ def _local_tiled_fn(
     sentinel_row,
     kx,
     capacity,
+    chunks,
     boundaries,
     max_run,
     axis,
@@ -429,21 +471,42 @@ def _local_tiled_fn(
 
     key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
     val = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
-    # One local sort: biased-key order == (row, col) — per-owner buckets
-    # become contiguous, so the exchange buffers fill with gathers.
+    # One local sort: biased-key order == (row, col) — per-(owner, chunk)
+    # buckets become contiguous, so the exchange buffers fill with gathers.
     key, val = jax.lax.sort((key, val), num_keys=1, is_stable=False)
     bstart = jnp.searchsorted(key, jnp.asarray(boundaries)).astype(jnp.int32)
-    idx = bstart[:kx, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
-    live = idx < bstart[1:, None]
-    idx_c = jnp.minimum(idx, key.shape[0] - 1)
-    send_key = jnp.where(live, jnp.take(key, idx_c), _I32_MAX)
-    send_val = jnp.where(live, jnp.take(val, idx_c), 0.0)
-    recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
-    recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
-    mr, mc, mv, mvalid, nnz = merge_biased_keys(
-        recv_key.reshape(-1), recv_val.reshape(-1), n_cols, sentinel_row,
-        max_run, pad_count=recv_pad, interpret=interpret,
-    )
+    starts = bstart[:-1].reshape(kx, chunks)
+    ends = bstart[1:].reshape(kx, chunks)
+    lane = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    # Chunked exchange+merge: chunk c+1's all_to_all has no dependency
+    # on chunk c's merge, so the collective overlaps merge compute (and
+    # every merge sorts a chunks× shorter stream). Outputs concatenate
+    # in row order — chunk sub-ranges ascend within each owner.
+    outs = []
+    for c in range(chunks):
+        idx = starts[:, c, None] + lane
+        live = idx < ends[:, c, None]
+        idx_c = jnp.minimum(idx, key.shape[0] - 1)
+        send_key = jnp.where(live, jnp.take(key, idx_c), _I32_MAX)
+        send_val = jnp.where(live, jnp.take(val, idx_c), 0.0)
+        recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
+        recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
+        outs.append(
+            merge_biased_keys(
+                recv_key.reshape(-1), recv_val.reshape(-1), n_cols,
+                sentinel_row, max_run, pad_count=recv_pad[c],
+                interpret=interpret,
+            )
+        )
+    if chunks == 1:
+        mr, mc, mv, mvalid, nnz = outs[0]
+    else:
+        mr, mc, mv, mvalid = (
+            jnp.concatenate([o[f] for o in outs]) for f in range(4)
+        )
+        nnz = functools.reduce(
+            lambda a, b: a + b, [o[4] for o in outs]
+        )
     return (
         mr[None, None], mc[None, None], mv[None, None],
         mvalid[None, None], nnz[None, None],
@@ -498,6 +561,7 @@ def build_sharded_tiled(
         sentinel_row=plan.m,
         kx=plan.kx,
         capacity=plan.capacity,
+        chunks=plan.chunks,
         boundaries=np.asarray(plan.boundaries),
         max_run=plan.max_run,
         axis=ax,

@@ -196,6 +196,52 @@ class TestShardedTiled:
         _, got = self._run(g, g, mesh42, kx=4, ny=2)
         assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("chunks", [2, 3])
+    def test_chunked_exchange_matches_scipy(self, mesh8, chunks):
+        # exchange_chunks splits every owner's rows into product-balanced
+        # sub-ranges exchanged/merged independently (overlappable
+        # collectives + chunks× shorter merge sorts) — output must stay
+        # exact and per-device rows ascending.
+        from outerspace_tpu.shard.tiled import (
+            shard_plan_tiled,
+            sharded_tiled_to_csr,
+            spgemm_sharded_tiled,
+        )
+
+        g = rmat(7, edge_factor=8, seed=71)
+        plan = shard_plan_tiled(
+            g.to_csc(), g.to_csr(), kx=8, exchange_chunks=chunks
+        )
+        assert plan.chunks == chunks
+        assert plan.recv_pad.shape == (8, 1, chunks)
+        assert plan.boundaries.shape == (8 * chunks + 1,)
+        out = spgemm_sharded_tiled(plan, mesh8, axes="x")
+        got = sharded_tiled_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+        # per-device merged rows ascend across concatenated chunk merges
+        mr, _, _, mvalid, _ = out
+        mr = np.asarray(mr).reshape(8, -1)
+        mvalid = np.asarray(mvalid).reshape(8, -1)
+        for d in range(8):
+            rows = mr[d][mvalid[d]]
+            assert np.all(np.diff(rows) >= 0)
+
+    def test_chunked_exchange_two_collectives(self, mesh8):
+        # chunk c+1's all_to_all must be independent of chunk c's merge:
+        # the program contains one all_to_all pair per chunk.
+        from outerspace_tpu.shard.tiled import (
+            build_sharded_tiled,
+            shard_plan_tiled,
+        )
+
+        g = rmat(7, edge_factor=8, seed=77)
+        plan = shard_plan_tiled(
+            g.to_csc(), g.to_csr(), kx=8, exchange_chunks=2
+        )
+        fn, args = build_sharded_tiled(plan, mesh8, axes="x")
+        jaxpr = str(jax.make_jaxpr(fn)(*args))
+        assert jaxpr.count("all_to_all") == 4  # (key, val) × 2 chunks
+
     @pytest.mark.slow
     def test_empty_device_slices(self, mesh8):
         a = COO((64, 64), [0, 1], [0, 1], [1.0, 2.0])
