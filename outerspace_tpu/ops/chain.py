@@ -252,18 +252,32 @@ def _mcl_fused_jit(
             inflation=inflation, threshold=threshold,
         )
 
+    starts0 = jnp.searchsorted(
+        kcsc,
+        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
+        side="left",
+    ).astype(jnp.int32)
     state = jax.lax.fori_loop(
-        0, iters, body, (kcsc, vals, jnp.bool_(True))
+        0, iters, body, (kcsc, vals, starts0, jnp.bool_(True))
     )
     return state
 
 
-def _csc_colnorm_sorted(kcol, vp, m: int):
+def _csc_colnorm_sorted(kcol, vp, m: int, starts_ext=None):
     """Per-column survivor totals over a stream whose column keys
     ``kcol`` (biased ``col + KEY_BIAS``) are sorted ascending, broadcast
     back to every slot: one segmented-sum pass (the merge epilogue with
     ``n_cols=1``) + an m-probe searchsorted colsum table + the exact
-    bitcast-diff cumsum broadcast. No L-sized scatter or gather."""
+    bitcast-diff cumsum broadcast. No L-sized scatter or gather.
+
+    ``starts_ext`` (int32[m+1], the column start positions — equal to
+    ``searchsorted(kcol, arange(m+1)+KEY_BIAS, left)``) makes this
+    search-free: the searchsorted probes are the iteration's single
+    biggest fixed cost (~1.7 ms per m-probe search on chip, independent
+    of the product stream), so callers that already hold the positions
+    — the fused MCL loop threads them through its carry, where the
+    colnorm positions of iteration i's output ARE iteration i+1's
+    column pointers — must pass them instead of re-searching."""
     from outerspace_tpu.ops.spgemm import (
         _segment_broadcast_bits,
         merge_epilogue,
@@ -273,11 +287,12 @@ def _csc_colnorm_sorted(kcol, vp, m: int):
     col_of, _, col_tot, tot_valid, _ = merge_epilogue(
         kcol, vp, 1, m, None, pad_count=jnp.int32(0)
     )
-    pos = jnp.searchsorted(
-        kcol, jnp.arange(1, m + 1, dtype=jnp.int32) + KEY_BIAS,
-        side="left",
-    ).astype(jnp.int32) - 1
-    pos = jnp.clip(pos, 0, L - 1)
+    if starts_ext is None:
+        starts_ext = jnp.searchsorted(
+            kcol, jnp.arange(m + 1, dtype=jnp.int32) + KEY_BIAS,
+            side="left",
+        ).astype(jnp.int32)
+    pos = jnp.clip(starts_ext[1:] - 1, 0, L - 1)
     # one packed-row gather instead of three at the same indices (TPU
     # random access is charged per accessed row, not per field)
     packed = jnp.stack(
@@ -297,13 +312,10 @@ def _csc_colnorm_sorted(kcol, vp, m: int):
         1.0,
     )
     colsum = jnp.where(colsum == 0, 1.0, colsum)
-    col_starts = jnp.searchsorted(
-        kcol, jnp.arange(m, dtype=jnp.int32) + KEY_BIAS, side="left"
-    ).astype(jnp.int32)
     return jax.lax.bitcast_convert_type(
         _segment_broadcast_bits(
             jax.lax.bitcast_convert_type(colsum, jnp.int32),
-            col_starts, L,
+            starts_ext[:m], L,
         ),
         jnp.float32,
     )
@@ -337,18 +349,23 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     expansion's per-element scatters and offset cumsums cost O(nnz),
     not O(p_pad); only the product-stream passes are p_pad-sized
     (measured: carrying elements at p_pad made each iteration
-    ~70 ms on 917K buffers — scatter/gather-bound, not sort-bound)."""
-    kcsc, vals, ok = state  # compacted CSC elements, [elem_pad]
+    ~70 ms on 917K buffers — scatter/gather-bound, not sort-bound).
+
+    The state carries ``starts_ext`` (int32[m+1]): the CSC column start
+    positions of the resident stream. One m+1-probe searchsorted costs
+    ~1.7 ms on chip regardless of stream size — the iteration used to
+    pay it three times (entry indptr + two inside the colnorm); now the
+    single search over the NEXT stream (after the compaction sort)
+    serves the colnorm AND becomes the next iteration's indptr via the
+    carry, so each iteration runs exactly one."""
+    kcsc, vals, starts_ext, ok = state  # compacted CSC elems [elem_pad]
     idx = jnp.arange(p_pad, dtype=jnp.int32)
     ku = jax.lax.bitcast_convert_type(kcsc, jnp.uint32) ^ np.uint32(2**31)
     col_f = (ku // np.uint32(m)).astype(jnp.int32)
     row_f = (ku % np.uint32(m)).astype(jnp.int32)
     valid_f = kcsc != _I32_MAX
-    # CSC column pointers via m+1 probes over the sorted keys.
-    indptr = jnp.searchsorted(
-        kcsc,
-        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
-    ).astype(jnp.int32)
+    # CSC column pointers: the carried positions (no search).
+    indptr = starts_ext
     col_deg = indptr[1:] - indptr[:-1]
     # Element f = (k=row_f, c=col_f) pairs with CSC column row_f.
     a_k = jnp.where(valid_f, row_f, 0)
@@ -411,10 +428,19 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     k_next, vp_next = k_next[:elem_pad], vp_next[:elem_pad]
     ku2 = jax.lax.bitcast_convert_type(k_next, jnp.uint32) ^ np.uint32(2**31)
     kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
-    colsum_bc = _csc_colnorm_sorted(kcol, vp_next, m)
+    # THE iteration's one search: column positions of the new stream
+    # (packed-key probes c·m land at the same positions as column
+    # probes c since row < m), shared by the colnorm and — via the
+    # carry — the next iteration's indptr.
+    starts_next = jnp.searchsorted(
+        k_next,
+        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
+        side="left",
+    ).astype(jnp.int32)
+    colsum_bc = _csc_colnorm_sorted(kcol, vp_next, m, starts_next)
     valid_next = k_next != _I32_MAX
     v_next = jnp.where(valid_next, vp_next / colsum_bc, 0.0)
-    return (k_next, v_next, ok)
+    return (k_next, v_next, starts_next, ok)
 
 
 def _stage1_squaring(tplan):
@@ -543,10 +569,18 @@ def mcl_whole_traced(
     vp = jnp.where(valid1, vp, 0.0)
     colu, _ = unpack_key_biased(kp, m)  # key = col·m + row
     kcol = colu.astype(jnp.int32) + KEY_BIAS  # sorted too
-    colsum_bc = _csc_colnorm_sorted(kcol, vp, m)
+    # One search serves the stage-1 colnorm AND seeds the loop carry's
+    # column positions (packed-key probes c·m land at the same stream
+    # positions as column probes c).
+    starts1 = jnp.searchsorted(
+        kp,
+        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
+        side="left",
+    ).astype(jnp.int32)
+    colsum_bc = _csc_colnorm_sorted(kcol, vp, m, starts1)
     vnp_ = jnp.where(valid1, vp / colsum_bc, 0.0)
 
-    state = (kp, vnp_, ok)
+    state = (kp, vnp_, starts1, ok)
     if p_pads is None:
         p_pads = (p_pad,) * iters
     if len(p_pads) != iters:
@@ -572,7 +606,7 @@ def mcl_whole_traced(
         else:
             state = jax.lax.fori_loop(0, j - i, body, state)
         i = j
-    k_out, v_out, ok = state
+    k_out, v_out, _, ok = state
     valid = k_out != _I32_MAX
     nnz = jnp.sum(valid.astype(jnp.int32))
     ok = ok & (nnz <= nnz_pad)
@@ -670,7 +704,7 @@ def markov_cluster_device_fused(
         merged0.rows, merged0.cols, merged0.vals, merged0.valid,
         p_pad=elem_pad, m=m,
     )
-    k_out, v_out, ok = _mcl_fused_jit(
+    k_out, v_out, _, ok = _mcl_fused_jit(
         kcsc0, vals0,
         p_pad=p_pad, elem_pad=elem_pad, m=m, n=n, iters=iters,
         inflation=float(inflation), threshold=float(prune_threshold),
