@@ -33,7 +33,6 @@ from outerspace_tpu.ops.spgemm import (
     MergedCOO,
     merge_biased_keys,
 )
-from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import (
     WIDE_B_WIN,
     padded_group_count,
@@ -158,7 +157,14 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
             max(p.ngroups for _, _, p, _ in staged)
         )
         stream_len = slabbed_stream_len(ngroups_pad)
-        merge_pad = round_up_bucket(max(stream_len, 4096), min_size=4096)
+        # merge_pad = the stream length exactly (it is a multiple of the
+        # slab granule × 8192, so the Pallas epilogue's pow2-divisor
+        # constraint holds). Bucketing it further is pure sort-stream
+        # waste with NO compile dedup: the jit key already contains
+        # ngroups, and merge_pad is deterministic in ngroups — measured
+        # on rmat15, the old coarse bucket padded 8 parts from 6.82M to
+        # 7.34M pairs (+7.7% of the dominant sort) for nothing.
+        merge_pad = max(stream_len, 4096)
         nab8_pad = max(p.a_pack.shape[0] // 8 for _, _, p, _ in staged)
         nbb8_pad = max(p.b_pack.shape[0] // 8 for _, _, p, _ in staged)
         max_run = max(r for _, _, _, r in staged)
@@ -182,9 +188,11 @@ def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
             )
     elif staged:
         lo, hi, plan, max_run = staged[0]
-        # bucket values >= 4096 always keep a pow2 divisor >= 1024,
-        # which is what the Pallas epilogue's chunking needs
-        merge_pad = round_up_bucket(max(plan.p_out, 4096), min_size=4096)
+        # p_out is a whole-slab stream (multiple of granule × 8192), so
+        # it already satisfies the Pallas epilogue's pow2-divisor-≥1024
+        # constraint; see the multi-part branch for why bucketing
+        # further would be pure sort waste.
+        merge_pad = max(plan.p_out, 4096)
         parts.append(
             GatherPart(
                 row_base=lo,
