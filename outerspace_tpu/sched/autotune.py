@@ -226,13 +226,24 @@ def autotune(
         )[0]
     )
     # chunked ranges make every row gather-servable (any m·n via the
-    # row-split pipeline), so the pure-gather strategy has no flat part
-    cost_gather = total * (GATHER_NS + SORT_NS)
+    # row-split pipeline), so the pure-gather strategy has no flat
+    # part; product-space subtile cuts leave ~1-7% stream padding
+    # (measured host fills on the A² suite: 1.007-1.074), charged here
+    # as a 4% midpoint
+    cost_gather = int(total * 1.04) * (GATHER_NS + SORT_NS)
     cost_flat = total * (FLAT_NS + SORT_NS)
     # a hybrid with zero tile work degenerates to the gather pipeline —
     # prefer the real thing (it also row-splits past the 2^32 key space)
     if padded_best == 0 and cost_gather <= cost_tiles:
         return "gather", wl_best
+    # Near-tie band: the model omits real tiled costs it cannot see
+    # cheaply (parts pad-to-max merge inflation, the planner's exact
+    # class assignment, per-part dispatch profiles), and every measured
+    # near-tie resolved in gather's favor on chip — rmat16 modeled
+    # tiles by 1.5% but ran 368 ms tiles vs 288 ms gather. Tiles must
+    # win by a clear modeled margin to be picked.
+    if cost_gather <= cost_tiles * 1.15:
+        cost_tiles = float("inf")
     best = min(
         [("tiles", cost_tiles), ("gather", cost_gather), ("flat", cost_flat)],
         key=lambda t: t[1],
