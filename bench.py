@@ -379,7 +379,11 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
         # ONE jitted ``_part_device`` executable — a monolith inlining
         # the parts compiles N structurally-identical giant sorts and
         # was the dominant cold-bench cost (rmat16's never survived a
-        # captured run). Dispatches are async; the sampler syncs once
+        # captured run). Dispatches are async, so the device pipelines
+        # parts back-to-back (the one-dispatch lax.scan runner was
+        # measured 33% SLOWER — carry-serialized parts + per-iteration
+        # dynamic-slices of the stacked operands; see
+        # gather_pipeline._parts_scan_device). The sampler syncs once
         # on the fetched vector, and separate executions cannot be
         # CSE'd, so no bump threading is needed.
         @jax.jit

@@ -253,12 +253,139 @@ def _part_device(
     )
 
 
+def stack_parts(plan: GatherPipelinePlan) -> dict:
+    """Stack the commonized parts' device arrays along a leading part
+    axis for the scanned runner (:func:`_parts_scan_device`).
+
+    Parts built by the multi-part branch of :func:`plan_spgemm_gather`
+    share every shape and static by construction, so the stack is legal;
+    it runs on device (the per-part arrays are already shipped), costing
+    one HBM copy. The result is cached on the plan (``plan._stacked``)
+    so repeated runs reuse it."""
+    cached = getattr(plan, "_stacked", None)
+    if cached is not None:
+        return cached
+    parts = plan.parts
+    assert len(parts) > 1
+    stacked = {
+        k: jnp.stack([p.dev[k] for p in parts])
+        for k in ("bases", "table", "a_pack", "b_pack")
+    }
+    stacked["p_real"] = jnp.asarray(
+        [p.p_real for p in parts], dtype=jnp.int32
+    )
+    stacked["row_base"] = jnp.asarray(
+        [p.row_base for p in parts], dtype=jnp.int32
+    )
+    object.__setattr__(plan, "_stacked", stacked)
+    return stacked
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ngroups", "b_win", "merge_pad", "n_cols", "sentinel_row",
+        "max_run", "interpret",
+    ),
+)
+def _parts_scan_device(
+    stacked: dict,
+    val_bump,
+    *,
+    ngroups: int,
+    b_win: int,
+    merge_pad: int,
+    n_cols: int,
+    sentinel_row: int,
+    max_run: int,
+    interpret: bool = False,
+):
+    """ALL commonized row parts in ONE executable: a ``lax.scan`` whose
+    body is the per-part expand → pad → sort → epilogue program.
+
+    MEASURED NEGATIVE RESULT — the scan is ~33% SLOWER than the
+    dispatch loop (rmat14 A², 7 parts, same session: 42.7 vs
+    32.0 ms/op on the tunneled v5e). The hypothesis was that per-part
+    dispatch latency eats the fine-partition sort win; in fact
+    dispatches are async — the host loop enqueues all parts and the
+    device pipelines them back-to-back — while the scan (a) serializes
+    parts through the ``nnz_acc`` carry, denying XLA any cross-part
+    overlap, and (b) pays a per-iteration dynamic-slice of every
+    stacked operand (an extra HBM copy of a_pack/b_pack/table per
+    part). The runner is kept as an explicitly-selectable variant
+    (``spgemm_gather_padded(scanned=True)``) because it is the shape a
+    megacore/multi-queue chip would want, and as the concrete record
+    of this measurement; the default path is the dispatch loop.
+
+    ``val_bump``: traced f32 added to each part's value stream;
+    benchmark chains thread an opaque zero through it to defeat CSE
+    (one executable called K times WOULD be CSE'd otherwise)."""
+    from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
+
+    def body(nnz_acc, xs):
+        dev_i = {
+            "bases": xs["bases"],
+            "table": xs["table"],
+            "a_pack": xs["a_pack"],
+            "b_pack": xs["b_pack"],
+        }
+        keys_l, vals_l = expand_gather_slabbed(
+            dev_i, ngroups, b_win=b_win, interpret=interpret
+        )
+        key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
+        vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
+        vals = vals + val_bump
+        extra = merge_pad - key.shape[0]
+        if extra:
+            key = jnp.concatenate(
+                [key, jnp.full(extra, np.int32(2**31 - 1), jnp.int32)]
+            )
+            vals = jnp.concatenate([vals, jnp.zeros(extra, jnp.float32)])
+        r, c, v, valid, pn = merge_biased_keys(
+            key, vals, n_cols, sentinel_row, max_run,
+            pad_count=jnp.int32(merge_pad) - xs["p_real"],
+            interpret=interpret,
+            epilogue="pallas" if interpret else None,
+        )
+        rg = jnp.where(valid, r + xs["row_base"], np.int32(sentinel_row))
+        return nnz_acc + pn, (rg, c, v, valid)
+
+    nnz, (rows, cols, vals, valid) = jax.lax.scan(
+        body, jnp.int32(0), stacked
+    )
+    return (
+        rows.reshape(-1), cols.reshape(-1), vals.reshape(-1),
+        valid.reshape(-1), nnz,
+    )
+
+
 def spgemm_gather_padded(
-    plan: GatherPipelinePlan, interpret: bool = False
+    plan: GatherPipelinePlan, interpret: bool = False,
+    scanned: bool = False,
 ) -> MergedCOO:
-    """Run all row parts and concatenate into one MergedCOO."""
+    """Run all row parts and concatenate into one MergedCOO.
+
+    The default runner is the per-part dispatch loop: dispatches are
+    async, so the device pipelines the commonized parts back-to-back
+    with no host round-trip between them. ``scanned=True`` selects the
+    one-dispatch ``lax.scan`` executable instead — measured ~33%
+    slower (see :func:`_parts_scan_device`), kept selectable."""
     if jax.default_backend() == "cpu":
         interpret = True  # Pallas kernels only run interpreted off-TPU
+    if scanned and len(plan.parts) > 1:
+        p0 = plan.parts[0]
+        rows, cols, vals, valid, nnz = _parts_scan_device(
+            stack_parts(plan),
+            jnp.float32(0.0),
+            ngroups=p0.ngroups,
+            b_win=p0.b_win,
+            merge_pad=p0.merge_pad,
+            n_cols=plan.n,
+            sentinel_row=plan.m,
+            max_run=p0.max_run,
+            interpret=interpret,
+        )
+        return MergedCOO((plan.m, plan.n), rows, cols, vals, valid, nnz)
     rows_l, cols_l, vals_l, valid_l, nnz = [], [], [], [], jnp.int32(0)
     for p in plan.parts:
         dev = dict(p.dev)

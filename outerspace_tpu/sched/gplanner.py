@@ -469,20 +469,29 @@ def _element_subset(ep, keep):
     )
 
 
+PART_CAP = 8  # max perf-driven row parts (key-space needs may exceed it)
+
+
 def row_partition(
     a_csc, b_csr, key_space: int = 2**32,
     max_part_products: int = 5 << 19,
+    part_cap: int | None = None,
 ) -> np.ndarray:
     """Output-row range boundaries such that each part's rows_span × n
     fits the packed-uint32 key space, product-balanced across parts.
     Returns int64[nparts+1] row bounds.
 
     Beyond the key-space requirement, large streams split further so
-    each part's merge sorts ≲ ``max_part_products`` pairs (capped at 8
-    parts): measured on v5e, eight L/8 pair-sorts run 35% faster than
-    one L-sort (1.52 vs 2.35 ns/pair at L = 16.8M) — the same
-    sort-network shortening the tiled pipeline's ``plan_tiled_parts``
-    exploits."""
+    each part's merge sorts ≲ ``max_part_products`` pairs (capped at
+    ``PART_CAP`` parts): the (i32, f32) pair-sort rate is a cliff
+    function of stream length on v5e — measured 0.72-0.90 ns/pair up
+    to ~4.2M pairs, 1.64 at 8.4M, 1.89-2.18 past 16M (the working set
+    falls out of VMEM). The cap matters because each extra part also
+    costs fixed per-part work (expand slab tails, epilogue passes,
+    dispatch glue); measured, going past ~8 parts loses more to that
+    than the shorter sorts gain. Parts are contiguous output-row
+    ranges = disjoint key ranges, so concatenating per-part merges IS
+    the global merge; splitting loses nothing in coverage."""
     m, n = a_csc.shape[0], b_csr.shape[1]
     # per-row product counts: sum over A nonzeros in that row of nnz_B(k)
     nb_per_k = b_csr.major_nnz().astype(np.int64)
@@ -496,9 +505,10 @@ def row_partition(
         minlength=m,
     )
     total = float(per_row.sum())
+    cap = PART_CAP if part_cap is None else part_cap
     perf_parts = 1
     if max_part_products and total > 1.5 * max_part_products:
-        perf_parts = int(min(8, np.ceil(total / max_part_products)))
+        perf_parts = int(min(cap, np.ceil(total / max_part_products)))
     if m * n <= key_space and perf_parts <= 1:
         return np.array([0, m], dtype=np.int64)
     max_span = max(key_space // max(n, 1), 1) if m * n > key_space else m

@@ -202,3 +202,41 @@ class TestGatherPipeline:
         assert_csr_allclose(
             got, spgemm_scipy(a, a.transpose()), rtol=1e-5
         )
+
+    @pytest.mark.slow
+    def test_scanned_runner_matches_dispatch_loop(self, monkeypatch):
+        # The lax.scan runner (one executable for ALL commonized parts)
+        # must produce the identical stream layout — rows/cols/vals/
+        # valid element-wise, not just the merged CSR — as the per-part
+        # dispatch loop, since bench checksums are placement-sensitive.
+        import outerspace_tpu.ops.gather_pipeline as gpipe
+        from outerspace_tpu.ops.gather_pipeline import (
+            plan_spgemm_gather,
+            spgemm_gather_padded,
+        )
+        from outerspace_tpu.sched.gplanner import row_partition as orig
+
+        monkeypatch.setattr(
+            gpipe, "row_partition",
+            lambda a, b, key_space=2**32: orig(a, b, key_space=500_000),
+        )
+        a = erdos_renyi(1200, 1100, 0.004, seed=44)
+        b = a.transpose()
+        plan = plan_spgemm_gather(a.to_csc(), b.to_csr())
+        assert len(plan.parts) > 1
+        scan = spgemm_gather_padded(plan, scanned=True)
+        loop = spgemm_gather_padded(plan, scanned=False)
+        assert int(scan.nnz) == int(loop.nnz)
+        sv, lv = np.asarray(scan.valid), np.asarray(loop.valid)
+        np.testing.assert_array_equal(sv, lv)
+        np.testing.assert_array_equal(
+            np.asarray(scan.rows)[sv], np.asarray(loop.rows)[lv]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(scan.cols)[sv], np.asarray(loop.cols)[lv]
+        )
+        np.testing.assert_allclose(
+            np.asarray(scan.vals)[sv], np.asarray(loop.vals)[lv],
+            rtol=1e-6,
+        )
+        assert_csr_allclose(scan.to_csr(), spgemm_scipy(a, b), rtol=1e-5)
