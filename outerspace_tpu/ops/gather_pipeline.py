@@ -70,14 +70,22 @@ class GatherPipelinePlan:
         return sum(p.merge_pad for p in self.parts)
 
 
-def plan_spgemm_gather(a_csc: CSC, b_csr: CSR) -> GatherPipelinePlan:
+def plan_spgemm_gather(
+    a_csc: CSC, b_csr: CSR, part_cap: int | None = None
+) -> GatherPipelinePlan:
     """Host planning: row partition + per-part gather plans + staging.
 
     Rows wider than the kernel's B-window are *chunked* by the range
     planner (``plan_gather_ranges``), so every element is window-servable
-    and the XLA flat fallback is never used."""
+    and the XLA flat fallback is never used. ``part_cap`` overrides the
+    partitioner's perf-driven part limit (``gplanner.PART_CAP``)."""
     m, n = a_csc.shape[0], b_csr.shape[1]
-    bounds = row_partition(a_csc, b_csr)
+    # part_cap passes through only when set (tests monkeypatch
+    # row_partition with narrower signatures)
+    bounds = (
+        row_partition(a_csc, b_csr) if part_cap is None
+        else row_partition(a_csc, b_csr, part_cap=part_cap)
+    )
     nbv = b_csr.major_nnz().astype(np.int64)
     b_ptr = np.asarray(b_csr.indptr).astype(np.int64)
     b_cols_all = np.asarray(b_csr.indices)

@@ -469,12 +469,12 @@ def _element_subset(ep, keep):
     )
 
 
-PART_CAP = 8  # max perf-driven row parts (key-space needs may exceed it)
+PART_CAP = 64  # max perf-driven row parts (key-space needs may exceed it)
 
 
 def row_partition(
     a_csc, b_csr, key_space: int = 2**32,
-    max_part_products: int = 5 << 19,
+    max_part_products: int = 7 << 19,
     part_cap: int | None = None,
 ) -> np.ndarray:
     """Output-row range boundaries such that each part's rows_span × n
@@ -486,12 +486,17 @@ def row_partition(
     ``PART_CAP`` parts): the (i32, f32) pair-sort rate is a cliff
     function of stream length on v5e — measured 0.72-0.90 ns/pair up
     to ~4.2M pairs, 1.64 at 8.4M, 1.89-2.18 past 16M (the working set
-    falls out of VMEM). The cap matters because each extra part also
-    costs fixed per-part work (expand slab tails, epilogue passes,
-    dispatch glue); measured, going past ~8 parts loses more to that
-    than the shorter sorts gain. Parts are contiguous output-row
-    ranges = disjoint key ranges, so concatenating per-part merges IS
-    the global merge; splitting loses nothing in coverage."""
+    falls out of VMEM). The ~3.7M default target is the measured
+    whole-pipeline optimum across the A² suite (same-session sweeps,
+    dispatch-loop runner, parts pipelined back-to-back): rmat16 292 →
+    184 ms/op at 8 → 32 parts, rmat15 81.5 → 72.5 at 8 → 13, rmat14
+    32.5 → 30.5 at 7 → 5, er100k 23.9 → 19.9 at 5 → 3. Splitting
+    finer than ~3M/part loses more to per-part fixed work (slab
+    tails, epilogue passes, commonization padding) than the shorter
+    sorts gain — rmat16 at 48 parts (2.9M each) regressed to 216 ms.
+    Parts are contiguous output-row ranges = disjoint key ranges, so
+    concatenating per-part merges IS the global merge; splitting
+    loses nothing in coverage."""
     m, n = a_csc.shape[0], b_csr.shape[1]
     # per-row product counts: sum over A nonzeros in that row of nnz_B(k)
     nb_per_k = b_csr.major_nnz().astype(np.int64)
