@@ -413,19 +413,20 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     # normalising the compacted stream is exact — and the segmented
     # colsum pass runs over elem_pad instead of p_pad (measured 4.9 ms
     # at 917K vs ~1 ms at 164K on chip) ----
-    vp = jnp.where(
-        valid2,
-        jnp.power(jnp.maximum(v2, 0.0), np.float32(inflation)),
-        0.0,
-    )
-    survive = valid2 & (vp > threshold)
+    # prune on RAW merged values (v^p > t ⟺ v > t^(1/p), v ≥ 0, p > 0):
+    # the p_pad-sized transcendental is deferred past the compaction
+    # and runs at elem scale on survivors only
+    thr_root = np.float32(float(threshold) ** (1.0 / float(inflation)))
+    v2r = jnp.where(valid2, jnp.maximum(v2, 0.0), 0.0)
+    survive = valid2 & (v2r > thr_root)
     ckey2 = jnp.where(survive, key_s, _I32_MAX)
     nnz_next = jnp.sum(survive.astype(jnp.int32))
     ok = ok & (nnz_next <= elem_pad)
     k_next, vp_next = jax.lax.sort(
-        (ckey2, jnp.where(survive, vp, 0.0)), num_keys=1, is_stable=False
+        (ckey2, jnp.where(survive, v2r, 0.0)), num_keys=1, is_stable=False
     )
     k_next, vp_next = k_next[:elem_pad], vp_next[:elem_pad]
+    vp_next = jnp.power(vp_next, np.float32(inflation))
     ku2 = jax.lax.bitcast_convert_type(k_next, jnp.uint32) ^ np.uint32(2**31)
     kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
     # THE iteration's one search: column positions of the new stream
@@ -506,12 +507,17 @@ def mcl_whole_traced(
     # loses to the one 45 ms sort. What made the old tail slow was not
     # this sort but the column-normalise it ran at L scale; that now
     # costs one elem-scale segmented pass. ----
-    vp0 = jnp.where(
-        sq.valid,
-        jnp.power(jnp.maximum(sq.vals, 0.0), np.float32(inflation)),
-        0.0,
-    )
-    survive = sq.valid & (vp0 > threshold)
+    # Prune on RAW merged values via the monotone-equivalent threshold:
+    # v^p > t  ⟺  v > t^(1/p) for v ≥ 0, p > 0 — so the L-sized
+    # transcendental pass (power over the whole padded product stream)
+    # is deferred past the compaction and runs at ELEM scale on
+    # survivors only (~1% of L here). The f64 host constant is also
+    # strictly closer to the f64 reference semantics than comparing an
+    # f32-rounded power against t.
+    assert inflation > 0.0
+    thr_root = np.float32(float(threshold) ** (1.0 / float(inflation)))
+    v_raw = jnp.where(sq.valid, jnp.maximum(sq.vals, 0.0), 0.0)
+    survive = sq.valid & (v_raw > thr_root)
     kcsc = jnp.where(
         survive, sq.cols * np.int32(m) + sq.rows + KEY_BIAS, _I32_MAX
     )
@@ -538,11 +544,11 @@ def mcl_whole_traced(
             kcsc = jnp.concatenate(
                 [kcsc, jnp.full(pad, _I32_MAX, jnp.int32)]
             )
-            vp0 = jnp.concatenate([vp0, jnp.zeros(pad, jnp.float32)])
+            v_raw = jnp.concatenate([v_raw, jnp.zeros(pad, jnp.float32)])
         parts_k, parts_v = [], []
         for s in range(n_split):
             ks, vs = jax.lax.sort(
-                (kcsc[s * C:(s + 1) * C], vp0[s * C:(s + 1) * C]),
+                (kcsc[s * C:(s + 1) * C], v_raw[s * C:(s + 1) * C]),
                 num_keys=1, is_stable=False,
             )
             parts_k.append(ks[: min(elem_pad, C)])
@@ -555,7 +561,7 @@ def mcl_whole_traced(
         kp, vp = kc_full[:elem_pad], vp_full[:elem_pad]
     else:
         kc_full, vp_full = jax.lax.sort(
-            (kcsc, vp0), num_keys=1, is_stable=False
+            (kcsc, v_raw), num_keys=1, is_stable=False
         )
         if L >= elem_pad:
             kp, vp = kc_full[:elem_pad], vp_full[:elem_pad]
@@ -566,7 +572,12 @@ def mcl_whole_traced(
             )
             vp = jnp.concatenate([vp_full, jnp.zeros(ext, jnp.float32)])
     valid1 = kp != _I32_MAX
-    vp = jnp.where(valid1, vp, 0.0)
+    # deferred inflation: the compacted stream carries RAW merged
+    # values; the transcendental runs here at elem scale (the prune
+    # above used the monotone-equivalent raw threshold)
+    vp = jnp.where(
+        valid1, jnp.power(jnp.maximum(vp, 0.0), np.float32(inflation)), 0.0
+    )
     colu, _ = unpack_key_biased(kp, m)  # key = col·m + row
     kcol = colu.astype(jnp.int32) + KEY_BIAS  # sorted too
     # One search serves the stage-1 colnorm AND seeds the loop carry's
