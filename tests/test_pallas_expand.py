@@ -274,7 +274,10 @@ class TestTiledPartsSharedMerge:
         )
         assert _merge_stream_jit._cache_size() == 1
 
+    @pytest.mark.slow
     def test_bench_dispatch_run_validates(self):
+        # (slow: ~25 s interpreted; the chain-vector layout contract has
+        # its own fast test and the tiles strategy is non-default now)
         import bench
 
         from outerspace_tpu.ops.symbolic import expansion_plan

@@ -169,11 +169,14 @@ class TestShardedTiled:
     @pytest.mark.parametrize(
         "gen",
         [
-            lambda: rmat(7, edge_factor=8, seed=71),
+            # the skewed rmat7 costs ~2.5x the ER case in interpret
+            # mode for the same coverage surface — the ER case is the
+            # CI representative, the rest run under --runslow
             pytest.param(
-                lambda: erdos_renyi(256, 256, 0.02, seed=72),
+                lambda: rmat(7, edge_factor=8, seed=71),
                 marks=pytest.mark.slow,
             ),
+            lambda: erdos_renyi(256, 256, 0.02, seed=72),
             pytest.param(
                 lambda: erdos_renyi(100, 300, 0.05, seed=73),
                 marks=pytest.mark.slow,
@@ -196,7 +199,10 @@ class TestShardedTiled:
         _, got = self._run(g, g, mesh42, kx=4, ny=2)
         assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
 
-    @pytest.mark.parametrize("chunks", [2, 3])
+    @pytest.mark.parametrize(
+        "chunks",
+        [2, pytest.param(3, marks=pytest.mark.slow)],
+    )
     def test_chunked_exchange_matches_scipy(self, mesh8, chunks):
         # exchange_chunks splits every owner's rows into product-balanced
         # sub-ranges exchanged/merged independently (overlappable
