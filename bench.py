@@ -557,16 +557,18 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     # `degrade` factor rescales them when measured costs come in high
     # (remote compiles degrade ~10x on bad tunnel days)
     est_base = {
-        "rmat14_ef8": 110.0,
-        "er_100k_d1e-4": 90.0,
-        "rmat15_ef8": 90.0,
-        # the shared part-merge executable cut the tiled workloads to
-        # ONE slow sort compile each (the old priors priced the
-        # monolithic chain jit, whose estimate alone shed rmat16 on
-        # marginal days); the running degrade factor still scales these
-        # up when the tunnel is slow
-        "rmat16_ef8": 110.0,
-        "mtx_rmat10_a2": 90.0,
+        # ~1.5× the measured healthy-day wall costs of the round-8
+        # captured runs (rmat14 ~32 s incl. the shared kernel compiles
+        # it pays for the suite, er100k ~18, rmat15 ~30, rmat16 ~60,
+        # fixture ~32): the running degrade factor scales these on slow
+        # tunnels, and over-pricing sheds trailing workloads that would
+        # have fit (the old 90-110 s priors priced the pre-shared-merge
+        # compile profile)
+        "rmat14_ef8": 75.0,
+        "er_100k_d1e-4": 40.0,
+        "rmat15_ef8": 55.0,
+        "rmat16_ef8": 90.0,
+        "mtx_rmat10_a2": 60.0,
     }
     # tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
     # degraded) seeds the degrade factor and leaves a diagnostic record

@@ -66,19 +66,28 @@ def cmd_spgemm(args) -> int:
     p_pad = plan.padded_size()
     roof_mult = predict_multiply_time(p_pad, m1.nnz, m2.nnz)
     from outerspace_tpu.ops.spgemm import default_part_count
+    from outerspace_tpu.sched.autotune import autotune
 
-    # the merge sort runs row-partitioned; predict the parts it will use
-    roof_merge = predict_merge_time(p_pad, parts=default_part_count(p_pad))
-    # Resolve the waste limit once up front (default = per-operand
-    # autotune) and thread it through the config, so the two spgemm
-    # calls and the event-model report below all reuse one cost-model
-    # evaluation instead of re-running the waste-grid search each time.
+    # Resolve strategy + waste limit once up front and thread them
+    # through the config, so the spgemm calls, the merge-part
+    # prediction and the event-model report below all reuse one
+    # cost-model evaluation.
+    strat_auto, wl_auto = autotune(a_csc, b_csr)
     if cfg.waste_limit is None:
         import dataclasses as _dc
 
-        from outerspace_tpu.sched.autotune import autotune
+        cfg = _dc.replace(cfg, waste_limit=wl_auto)
+    # the merge sort runs row-partitioned; predict with the parts of
+    # the pipeline the call will actually route to (the gather
+    # partitioner targets ~3.7M pairs/part; the tiled one is pow2)
+    strat = strat_auto if args.strategy in (None, "auto") else args.strategy
+    if strat == "gather":
+        from outerspace_tpu.sched.gplanner import perf_part_count
 
-        cfg = _dc.replace(cfg, waste_limit=autotune(a_csc, b_csr)[1])
+        merge_parts = perf_part_count(plan.expansion_size)
+    else:
+        merge_parts = default_part_count(p_pad)
+    roof_merge = predict_merge_time(p_pad, parts=merge_parts)
     # Warm-up (compile), then measure.
     c = spgemm(a_csc, b_csr, strategy=args.strategy, config=cfg)
     t0 = time.perf_counter()

@@ -472,6 +472,21 @@ def _element_subset(ep, keep):
 PART_CAP = 64  # max perf-driven row parts (key-space needs may exceed it)
 
 
+def perf_part_count(
+    total: float,
+    max_part_products: int = 7 << 19,
+    part_cap: int | None = None,
+) -> int:
+    """Perf-driven part count for a product stream — the same rule
+    :func:`row_partition` applies (key-space needs may add parts on
+    top). Shared with the analytical model so the CLI's merge
+    prediction matches the partition the gather pipeline will run."""
+    cap = PART_CAP if part_cap is None else part_cap
+    if max_part_products and total > 1.5 * max_part_products:
+        return int(min(cap, np.ceil(total / max_part_products)))
+    return 1
+
+
 def row_partition(
     a_csc, b_csr, key_space: int = 2**32,
     max_part_products: int = 7 << 19,
@@ -510,10 +525,7 @@ def row_partition(
         minlength=m,
     )
     total = float(per_row.sum())
-    cap = PART_CAP if part_cap is None else part_cap
-    perf_parts = 1
-    if max_part_products and total > 1.5 * max_part_products:
-        perf_parts = int(min(cap, np.ceil(total / max_part_products)))
+    perf_parts = perf_part_count(total, max_part_products, part_cap)
     if m * n <= key_space and perf_parts <= 1:
         return np.array([0, m], dtype=np.int64)
     max_span = max(key_space // max(n, 1), 1) if m * n > key_space else m
