@@ -405,7 +405,8 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
                     dev["p_real_total"] = jnp.int32(p.p_real)
                     out = _part_device(
                         dev, ngroups=p.ngroups, b_win=p.b_win,
-                        merge_pad=p.merge_pad, n_cols=plan.n,
+                        merge_pad=p.merge_pad, call_bits=p.call_bits,
+                        n_cols=plan.n,
                         sentinel_row=plan.m, max_run=p.max_run,
                     )
                     pn, s = _post(*out, jnp.int32(p.row_base))

@@ -35,6 +35,7 @@ from outerspace_tpu.ops.spgemm import (
 )
 from outerspace_tpu.sched.gplanner import (
     WIDE_B_WIN,
+    call_search_bits,
     padded_group_count,
     plan_gather_ranges,
     row_partition,
@@ -53,6 +54,9 @@ class GatherPart:
     merge_pad: int  # bucketed total merge stream length
     max_run: int
     dev: dict  # device arrays
+    # per-slab-call owner-search depth (gplanner.call_search_bits);
+    # COMMON across commonized parts so they share one executable
+    call_bits: tuple[int, ...] | None = None
 
 
 @dataclasses.dataclass
@@ -176,6 +180,16 @@ def plan_spgemm_gather(
         nab8_pad = max(p.a_pack.shape[0] // 8 for _, _, p, _ in staged)
         nbb8_pad = max(p.b_pack.shape[0] // 8 for _, _, p, _ in staged)
         max_run = max(r for _, _, _, r in staged)
+        # COMMON per-call search depth: the per-position width max over
+        # parts (each part orders its groups width-descending, so
+        # positions align); one tuple keeps the one-executable property
+        gw_max = np.ones(ngroups_pad, dtype=np.int64)
+        for _, _, plan, _ in staged:
+            if plan.group_width is not None:
+                gw_max[: plan.ngroups] = np.maximum(
+                    gw_max[: plan.ngroups], plan.group_width
+                )
+        common_bits = call_search_bits(gw_max, ngroups_pad)
         for lo, hi, plan, _ in staged:
             host = gather_plan_to_host(
                 plan, ngroups_pad=ngroups_pad,
@@ -192,6 +206,7 @@ def plan_spgemm_gather(
                     merge_pad=merge_pad,
                     max_run=max_run,
                     dev={k: jnp.asarray(v) for k, v in host.items()},
+                    call_bits=common_bits,
                 )
             )
     elif staged:
@@ -212,6 +227,7 @@ def plan_spgemm_gather(
                 merge_pad=merge_pad,
                 max_run=max_run,
                 dev=gather_plan_to_device(plan),
+                call_bits=call_search_bits(plan.group_width, plan.ngroups),
             )
         )
     return GatherPipelinePlan(m, n, parts)
@@ -221,7 +237,7 @@ def plan_spgemm_gather(
     jax.jit,
     static_argnames=(
         "ngroups", "b_win", "merge_pad", "n_cols", "sentinel_row",
-        "max_run", "interpret",
+        "max_run", "call_bits", "interpret",
     ),
 )
 def _part_device(
@@ -233,6 +249,7 @@ def _part_device(
     n_cols: int,
     sentinel_row: int,
     max_run: int,
+    call_bits: tuple[int, ...] | None = None,
     interpret: bool = False,
 ):
     # dev may carry "val_bump": a traced f32 scalar added to the value
@@ -241,7 +258,8 @@ def _part_device(
     from outerspace_tpu.ops.pallas.gexpand import expand_gather_slabbed
 
     keys_l, vals_l = expand_gather_slabbed(
-        dev, ngroups, b_win=b_win, interpret=interpret
+        dev, ngroups, b_win=b_win, interpret=interpret,
+        call_bits=call_bits,
     )
     key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
     vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
@@ -293,7 +311,7 @@ def stack_parts(plan: GatherPipelinePlan) -> dict:
     jax.jit,
     static_argnames=(
         "ngroups", "b_win", "merge_pad", "n_cols", "sentinel_row",
-        "max_run", "interpret",
+        "max_run", "call_bits", "interpret",
     ),
 )
 def _parts_scan_device(
@@ -306,6 +324,7 @@ def _parts_scan_device(
     n_cols: int,
     sentinel_row: int,
     max_run: int,
+    call_bits: tuple[int, ...] | None = None,
     interpret: bool = False,
 ):
     """ALL commonized row parts in ONE executable: a ``lax.scan`` whose
@@ -338,7 +357,8 @@ def _parts_scan_device(
             "b_pack": xs["b_pack"],
         }
         keys_l, vals_l = expand_gather_slabbed(
-            dev_i, ngroups, b_win=b_win, interpret=interpret
+            dev_i, ngroups, b_win=b_win, interpret=interpret,
+            call_bits=call_bits,
         )
         key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
         vals = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
@@ -391,6 +411,7 @@ def spgemm_gather_padded(
             n_cols=plan.n,
             sentinel_row=plan.m,
             max_run=p0.max_run,
+            call_bits=p0.call_bits,
             interpret=interpret,
         )
         return MergedCOO((plan.m, plan.n), rows, cols, vals, valid, nnz)
@@ -403,6 +424,7 @@ def spgemm_gather_padded(
             ngroups=p.ngroups,
             b_win=p.b_win,
             merge_pad=p.merge_pad,
+            call_bits=p.call_bits,
             n_cols=plan.n,
             # COMMON sentinel across parts (invalid rows are masked by
             # ``valid`` everywhere; a per-part span here would fork the

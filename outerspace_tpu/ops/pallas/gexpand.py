@@ -63,6 +63,7 @@ def _expand_gather_kernel(
     *refs,  # SUPER_A a-refs (1,8,4,128), SUPER_B b-refs (1,8,2,128),
     # okey/oval outputs, then 6 scratch buffers (see pallas_call below)
     b_win: int,
+    search_bits: int = 8,
 ):
     a_refs = refs[:SUPER_A]
     b_refs = refs[SUPER_A : SUPER_A + SUPER_B]
@@ -109,12 +110,22 @@ def _expand_gather_kernel(
         cum_w = [awin[3][i] for i in range(A_WIN)]
         p = p0 + slot
 
-        # Binary search: largest candidate e in [0, 256) with cum[e] <= p.
-        # cum is strictly increasing (zero-product elements are excluded
-        # by the planner) and cum[0] <= p0 for every slot of the subtile.
-        ow = jnp.zeros((8, _BLK), jnp.int32)
-        for bit in (128, 64, 32, 16, 8, 4, 2, 1):
-            probe = ow + bit
+        # Binary search: largest candidate e with cum[e] <= p. cum is
+        # strictly increasing (zero-product elements are excluded by
+        # the planner). The search is the kernel's dominant SERIAL
+        # dependency chain (measured ~0.16 ms per step per 448-group
+        # part), so when the planner certifies every subtile in this
+        # call spans ≤ 2^search_bits owners, the search anchors at the
+        # subtile's first owner offset (table lane 6, cum[aoff] ≤ p0 ≤
+        # p) and runs search_bits steps instead of the full-window 8;
+        # anchored probes stay in-window (aoff < 128, span ≤ 64 < 128
+        # for the shallow variants, window = A_WIN·128 = 256).
+        if search_bits >= 8:
+            ow = jnp.zeros((8, _BLK), jnp.int32)
+        else:
+            ow = jnp.full((8, _BLK), tab_ref[0, s, 6], jnp.int32)
+        for bit in range(search_bits - 1, -1, -1):
+            probe = ow + (1 << bit)
             v = _win_gather(cum_w, probe)
             ow = jnp.where(v <= p, probe, ow)
 
@@ -154,7 +165,8 @@ def _clamp_spec(side: str, ref_i: int, nblocks8: int, nfields: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ngroups", "b_win", "interpret")
+    jax.jit,
+    static_argnames=("ngroups", "b_win", "search_bits", "interpret"),
 )
 def expand_gather_packed(
     bases: jax.Array,  # int32[ngroups*2]
@@ -164,6 +176,7 @@ def expand_gather_packed(
     *,
     ngroups: int,
     b_win: int = B_WIN,
+    search_bits: int = 8,
     interpret: bool = False,
 ):
     """Returns flat (keys, vals) of length ngroups·GROUP_SUBS·SUB_P."""
@@ -194,7 +207,9 @@ def expand_gather_packed(
         + [pltpu.VMEM((8 * SUPER_B, _BLK), jnp.int32)] * 2,
     )
     keys, vals = pl.pallas_call(
-        functools.partial(_expand_gather_kernel, b_win=b_win),
+        functools.partial(
+            _expand_gather_kernel, b_win=b_win, search_bits=search_bits
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ngroups, rows_out, _BLK), jnp.int32),
@@ -207,16 +222,25 @@ def expand_gather_packed(
 
 
 def expand_gather_slabbed(
-    dev: dict, ngroups: int, b_win: int = B_WIN, interpret: bool = False
+    dev: dict, ngroups: int, b_win: int = B_WIN, interpret: bool = False,
+    call_bits: tuple[int, ...] | None = None,
 ):
     """Run the gather expand as fixed-shape slab calls (whole
     ``GROUP_SLAB`` slabs plus {slab/2, slab/4} coarse tails — see
     ``gplanner.group_slab_layout``) so executables are compiled once
-    and reused across operands; returns lists of (keys, vals) streams."""
+    and reused across operands; returns lists of (keys, vals) streams.
+
+    ``call_bits``: per-call owner-search depth from
+    ``gplanner.call_search_bits`` (None ⇒ the legacy full-window 8);
+    must align with the slab layout for ``ngroups``."""
     from outerspace_tpu.sched.gplanner import group_slab_layout
 
+    layout = group_slab_layout(ngroups)
+    if call_bits is None:
+        call_bits = (8,) * len(layout)
+    assert len(call_bits) == len(layout)
     keys_l, vals_l = [], []
-    for g0, size in group_slab_layout(ngroups):
+    for (g0, size), bits in zip(layout, call_bits):
         k, v = expand_gather_packed(
             jax.lax.slice(dev["bases"], (g0 * 2,), ((g0 + size) * 2,)),
             jax.lax.slice(
@@ -227,6 +251,7 @@ def expand_gather_slabbed(
             dev["b_pack"],
             ngroups=size,
             b_win=b_win,
+            search_bits=bits,
             interpret=interpret,
         )
         keys_l.append(k)

@@ -504,6 +504,8 @@ class TiledPlan:
     # B-window (in 128-blocks) the gather residue planned with; selects
     # the gexpand kernel variant, so it must travel with the plan.
     gather_b_win: int = 0
+    # per-slab-call owner-search depth (gplanner.call_search_bits)
+    gather_call_bits: tuple[int, ...] | None = None
 
     @property
     def padded_total(self) -> int:
@@ -540,6 +542,7 @@ def plan_tiled(
     light_plan = None
     light_pad = 0
     gather_ngroups = gather_p_out = gather_p_real = gather_b_win = 0
+    gather_call_bits = None
     m, n = a_csc.shape[0], b_csr.shape[1]
     if m * n <= 2**32 and (
         cp.light_k.shape[0] > 0 or cp.edge_k.shape[0] > 0
@@ -566,11 +569,16 @@ def plan_tiled(
             n,
         )
         if gplan is not None:
+            from outerspace_tpu.sched.gplanner import call_search_bits
+
             dev["gather"] = gather_plan_to_device(gplan)
             gather_ngroups = gplan.ngroups
             gather_p_out = gplan.p_out
             gather_p_real = gplan.p_real
             gather_b_win = gplan.b_win
+            gather_call_bits = call_search_bits(
+                gplan.group_width, gplan.ngroups
+            )
     elif cp.light_k.shape[0] > 0 and cp.light_p > 0:
         light_plan = expansion_plan_subset(a_csc, b_csr, cp.light_k)
         if light_plan is not None:
@@ -594,6 +602,7 @@ def plan_tiled(
         gather_p_out=gather_p_out,
         gather_p_real=gather_p_real,
         gather_b_win=gather_b_win,
+        gather_call_bits=gather_call_bits,
     )
 
 
@@ -657,6 +666,7 @@ def tiled_expand_packed(
         gk, gv = expand_gather_slabbed(
             tplan.device_args["gather"], tplan.gather_ngroups,
             b_win=tplan.gather_b_win, interpret=interpret,
+            call_bits=tplan.gather_call_bits,
         )
         keys_l.extend(gk)
         vals_l.extend(gv)
@@ -804,6 +814,7 @@ def spgemm_padded_tiled(
             gk, gv = expand_gather_slabbed(
                 tplan.device_args["gather"], tplan.gather_ngroups,
                 b_win=tplan.gather_b_win, interpret=interpret,
+                call_bits=tplan.gather_call_bits,
             )
             for k, v in zip(gk, gv):
                 gr, gc = unpack_key_biased(k, n_cols)

@@ -70,10 +70,15 @@ class GatherPlan:
     # per-group scalar prefetch (ngroups, 2): [a_base8, b_base8]
     bases: np.ndarray
     # per-group VMEM table (ngroups, 8, 128) int32; per subtile s lanes:
-    #   [0]=r_a (blocks, rel. to a_base8*8), [1]=r_b, [2]=p0_local? no —
-    #   [2]=cum0 (cumprod at window base offset), [3]=plen,
-    #   [4]=p0 (absolute product index of subtile start)
+    #   [0]=r_a (A-window block, rel. to a_base8*8), [1]=r_b (B-window
+    #   block), [2]=p0 (absolute product index of subtile start),
+    #   [3]=plen, [5]=n_cols (host-staged broadcast), [6]=anchor
+    #   element's offset within the A-window (the shallow-search base)
     table: np.ndarray
+    # per-group max owner-span width (search candidates needed); padding
+    # groups carry 1. Host-side dispatch data (selects the per-call
+    # search-depth kernel variant), never shipped to device.
+    group_width: np.ndarray | None = None
 
 
 def group_slab_layout(ngroups: int) -> list[tuple[int, int]]:
@@ -117,6 +122,26 @@ def padded_group_count(ngroups: int) -> int:
     from outerspace_tpu.ops.symbolic import round_up_bucket
 
     return round_up_bucket(max(ngroups, 1), min_size=1)
+
+
+def call_search_bits(
+    group_width: np.ndarray | None, ngroups: int
+) -> tuple[int, ...]:
+    """Per-slab-call owner-search depth for :func:`group_slab_layout`'s
+    calls: the smallest kernel variant whose ``2**bits`` anchored
+    candidate range covers every subtile owner-span in the call.
+    Variants are bounded to {4, 6, 8} bits so the executable set stays
+    suite-bounded (8 = the legacy full-window search from offset 0;
+    4/6 search from the anchor offset in table lane 6). ``None`` widths
+    (plans predating the metadata) degrade to all-8."""
+    out = []
+    for g0, size in group_slab_layout(ngroups):
+        if group_width is None:
+            out.append(8)
+            continue
+        w = int(group_width[g0 : g0 + size].max(initial=1))
+        out.append(4 if w <= 16 else (6 if w <= 64 else 8))
+    return tuple(out)
 
 
 def slabbed_stream_len(ngroups: int) -> int:
@@ -213,6 +238,16 @@ def plan_gather(
     b_blk = np.asarray(banchor_l, dtype=np.int64)
     plen = np.concatenate([p0[1:], [p_real]]) - p0
     assert int(plen.max(initial=0)) <= SUB_P
+    # Anchored-search metadata: the anchor element's offset within the
+    # A-window (table lane 6) and each subtile's owner-span width — the
+    # number of candidates the kernel's binary search must cover. The
+    # search is the kernel's dominant SERIAL cost (measured: 8 steps =
+    # 1.3 of the 2.6 ms/part on a rmat14 part; each step ~0.16 ms), so
+    # calls whose subtiles all span few owners run a shallower variant
+    # (see ``call_search_bits`` / gexpand's ``search_bits``).
+    aoff = owners - a_blk * _BLK  # anchor offset in window, ∈ [0, 128)
+    lasts = np.searchsorted(cum, p0 + plen - 1, side="right") - 1
+    widths = lasts - owners + 1  # owner-span per subtile, ≥ 1
 
     # --- group packing: 8 subtiles sharing 24-block super-windows ---
     groups: list[list[int]] = []
@@ -241,6 +276,18 @@ def plan_gather(
         cur.append(t)
     if cur:
         groups.append(cur)
+    # Order groups by descending owner-span width: group order is free
+    # (the output stream feeds a sort), and clustering wide groups at
+    # the front lets the slab layout's per-call max width classify most
+    # calls as shallow-search even when a few subtiles span many owners
+    # (power-law operands cluster light elements).
+    gw = np.fromiter(
+        (max(int(widths[t]) for t in g) for g in groups),
+        dtype=np.int64, count=len(groups),
+    )
+    order_g = np.argsort(-gw, kind="stable")
+    groups = [groups[i] for i in order_g]
+    gw = gw[order_g]
     # Pad the group count to the coarse slab layout (whole GROUP_SLAB
     # slabs + {slab/2, slab/4} tails from a fixed shape set — empty
     # groups emit pure sentinel padding). Round-up-to-whole-slabs wasted
@@ -303,6 +350,9 @@ def plan_gather(
             table[gi, si, 1] = int(b_blk[t]) - b_base8 * 8
             table[gi, si, 2] = int(p0[t])
             table[gi, si, 3] = int(plen[t])
+            table[gi, si, 6] = int(aoff[t])
+    group_width = np.ones(ngroups, dtype=np.int32)
+    group_width[: len(groups)] = gw
 
     plan = GatherPlan(
         m=m,
@@ -315,6 +365,7 @@ def plan_gather(
         b_pack=b_pack,
         bases=bases,
         table=table,
+        group_width=group_width,
     )
     return plan, fallback
 

@@ -240,3 +240,72 @@ class TestGatherPipeline:
             rtol=1e-6,
         )
         assert_csr_allclose(scan.to_csr(), spgemm_scipy(a, b), rtol=1e-5)
+
+def test_anchored_search_matches_full_window():
+    # Shallow-search kernel variants (search_bits < 8, anchored at table
+    # lane 6) must produce the IDENTICAL stream as the legacy
+    # full-window search — same keys, same values, element-wise — and
+    # the planner's width metadata must actually classify some calls
+    # shallow on a skewed operand (groups are width-desc ordered so
+    # narrow calls cluster at the tail).
+    from outerspace_tpu.sched.gplanner import (
+        call_search_bits,
+        group_slab_layout,
+        plan_gather_from_csr,
+    )
+
+    g = rmat(9, edge_factor=16, seed=41)
+    a_csc, b_csr = g.to_csc(), g.to_csr()
+    plan, fb = plan_gather_from_csr(a_csc, b_csr)
+    assert plan.group_width is not None
+    gw = plan.group_width
+    # width-descending group order (padding tail carries 1s)
+    assert (gw[:-1] >= gw[1:]).all()
+    bits = call_search_bits(gw, plan.ngroups)
+    layout = group_slab_layout(plan.ngroups)
+    assert len(bits) == len(layout)
+    # every call's variant covers its max width
+    for (g0, size), b in zip(layout, bits):
+        assert int(gw[g0:g0 + size].max(initial=1)) <= (1 << b)
+    dev = gather_plan_to_device(plan)
+
+    def run(call_bits):
+        ks, vs = [], []
+        for (g0, size), b in zip(layout, call_bits):
+            k, v = expand_gather_packed(
+                dev["bases"][g0 * 2:(g0 + size) * 2],
+                dev["table"][g0:g0 + size],
+                dev["a_pack"], dev["b_pack"],
+                ngroups=size, search_bits=b, interpret=True,
+            )
+            ks.append(np.asarray(k))
+            vs.append(np.asarray(v))
+        return np.concatenate(ks), np.concatenate(vs)
+
+    k_fast, v_fast = run(bits)
+    k_full, v_full = run((8,) * len(layout))
+    np.testing.assert_array_equal(k_fast, k_full)
+    np.testing.assert_array_equal(v_fast, v_full)
+
+
+def test_anchored_search_shallow_calls_exist_and_plan_exact():
+    # An operand whose B rows are wide (few owner elements per
+    # 1024-product subtile) must classify at least one slab call
+    # shallow, and the full pipeline stays exact vs scipy through the
+    # shallow path. (Skew decides this: heavy-B-row regions go narrow,
+    # light-row regions wide — rmat14 measures {4: 2, 6: 1, 8: 1},
+    # er100k all-8.)
+    g = erdos_renyi(400, 400, 0.2, seed=13)
+    a, b = g, g.transpose()
+    from outerspace_tpu.ops.gather_pipeline import (
+        plan_spgemm_gather,
+        spgemm_gather_padded,
+    )
+
+    plan = plan_spgemm_gather(a.to_csc(), b.to_csr())
+    assert any(
+        bit < 8 for p_ in plan.parts for bit in (p_.call_bits or ())
+    ), "expected at least one shallow-search slab call"
+    got = spgemm_gather_padded(plan).to_csr()
+    assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5)
+
