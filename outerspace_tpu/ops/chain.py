@@ -321,7 +321,60 @@ def _csc_colnorm_sorted(kcol, vp, m: int, starts_ext=None):
     )
 
 
-def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
+def compact_masked_stream(key, val, out_len: int, *, cap: int, blk: int = 8192):
+    """Sparse-survivor compaction: the first ``out_len`` slots of the
+    masked ``(key, val)`` stream in ascending key order (sentinel
+    ``_I32_MAX`` = masked; real keys must be unique, as post-epilogue
+    segment heads are).
+
+    MCL compaction inputs are ~1% survivors in a multi-M-slot stream, so
+    instead of one full-depth comparator network over L (or the 8-split
+    variant) this runs a BATCHED in-block sort — ``(L/blk, blk)`` along
+    the last axis, a log²(blk)-stage network instead of log²(L) — then
+    slices each block to its first ``cap`` slots and finishes with ONE
+    full sort of the ~L·cap/blk remainder. Exact iff every blk-block
+    holds ≤ cap survivors — returned as the device ``ok`` flag (callers
+    fold it into their budget guards; caps come from the host sizing
+    sweep, which replicates the device stream layout exactly). Measured
+    at the rmat14 MCL stage-1 scale (18.35M slots, 150K survivors,
+    blk=8192): 10.6-12.5 ms vs the 8-split sort's 21.0 ms.
+
+    The reference's merge PEs never pay this at all (per-row streaming,
+    ``SimOuterSPACE.cpp:554-606``); on TPU compaction is sort-shaped
+    (see the random-access law in :func:`mcl_whole_traced`), so the win
+    is making the dominant sort shallow."""
+    L = key.shape[0]
+    nb = -(-L // blk)
+    pad = nb * blk - L
+    if pad:
+        key = jnp.concatenate([key, jnp.full(pad, _I32_MAX, jnp.int32)])
+        val = jnp.concatenate([val, jnp.zeros(pad, jnp.float32)])
+    kb = key.reshape(nb, blk)
+    vb = val.reshape(nb, blk)
+    ok = (
+        jnp.max(jnp.sum((kb != _I32_MAX).astype(jnp.int32), axis=-1))
+        <= cap
+    )
+    ks, vs = jax.lax.sort((kb, vb), num_keys=1, is_stable=False)
+    kc, vc = jax.lax.sort(
+        (ks[:, :cap].reshape(-1), vs[:, :cap].reshape(-1)),
+        num_keys=1,
+        is_stable=False,
+    )
+    short = nb * cap
+    if short >= out_len:
+        return kc[:out_len], vc[:out_len], ok
+    ext = out_len - short
+    return (
+        jnp.concatenate([kc, jnp.full(ext, _I32_MAX, jnp.int32)]),
+        jnp.concatenate([vc, jnp.zeros(ext, jnp.float32)]),
+        ok,
+    )
+
+
+def _mcl_iteration(
+    state, *, p_pad, elem_pad, m, inflation, threshold, blk_cap=None
+):
     """One MCL iteration (square + inflate) on fixed p_pad buffers.
 
     The flow stays in ONE order — CSC, as a (packed biased key
@@ -422,10 +475,17 @@ def _mcl_iteration(state, *, p_pad, elem_pad, m, inflation, threshold):
     ckey2 = jnp.where(survive, key_s, _I32_MAX)
     nnz_next = jnp.sum(survive.astype(jnp.int32))
     ok = ok & (nnz_next <= elem_pad)
-    k_next, vp_next = jax.lax.sort(
-        (ckey2, jnp.where(survive, v2r, 0.0)), num_keys=1, is_stable=False
-    )
-    k_next, vp_next = k_next[:elem_pad], vp_next[:elem_pad]
+    if blk_cap:
+        k_next, vp_next, ok_cap = compact_masked_stream(
+            ckey2, jnp.where(survive, v2r, 0.0), elem_pad, cap=blk_cap
+        )
+        ok = ok & ok_cap
+    else:
+        k_next, vp_next = jax.lax.sort(
+            (ckey2, jnp.where(survive, v2r, 0.0)),
+            num_keys=1, is_stable=False,
+        )
+        k_next, vp_next = k_next[:elem_pad], vp_next[:elem_pad]
     vp_next = jnp.power(vp_next, np.float32(inflation))
     ku2 = jax.lax.bitcast_convert_type(k_next, jnp.uint32) ^ np.uint32(2**31)
     kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
@@ -465,6 +525,7 @@ def mcl_whole_traced(
     tplan, *, p_pad: int, nnz_pad: int, m: int, n_cols: int, iters: int,
     inflation: float, threshold: float, elem_pad: int | None = None,
     p_pads: tuple[int, ...] | None = None,
+    blk_caps: tuple[int, ...] | None = None,
 ):
     """The ENTIRE staged MCL as one traceable program: tiled first
     squaring (Pallas expand over the host plan) + inflation + compaction
@@ -483,7 +544,16 @@ def mcl_whole_traced(
     Consecutive equal sizes share one ``fori_loop`` body (one compile
     per distinct size); the loop state is elem_pad-sized throughout, so
     phases compose with no re-staging, and each iteration's true P
-    stays ok-guarded."""
+    stays ok-guarded.
+
+    ``blk_caps`` (static): per-squaring max-survivors-per-8192-block
+    bounds from the host sizing sweep — entry 0 for the stage-1
+    compaction, entries 1.. for the loop iterations (0 = no bound ⇒
+    that compaction keeps the plain full sort). A bound routes the
+    compaction through :func:`compact_masked_stream` (measured ~2×
+    faster at stage-1 scale); its per-block guard folds into ``ok``,
+    so a mis-sized cap degrades to the exact fallback, never to a
+    wrong answer."""
     from outerspace_tpu.ops.spgemm import (
         merge_epilogue,
         unpack_key_biased,
@@ -533,8 +603,17 @@ def mcl_whole_traced(
     # only drop sentinel slots, never real survivors (per-split slices
     # are safe under the SAME guard: each split's survivors ≤ nnz1)
     ok = nnz1 <= elem_pad
+    cap1 = blk_caps[0] if blk_caps else 0
     n_split = 8 if L >= 16 * elem_pad else 1
-    if n_split > 1:
+    if cap1 and L >= 16 * elem_pad:
+        # sized in-block compaction (see compact_masked_stream): the
+        # host sweep bounded every 8192-block's survivors, so the
+        # CSC-reorder sort runs a blk-deep network + one short combine
+        kp, vp, ok_cap = compact_masked_stream(
+            kcsc, v_raw, elem_pad, cap=cap1
+        )
+        ok = ok & ok_cap
+    elif n_split > 1:
         # comparator networks scale ~log²n, so 8 short sorts + one
         # elem-scale combine beat the monolith (measured at rmat14's
         # 10M-slot stream: 41.6 vs 52.6 ms)
@@ -598,18 +677,31 @@ def mcl_whole_traced(
         raise ValueError(
             f"p_pads has {len(p_pads)} entries for {iters} iterations"
         )
-    # run-length segments of equal sizes: one fori body compile each
+    # per-iteration compaction caps (entry 0 was stage-1's); absent or
+    # wrong-length schedules disable the bound (plain sorts) — a cap
+    # schedule is an optimization, never a correctness input
+    iter_caps = (
+        blk_caps[1:]
+        if blk_caps and len(blk_caps) == iters + 1
+        else (0,) * iters
+    )
+    # run-length segments of equal (size, cap): one fori body compile
+    # each
     i = 0
     while i < iters:
         j = i
-        while j < iters and p_pads[j] == p_pads[i]:
+        while (
+            j < iters
+            and p_pads[j] == p_pads[i]
+            and iter_caps[j] == iter_caps[i]
+        ):
             j += 1
         seg_p_pad = max(min(p_pads[i], p_pad), elem_pad)
 
-        def body(_, state, _pp=seg_p_pad):
+        def body(_, state, _pp=seg_p_pad, _cap=iter_caps[i]):
             return _mcl_iteration(
                 state, p_pad=_pp, elem_pad=elem_pad, m=m,
-                inflation=inflation, threshold=threshold,
+                inflation=inflation, threshold=threshold, blk_cap=_cap,
             )
 
         if j - i == 1:

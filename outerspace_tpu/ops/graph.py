@@ -349,16 +349,100 @@ def _host_mcl_sizing(flow_scipy, inflation, iters, threshold):
     (n² < 2³²) — the budgets get ×1.5 margins and the device ``ok``
     flag still guards exactness (f32 vs f64 prune boundaries can
     differ near the threshold)."""
+    p_list, nnz_list, _ = _host_mcl_sizing_full(
+        flow_scipy, inflation, iters, threshold
+    )
+    return p_list, nnz_list
+
+
+def _host_mcl_sizing_full(
+    flow_scipy, inflation, iters, threshold,
+    stage1_layout=None, blk: int = 8192,
+):
+    """:func:`_host_mcl_sizing` plus per-squaring compaction block caps.
+
+    The fused device program's compaction inputs are deterministic in
+    the flow matrix: each squaring's merged stream is the product
+    multiset sorted by key, so a survivor's slot is the exclusive-cumsum
+    rank of its key among all products (duplicates included) — the
+    stage-1 stream in ROW-major key order per pipeline part (layout =
+    ``[(row_lo, row_hi, merge_pad), ...]``, sentinel pads at each
+    part's tail), the loop streams in CSC key order with the pad tail at
+    the end. ``caps[i]`` = the max survivors any ``blk``-slot block of
+    squaring ``i``'s stream holds (0 where the layout is unknown) —
+    the exactness bound :func:`chain.compact_masked_stream` needs.
+    Costs one extra pattern-product per squaring (multiplicities);
+    still ~seconds at the n² < 2³² sizes this chain accepts."""
     import scipy.sparse as sp
 
     flow = flow_scipy.tocsr()
     n = flow.shape[0]
-    p_list, nnz_list = [], []
-    for _ in range(iters):
+    p_list, nnz_list, caps = [], [], []
+    for it in range(iters):
         rownnz = np.diff(flow.indptr)
         coo = flow.tocoo()
         p_list.append(int(rownnz[coo.col].sum()))
-        sq = (flow @ flow).tocoo()
+        sqm = (flow @ flow).tocsr()
+        sqm.sort_indices()
+        # product multiplicities on the same pattern: how many k's feed
+        # each output (r, c) — the sorted-stream rank spacing
+        pat = sp.csr_matrix(
+            (np.ones(flow.nnz, np.int64), flow.indices, flow.indptr),
+            shape=flow.shape,
+        )
+        cnt = (pat @ pat).tocsr()
+        cnt.sort_indices()
+        vp_r = np.power(np.maximum(sqm.data, 0.0), inflation)
+        keep_r = vp_r > threshold
+        if it == 0 and stage1_layout is not None:
+            # stage-1: per part, survivors' ranks among the part's
+            # row-major-sorted products; blocks over the GLOBAL
+            # concatenated stream (offset = Σ previous merge_pads)
+            bc = np.zeros(1, np.int64)
+            off = 0
+            ok_layout = True
+            for lo, hi, mp in stage1_layout:
+                e0, e1 = cnt.indptr[lo], cnt.indptr[hi]
+                mult = cnt.data[e0:e1]
+                pos = np.concatenate(
+                    [[0], np.cumsum(mult[:-1])]
+                ) if e1 > e0 else np.zeros(0, np.int64)
+                if e1 > e0 and pos[-1] + mult[-1] > mp:
+                    ok_layout = False  # layout mismatch: disable
+                    break
+                k = keep_r[e0:e1]
+                gpos = off + pos[k]
+                if gpos.size:
+                    b = np.bincount(gpos // blk)
+                    if b.size > bc.size:
+                        b[: bc.size] += bc
+                        bc = b
+                    else:
+                        bc[: b.size] += b
+                off += mp
+            caps.append(int(bc.max()) if ok_layout else 0)
+        elif it == 0:
+            caps.append(0)
+        else:
+            # loop squaring: stream sorted by CSC key (col·m + row)
+            sqc = sqm.tocsc()
+            sqc.sort_indices()
+            cc = cnt.tocsc()
+            cc.sort_indices()
+            mult = cc.data
+            pos = (
+                np.concatenate([[0], np.cumsum(mult[:-1])])
+                if mult.size
+                else np.zeros(0, np.int64)
+            )
+            keep_c = np.power(
+                np.maximum(sqc.data, 0.0), inflation
+            ) > threshold
+            gpos = pos[keep_c]
+            caps.append(
+                int(np.bincount(gpos // blk).max()) if gpos.size else 0
+            )
+        sq = sqm.tocoo()
         vp = np.power(np.maximum(sq.data, 0.0), inflation)
         keep = vp > threshold
         r, c, v = sq.row[keep], sq.col[keep], vp[keep]
@@ -369,7 +453,115 @@ def _host_mcl_sizing(flow_scipy, inflation, iters, threshold):
         flow = sp.coo_matrix(
             (v / cs[c], (r, c)), shape=(n, n)
         ).tocsr()
-    return p_list, nnz_list
+    return p_list, nnz_list, caps
+
+
+def _stage1_stream_layout(tplan):
+    """``[(row_lo, row_hi, merge_pad), ...]`` of the stage-1 merged
+    stream's per-part layout (concatenation order), or None when the
+    plan shape has no commonized per-part stream (uncommonized tiled
+    fallbacks) — the host cap computation then skips stage-1."""
+    from outerspace_tpu.ops.gather_pipeline import GatherPipelinePlan
+    from outerspace_tpu.ops.spgemm import TiledPartsPlan
+
+    if isinstance(tplan, GatherPipelinePlan):
+        return [
+            (p.row_base, p.row_base + p.span, p.merge_pad)
+            for p in tplan.parts
+        ]
+    if isinstance(tplan, TiledPartsPlan) and tplan.merge_pad:
+        if not (tplan.rebased or tplan.m * tplan.n <= 2**32):
+            return None  # two-key merge path: different stream shape
+        return [
+            (lo, hi, tplan.merge_pad) for lo, hi, _ in tplan.parts
+        ]
+    return None
+
+
+def _blk_caps_with_margin(caps):
+    """×1.5 + 64 margin (128-aligned, capped at the block size) over the
+    host-exact per-block survivor maxima — room for f32-vs-f64 prune
+    boundary drift; the device ok flag still guards exactly. 0 stays 0
+    (= that squaring keeps the plain sort)."""
+    out = []
+    for c in caps:
+        if not c:
+            out.append(0)
+        else:
+            out.append(min(8192, -(-(int(1.5 * c) + 64) // 128) * 128))
+    return tuple(out)
+
+
+def mcl_size(prep) -> None:
+    """Host sizing sweep for a staged MCL (scipy, sub-second): exact
+    per-squaring product counts P_i, survivor nnz for EVERY iteration,
+    and per-squaring compaction block caps, so the static loop buffers
+    fit the measured trajectory (×1.5 margins; the device ok flag
+    guards f32-vs-f64 prune boundary drift) instead of one eager device
+    squaring + a 4× heuristic. Source of the TWO-PHASE split: P
+    collapses as the flow converges (rmat14: 562K → 326K → 43K over the
+    loop squarings), so only the first loop squaring runs at the full
+    p_pad and the rest share the smaller fori_loop bodies.
+
+    Fills ``prep`` in place and persists the budgets under
+    ``prep["sizing_key"]``. Called by :func:`mcl_run` on a cold cache;
+    callable directly to (re)generate a cache entry without touching
+    the device (e.g. refreshing the committed bench entry after a
+    schedule-format change)."""
+    from outerspace_tpu.ops.symbolic import round_up_bucket
+    from outerspace_tpu.sched import sizing_cache
+
+    tplan = prep["tplan"]
+    inflation, iters, threshold = (
+        prep["inflation"], prep["iters"], prep["threshold"],
+    )
+    p_list, nnz_list, raw_caps = _host_mcl_sizing_full(
+        prep["flow"].to_scipy().tocsr(), inflation, iters, threshold,
+        stage1_layout=_stage1_stream_layout(tplan),
+    )
+    blk_caps = _blk_caps_with_margin(raw_caps)
+    elem_pad = round_up_bucket(
+        max(int(1.5 * max(nnz_list)) + 1024, 4096), min_size=4096
+    )
+    nnz_pad = round_up_bucket(
+        max(int(1.5 * nnz_list[-1]) + 256, 1024), min_size=1024
+    )
+    # per-iteration product buffers for the loop squarings (2..iters)
+    p_pads = tuple(
+        round_up_bucket(
+            max(int(1.5 * p) + 4096, elem_pad, 4096), min_size=4096
+        )
+        for p in p_list[1:]
+    )
+    # compile guard: each DISTINCT size compiles its own loop body,
+    # so long chains (iters=10 default) quantize to at most 3 sizes
+    # — every entry rounds UP to the nearest kept size (never down:
+    # budgets may only grow, the ok guard stays sound)
+    distinct = sorted(set(p_pads), reverse=True)
+    if len(distinct) > 3:
+        kept = {distinct[0], distinct[len(distinct) // 2],
+                distinct[-1]}
+        p_pads = tuple(
+            min(s for s in kept if s >= p) for p in p_pads
+        )
+    # p_pad caps every schedule entry (and is the single size the
+    # fallback reuses), so it is the schedule's worst case; the
+    # schedule itself may legally bump mid-run (transient growth —
+    # each iteration ok-guards its own size)
+    p_pad = max(p_pads) if p_pads else elem_pad
+    prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
+    prep["elem_pad"] = elem_pad
+    prep["p_pads"] = p_pads if p_pads else None
+    prep["blk_caps"] = blk_caps if any(blk_caps) else None
+    prep.pop("flow", None)  # sweep done; drop the reference
+    if "sizing_key" in prep:
+        sizing_cache.store(
+            prep["sizing_key"],
+            {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
+             "elem_pad": prep["elem_pad"],
+             "p_pads": list(p_pads) if p_pads else None,
+             "blk_caps": list(blk_caps) if any(blk_caps) else None},
+        )
 
 
 def mcl_run(prep):
@@ -420,74 +612,30 @@ def mcl_run(prep):
             if pps and len(pps) != iters - 1:
                 pps = None
             prep["p_pads"] = tuple(pps) if pps else None
+            bcs = cached.get("blk_caps")
+            # wrong-length cap schedules likewise only cost speed
+            # (mcl_whole_traced itself re-checks the loop entries)
+            if bcs and len(bcs) != iters:
+                bcs = None
+            prep["blk_caps"] = tuple(bcs) if bcs else None
             prep["sizing_cached"] = True
             prep.pop("flow", None)  # no sweep needed
     if "p_pad" not in prep:
-        # host sizing sweep (scipy, sub-second): exact per-squaring
-        # product counts P_i and survivor nnz for EVERY iteration, so
-        # the static loop buffers fit the measured trajectory (×1.5
-        # margin, device ok flag guards f32-vs-f64 prune boundary
-        # drift) instead of one eager device squaring + a 4× heuristic
-        # — and the source of the TWO-PHASE split: P collapses as the
-        # flow converges (rmat14: 562K → 326K → 43K over the loop
-        # squarings), so only the first loop squaring runs at the full
-        # p_pad and the rest share the smaller p_pad2 fori_loop.
-        p_list, nnz_list = _host_mcl_sizing(
-            prep["flow"].to_scipy().tocsr(), inflation, iters, threshold
-        )
-        elem_pad = round_up_bucket(
-            max(int(1.5 * max(nnz_list)) + 1024, 4096), min_size=4096
-        )
-        nnz_pad = round_up_bucket(
-            max(int(1.5 * nnz_list[-1]) + 256, 1024), min_size=1024
-        )
-        # per-iteration product buffers for the loop squarings (2..iters)
-        p_pads = tuple(
-            round_up_bucket(
-                max(int(1.5 * p) + 4096, elem_pad, 4096), min_size=4096
-            )
-            for p in p_list[1:]
-        )
-        # compile guard: each DISTINCT size compiles its own loop body,
-        # so long chains (iters=10 default) quantize to at most 3 sizes
-        # — every entry rounds UP to the nearest kept size (never down:
-        # budgets may only grow, the ok guard stays sound)
-        distinct = sorted(set(p_pads), reverse=True)
-        if len(distinct) > 3:
-            kept = {distinct[0], distinct[len(distinct) // 2],
-                    distinct[-1]}
-            p_pads = tuple(
-                min(s for s in kept if s >= p) for p in p_pads
-            )
-        # p_pad caps every schedule entry (and is the single size the
-        # fallback reuses), so it is the schedule's worst case; the
-        # schedule itself may legally bump mid-run (transient growth —
-        # each iteration ok-guards its own size)
-        p_pad = max(p_pads) if p_pads else elem_pad
-        prep["p_pad"], prep["nnz_pad"] = p_pad, nnz_pad
-        prep["elem_pad"] = elem_pad
-        prep["p_pads"] = p_pads if p_pads else None
-        prep.pop("flow", None)  # sweep done; drop the reference
-        if "sizing_key" in prep:
-            sizing_cache.store(
-                prep["sizing_key"],
-                {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"],
-                 "p_pads": list(p_pads) if p_pads else None},
-            )
+        mcl_size(prep)
 
     if "program" not in prep:
         p_pad, nnz_pad = prep["p_pad"], prep["nnz_pad"]
 
         elem_pad = prep.get("elem_pad")
         p_pads = prep.get("p_pads")
+        blk_caps = prep.get("blk_caps")
 
         @jax.jit
         def program():
             return mcl_whole_traced(
                 tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
                 iters=iters - 1, inflation=inflation, threshold=threshold,
-                elem_pad=elem_pad, p_pads=p_pads,
+                elem_pad=elem_pad, p_pads=p_pads, blk_caps=blk_caps,
             )
 
         prep["program"] = program
@@ -515,16 +663,19 @@ def mcl_run(prep):
             prep.get("elem_pad", prep["nnz_pad"]) * 2, min_size=4096
         )
         # an ok violation means the sized trajectory was wrong — retake
-        # the fast path single-size (no per-iteration schedule) at the
-        # doubled budgets rather than trusting the per-phase sizes again
+        # the fast path single-size (no per-iteration schedule, no
+        # compaction caps) at the doubled budgets rather than trusting
+        # the per-phase sizes again
         prep["p_pads"] = None
+        prep["blk_caps"] = None
         prep.pop("program", None)
         prep.pop("sizing_cached", None)
         if "sizing_key" in prep:
             sizing_cache.store(
                 prep["sizing_key"],
                 {"p_pad": prep["p_pad"], "nnz_pad": prep["nnz_pad"],
-                 "elem_pad": prep["elem_pad"], "p_pads": None},
+                 "elem_pad": prep["elem_pad"], "p_pads": None,
+                 "blk_caps": None},
             )
         return out
     valid = jnp.arange(r.shape[0], dtype=jnp.int32) < nnz

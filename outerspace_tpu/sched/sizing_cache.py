@@ -67,7 +67,7 @@ def _load() -> dict:
 # per-iteration schedule); a None in any OTHER key is corruption and
 # must be dropped so the sizing pass re-runs — the module contract is
 # that a corrupt cache only ever costs speed, never a crash
-_NONE_OK = frozenset({"p_pads"})
+_NONE_OK = frozenset({"p_pads", "blk_caps"})
 
 
 def _coerce(k, v):

@@ -358,3 +358,171 @@ class TestChain:
         np.testing.assert_array_equal(outs[0][0], outs[1][0])
         np.testing.assert_array_equal(outs[0][1], outs[1][1])
         np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
+
+
+class TestBlockCompaction:
+    def test_compact_masked_stream_matches_sort(self):
+        # the in-block compaction must equal the plain masked sort
+        # element-wise whenever every block's survivors fit the cap,
+        # and report ok=False (output disregarded) when one doesn't
+        from outerspace_tpu.ops.chain import compact_masked_stream
+        from outerspace_tpu.ops.spgemm import _I32_MAX
+
+        rng = np.random.default_rng(5)
+        L, out_len = 65536 + 4096, 8192  # exercises the L % blk pad
+        pos = np.sort(rng.choice(L, size=3000, replace=False))
+        keys = np.full(L, _I32_MAX, np.int32)
+        uniq = np.unique(
+            rng.integers(-(2**31), 2**31 - 2, size=8000)
+        )[: pos.size]
+        keys[pos] = rng.permutation(uniq).astype(np.int32)
+        vals = np.zeros(L, np.float32)
+        vals[pos] = rng.random(pos.size, dtype=np.float32)
+        per_blk = np.bincount(pos // 8192)
+        cap = int(per_blk.max())
+        kd, vd = jnp.asarray(keys), jnp.asarray(vals)
+        ks, vs = jnp.sort(kd), None
+        import jax
+
+        ks_ref, vs_ref = jax.lax.sort(
+            (kd, vd), num_keys=1, is_stable=False
+        )
+        k, v, ok = compact_masked_stream(kd, vd, out_len, cap=cap)
+        assert bool(np.asarray(ok))
+        np.testing.assert_array_equal(
+            np.asarray(k), np.asarray(ks_ref)[:out_len]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(vs_ref)[:out_len]
+        )
+        # out_len beyond the combined short stream: sentinel-padded
+        big = 65536
+        k2, v2, ok2 = compact_masked_stream(kd, vd, big, cap=cap)
+        assert bool(np.asarray(ok2))
+        np.testing.assert_array_equal(
+            np.asarray(k2), np.asarray(ks_ref)[:big]
+        )
+        # a violated cap must be reported
+        *_, ok_bad = compact_masked_stream(kd, vd, out_len, cap=cap - 1)
+        assert not bool(np.asarray(ok_bad))
+
+    def test_host_block_caps_match_device_stage1(self):
+        # the host sizing sweep's stage-1 per-block survivor counts are
+        # computed by REPLICATING the device stream layout (per-part
+        # sorted product ranks); the device's actual masked stream must
+        # agree exactly
+        import jax
+        import jax.numpy as jnp2
+        from outerspace_tpu.ops.chain import _stage1_squaring
+        from outerspace_tpu.ops.graph import (
+            _host_mcl_sizing_full,
+            _stage1_stream_layout,
+            mcl_prepare,
+        )
+
+        g = rmat(8, edge_factor=8, seed=21)
+        from outerspace_tpu.ops.graph import _col_normalize
+        from outerspace_tpu.formats.coo import COO as _COO
+
+        n = g.shape[0]
+        m = _COO(
+            g.shape,
+            np.concatenate([g.row, np.arange(n, dtype=g.row.dtype)]),
+            np.concatenate([g.col, np.arange(n, dtype=g.col.dtype)]),
+            np.concatenate([np.abs(g.val), np.ones(n, np.float32)]),
+        ).deduplicated()
+        flow = _col_normalize(m.to_csr())
+        prep = mcl_prepare(flow, iters=2)
+        layout = _stage1_stream_layout(prep["tplan"])
+        assert layout is not None
+        blk = 1024  # small blocks magnify any layout error
+        _, _, caps = _host_mcl_sizing_full(
+            flow.to_scipy().tocsr(), 2.0, 2, 1e-4,
+            stage1_layout=layout, blk=blk,
+        )
+        sq = _stage1_squaring(prep["tplan"])
+        thr_root = np.float32((1e-4) ** 0.5)
+        v_raw = np.where(
+            np.asarray(sq.valid),
+            np.maximum(np.asarray(sq.vals), 0.0), 0.0,
+        )
+        survive = np.asarray(sq.valid) & (v_raw > thr_root)
+        L = survive.shape[0]
+        assert L == sum(mp for _, _, mp in layout)
+        nb = -(-L // blk)
+        padded = np.zeros(nb * blk, bool)
+        padded[:L] = survive
+        dev_max = int(padded.reshape(nb, blk).sum(axis=1).max())
+        assert caps[0] == dev_max
+        # loop-squaring caps exist too (entry 1)
+        assert caps[1] >= 1
+
+    @pytest.mark.slow
+    def test_mcl_blk_caps_end_to_end(self):
+        # the sized cap schedule engages (prep carries it), the fast
+        # path stays ok, and the flow matches scipy exactly on structure
+        from outerspace_tpu.ops.graph import (
+            markov_cluster, mcl_prepare, mcl_run,
+        )
+
+        # seed distinct from every other mcl_run fixture: the tmp
+        # sizing cache persists across test runs, and an entry written
+        # by a pre-blk_caps run would legitimately disable the caps
+        g = rmat(8, edge_factor=8, seed=22)
+        ref = markov_cluster(g, iters=4, backend="scipy")
+        prep = mcl_prepare(self_flow(g), iters=4)
+        out = mcl_run(prep)
+        assert prep.get("blk_caps"), "cap schedule must be sized"
+        assert any(prep["blk_caps"]), "at least one squaring capped"
+        out2 = mcl_run(prep)  # one-jit cached program, caps engaged
+        f = out2.to_csr()
+        assert f.nnz == ref.nnz
+        np.testing.assert_allclose(
+            f.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
+        )
+
+    def test_mcl_cap_violation_forces_fallback(self):
+        # an absurd 128-cap schedule must trip ok=False, never corrupt
+        from outerspace_tpu.ops.chain import mcl_whole_traced
+        from outerspace_tpu.ops.graph import (
+            _host_mcl_sizing, mcl_prepare,
+        )
+        from outerspace_tpu.ops.symbolic import round_up_bucket
+
+        g = rmat(8, edge_factor=8, seed=12)
+        flow = self_flow(g)
+        prep = mcl_prepare(flow, iters=2)
+        p_list, nnz_list = _host_mcl_sizing(
+            flow.to_scipy().tocsr(), 2.0, 2, 1e-4
+        )
+        elem_pad = round_up_bucket(
+            int(1.5 * max(nnz_list)) + 1024, min_size=4096
+        )
+        p_pads = (
+            round_up_bucket(
+                max(int(1.5 * p_list[1]) + 4096, elem_pad),
+                min_size=4096,
+            ),
+        )
+        *_, ok_bad = mcl_whole_traced(
+            prep["tplan"], p_pad=p_pads[0],
+            nnz_pad=round_up_bucket(max(nnz_list), min_size=1024),
+            m=g.shape[0], n_cols=g.shape[0], iters=1,
+            inflation=2.0, threshold=1e-4, elem_pad=elem_pad,
+            p_pads=p_pads, blk_caps=(128, 128),
+        )
+        assert not bool(np.asarray(ok_bad))
+
+
+def self_flow(g):
+    from outerspace_tpu.formats.coo import COO as _COO
+    from outerspace_tpu.ops.graph import _col_normalize
+
+    n = g.shape[0]
+    m = _COO(
+        g.shape,
+        np.concatenate([g.row, np.arange(n, dtype=g.row.dtype)]),
+        np.concatenate([g.col, np.arange(n, dtype=g.col.dtype)]),
+        np.concatenate([np.abs(g.val), np.ones(n, np.float32)]),
+    ).deduplicated()
+    return _col_normalize(m.to_csr())
