@@ -222,7 +222,9 @@ def cmd_nn(args) -> int:
         from outerspace_tpu.nn.export import export_lenet, export_mlp1
 
         x = data["test"][0][: args.batch_size]
-        exporter = export_mlp1 if args.model_type == "MLP1" else export_lenet
+        exporter = (
+            export_lenet if args.model_type == "LeNet" else export_mlp1
+        )
         files = exporter(params, x, args.save_dir)
         for k, v in files.items():
             print(f"  {k}: {v}")
@@ -281,7 +283,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("nn", help="NN pipeline (train/prune/finetune/eval/pf)")
     p.add_argument("--mode", required=True,
                    choices=["train", "prune", "finetune", "eval", "pf", "export"])
-    p.add_argument("--model_type", default="MLP1", choices=["MLP1", "LeNet"])
+    p.add_argument("--model_type", default="MLP1",
+                   choices=["MLP1", "MLP1w", "LeNet"])
     p.add_argument("--num_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--sparsity_level", type=float, default=0.1)

@@ -74,7 +74,16 @@ def export_mlp1(
     """
     os.makedirs(save_dir, exist_ok=True)
     params = zero_small_weights(params, weight_zero_tol)
-    model = make_model("MLP1")
+    # Infer hidden widths from the params so the wide MLP1w variant
+    # (the reference's earlier 784-1000-1000-10 architecture) exports
+    # through the same path.
+    from outerspace_tpu.nn.models import MLP1
+
+    dense = sorted(k for k in params.keys() if k.startswith("Dense"))
+    hidden = tuple(
+        int(params[k]["kernel"].shape[1]) for k in dense[:-1]
+    )
+    model = MLP1(hidden=hidden)
     x = jnp.asarray(x_batch).reshape(x_batch.shape[0], -1)
     logits, (a1, a2) = model.apply({"params": params}, x)
     files = {}

@@ -76,6 +76,12 @@ class LeNet(nn.Module):
 def make_model(model_type: str):
     if model_type == "MLP1":
         return MLP1()
+    if model_type == "MLP1w":
+        # The reference's earlier 784-1000-1000-10 variant — the
+        # architecture behind its shipped extreme-sparsity artifact
+        # (saved_weights/MLP1/prune0p01_l2reg/log.txt: every fc kernel
+        # pruned to 1.00% nnz, 0.9741 test; the log's fc2 is 1000x1000).
+        return MLP1(hidden=(1000, 1000))
     if model_type == "LeNet":
         return LeNet()
     raise ValueError(f"unknown model type {model_type!r}")

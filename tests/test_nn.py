@@ -63,6 +63,53 @@ class TestModels:
         assert shapes[5] == (2, 120)
         assert shapes[6] == (2, 84)
 
+    def test_mlp1w_shapes_and_export(self, tmp_path):
+        # MLP1w = the reference's earlier 784-1000-1000-10 variant — the
+        # architecture behind its prune0p01 extreme-sparsity artifact
+        # (saved_weights/MLP1/prune0p01_l2reg/log.txt: fc2 is 1000x1000)
+        from outerspace_tpu.nn.export import export_mlp1
+        from outerspace_tpu.nn.models import make_model
+
+        model = make_model("MLP1w")
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 784)))[
+            "params"
+        ]
+        logits, acts = model.apply({"params": params}, jnp.ones((4, 784)))
+        assert logits.shape == (4, 10)
+        assert acts[0].shape == (4, 1000) and acts[1].shape == (4, 1000)
+        # export infers hidden widths from the params (no hardcoded MLP1)
+        files = export_mlp1(params, np.ones((4, 784), np.float32),
+                            str(tmp_path))
+        w1 = read_mtx(files["fc2_weight"])
+        assert w1.shape == (1000, 1000)
+
+    def test_mlp1w_committed_prune0p01_artifact(self):
+        # The committed extreme-sparsity artifact mirrors the reference's
+        # prune0p01_l2reg log: every fc kernel at exactly 1.00% nnz.
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "saved_weights", "MLP1w", "prune0p01_finetuned.pkl",
+        )
+        if not os.path.exists(path):
+            pytest.skip("artifact not committed in this checkout")
+        params = load_params(path)
+        rep = sparsity_report(params)
+        assert rep["Dense_0/kernel"][:2] == (7840, 784000)
+        assert rep["Dense_1/kernel"][:2] == (10000, 1000000)
+        assert rep["Dense_2/kernel"][:2] == (100, 10000)
+        if find_mnist_dir() is None:
+            return  # shape/sparsity checked; accuracy needs real MNIST
+        from outerspace_tpu.nn.models import make_model
+
+        data = load_mnist()
+        _, acc = evaluate(
+            params, make_model("MLP1w").apply, *data["test"], 256
+        )
+        # committed log: 0.9770 (reference artifact: 0.9741)
+        assert acc >= 0.97
+
     def test_activation_sparsity(self, mlp_params):
         model = MLP1()
         _, acts = model.apply({"params": mlp_params}, jnp.ones((8, 784)))
