@@ -252,11 +252,7 @@ def _mcl_fused_jit(
             inflation=inflation, threshold=threshold,
         )
 
-    starts0 = jnp.searchsorted(
-        kcsc,
-        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
-        side="left",
-    ).astype(jnp.int32)
+    starts0 = _column_starts(kcsc, m)
     state = jax.lax.fori_loop(
         0, iters, body, (kcsc, vals, starts0, jnp.bool_(True))
     )
@@ -288,9 +284,10 @@ def _csc_colnorm_sorted(kcol, vp, m: int, starts_ext=None):
         kcol, vp, 1, m, None, pad_count=jnp.int32(0)
     )
     if starts_ext is None:
-        starts_ext = jnp.searchsorted(
-            kcol, jnp.arange(m + 1, dtype=jnp.int32) + KEY_BIAS,
-            side="left",
+        # column probes are ≤ m ≪ 2³¹ so the rank-trick packing always
+        # holds here (measured ~5× cheaper than the probe chain)
+        starts_ext = ranks_in_sorted(
+            kcol, jnp.arange(m + 1, dtype=jnp.int32) + KEY_BIAS
         ).astype(jnp.int32)
     pos = jnp.clip(starts_ext[1:] - 1, 0, L - 1)
     # one packed-row gather instead of three at the same indices (TPU
@@ -372,8 +369,166 @@ def compact_masked_stream(key, val, out_len: int, *, cap: int, blk: int = 8192):
     )
 
 
+def ranks_in_sorted(sorted_keys: jax.Array, probes: jax.Array) -> jax.Array:
+    """``searchsorted(sorted_keys, probes, side="left")`` as two short
+    sorts instead of a binary-search probe chain.
+
+    TPU binary searches pay the full random-access price per PROBE STEP
+    (measured: an m+1-probe searchsorted into a 196K sorted stream costs
+    2-8 ms on chip; this trick runs the same ranks in 0.40 ms): probes
+    and data merge into one stream keyed ``2u`` (probes) / ``2u+1``
+    (data) in unsigned key space, one 1-stream sort interleaves them,
+    and a second masked 2-stream sort compacts the probes' positions to
+    the front — ``rank(probe_i) = position_i - i``.
+
+    Requirements (callers guard statically): ``probes`` strictly
+    ascending with unbiased values < 2³¹ - 2 (the ·2 packing must not
+    wrap); ``sorted_keys`` ascending. Data keys with unbiased value
+    ≥ 2³¹ - 1 (incl. the ``_I32_MAX`` sentinel) rank after every legal
+    probe, so they are pinned at the unsigned max — exact."""
+    npb = probes.shape[0]
+    ku = jax.lax.bitcast_convert_type(sorted_keys, jnp.uint32) ^ np.uint32(
+        2**31
+    )
+    pu = jax.lax.bitcast_convert_type(probes, jnp.uint32) ^ np.uint32(2**31)
+    dk = jnp.where(
+        ku < np.uint32(2**31 - 1),
+        ku * np.uint32(2) + np.uint32(1),
+        np.uint32(2**32 - 1),
+    )
+    comb = jnp.concatenate([pu * np.uint32(2), dk])
+    cs = jax.lax.sort(comb)
+    pos = jnp.arange(comb.shape[0], dtype=jnp.int32)
+    mk = jnp.where(
+        (cs & np.uint32(1)) == 0, cs, np.uint32(2**32 - 1)
+    )
+    _, pos2 = jax.lax.sort((mk, pos), num_keys=1, is_stable=False)
+    return pos2[:npb] - jnp.arange(npb, dtype=jnp.int32)
+
+
+def _ranks_ok_for_columns(m: int) -> bool:
+    """Static guard for :func:`ranks_in_sorted` with the chain's column
+    probes ``c·m + KEY_BIAS`` (c = 0..m): the max unbiased probe m² must
+    survive the ·2 packing."""
+    return m * m < 2**31 - 2
+
+
+def _column_starts(kstream: jax.Array, m: int) -> jax.Array:
+    """Column start positions (int32[m+1]) of a stream sorted by the
+    packed CSC key ``col·m + row + KEY_BIAS`` — ``searchsorted`` ranks
+    of the column probes, via :func:`ranks_in_sorted` when the packing
+    guard allows (20× cheaper on chip), else the probe chain."""
+    probes = (
+        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS
+    )
+    if _ranks_ok_for_columns(m):
+        return ranks_in_sorted(kstream, probes).astype(jnp.int32)
+    return jnp.searchsorted(kstream, probes, side="left").astype(jnp.int32)
+
+
+def _fill_pack_ok(elem_pad: int, m: int) -> bool:
+    """Static guard for the sort+fill join: product keys
+    ``j·(m+1) + c + 1`` (j < elem_pad, c < m), table keys ``q·(m+1)``,
+    and the pin key must all fit u32 with strict headroom."""
+    return elem_pad * (m + 1) < 2**32 - 4 * (m + 1)
+
+
+def _loop_expand_fill(
+    kcsc, vals, col_f, valid_f, jb_f, offsets, p_clamped,
+    *, p_pad: int, elem_pad: int, m: int, fill_passes: int,
+):
+    """Gather-free expansion join: the products' B-side fetch
+    ``stream[j]`` becomes ONE combined sort + a last-observation fill.
+
+    The flat expand's per-product random gather is the fused MCL loop's
+    dominant cost (measured 10.7 ms of a 15.3 ms iteration at 917K
+    products — TPU random access is charged per accessed row). Instead:
+
+    - products are created by ONE packed segment broadcast: the u32 key
+      ``j·(m+1) + c_f + 1`` is affine in p within each element's segment
+      (slope m+1), so one bitcast-diff cumsum carries BOTH the flat
+      stream position j and the output column — plus one f32 lane for
+      the element value (the 3-lane broadcast the gather path pays runs
+      scatters per lane, ~1.7 ms each on chip);
+    - every stream position q contributes a TABLE slot keyed
+      ``q·(m+1)`` (≡ 0 mod m+1 — product keys are ≡ c+1 ∈ [1, m]),
+      carrying the stream's (row, value) at q;
+    - ONE 3-stream sort of the p_pad+elem_pad stream interleaves each
+      table slot immediately before its products (keys are exact, no
+      tie: table < products of the same j < next table);
+    - a log₂-pass last-observation fill propagates (row_q, val_q) into
+      the product slots — shift/select passes only, measured 0.3 ms.
+
+    Returns (merge_key, v) UNSORTED at length p_pad + elem_pad: product
+    slots carry the packed output key ``c_f·m + row + KEY_BIAS`` and
+    a_val·val_q; table and padding slots are sentinels."""
+    from outerspace_tpu.ops.spgemm import _segment_broadcast_bits
+
+    mp1 = np.uint32(m + 1)
+    pin = np.uint32(((2**32 - 1 - m) // (m + 1)) * (m + 1) + m)
+    starts = offsets[:-1]
+    p = jnp.arange(p_pad, dtype=jnp.int32)
+    w = (
+        (jb_f.astype(jnp.uint32) - starts.astype(jnp.uint32)) * mp1
+        + jnp.where(valid_f, col_f, 0).astype(jnp.uint32)
+        + np.uint32(1)
+    )
+    key1 = (
+        jax.lax.bitcast_convert_type(
+            _segment_broadcast_bits(
+                jax.lax.bitcast_convert_type(w, jnp.int32), starts, p_pad
+            ),
+            jnp.uint32,
+        )
+        + p.astype(jnp.uint32) * mp1
+    )
+    aval_bits = _segment_broadcast_bits(
+        jax.lax.bitcast_convert_type(vals, jnp.int32), starts, p_pad
+    )
+    prod_valid = p < p_clamped
+    prod_key = jnp.where(prod_valid, key1, pin)
+    prod_f32 = jnp.where(
+        prod_valid,
+        jax.lax.bitcast_convert_type(aval_bits, jnp.float32),
+        0.0,
+    )
+    # table slots: stream position q carries (row_q, val_q)
+    q = jnp.arange(elem_pad, dtype=jnp.uint32)
+    tbl_key = q * mp1
+    ku_s = jax.lax.bitcast_convert_type(kcsc, jnp.uint32) ^ np.uint32(2**31)
+    tbl_row = (ku_s % np.uint32(m)).astype(jnp.int32)
+    comb_key = jnp.concatenate([prod_key, tbl_key])
+    comb_i32 = jnp.concatenate([jnp.zeros(p_pad, jnp.int32), tbl_row])
+    comb_f32 = jnp.concatenate([prod_f32, vals])
+    sk, si, sf = jax.lax.sort(
+        (comb_key, comb_i32, comb_f32), num_keys=1, is_stable=False
+    )
+    # last-observation fill of (row, val) from table slots into products
+    is_table = (sk % mp1) == 0
+    fill_i = jnp.where(is_table, si, 0)
+    fill_f = jnp.where(is_table, sf, 0.0)
+    seen = is_table
+    d = 1
+    for _ in range(fill_passes):
+        pi = jnp.concatenate([jnp.zeros(d, jnp.int32), fill_i[:-d]])
+        pf = jnp.concatenate([jnp.zeros(d, jnp.float32), fill_f[:-d]])
+        ps = jnp.concatenate([jnp.zeros(d, bool), seen[:-d]])
+        fill_i = jnp.where(seen, fill_i, pi)
+        fill_f = jnp.where(seen, fill_f, pf)
+        seen = seen | ps
+        d *= 2
+    is_prod = (~is_table) & (sk != pin)
+    c_f_p = (sk % mp1).astype(jnp.int32) - 1
+    out_key = jnp.where(
+        is_prod, c_f_p * np.int32(m) + fill_i + KEY_BIAS, _I32_MAX
+    )
+    v = jnp.where(is_prod, sf * fill_f, 0.0)
+    return out_key, v
+
+
 def _mcl_iteration(
-    state, *, p_pad, elem_pad, m, inflation, threshold, blk_cap=None
+    state, *, p_pad, elem_pad, m, inflation, threshold, blk_cap=None,
+    join="auto",
 ):
     """One MCL iteration (square + inflate) on fixed p_pad buffers.
 
@@ -404,13 +559,19 @@ def _mcl_iteration(
     (measured: carrying elements at p_pad made each iteration
     ~70 ms on 917K buffers — scatter/gather-bound, not sort-bound).
 
+    ``join`` selects the expansion's B-side fetch: "gather" is the flat
+    per-product random gather (measured 10.7 ms of a 15.3 ms iteration
+    at 917K products — the TPU random-access law's full price); "fill"
+    is the gather-free combined-sort + last-observation-fill join
+    (:func:`_loop_expand_fill`); "auto" picks fill whenever the key
+    packing fits u32 (:func:`_fill_pack_ok`).
+
     The state carries ``starts_ext`` (int32[m+1]): the CSC column start
-    positions of the resident stream. One m+1-probe searchsorted costs
-    ~1.7 ms on chip regardless of stream size — the iteration used to
-    pay it three times (entry indptr + two inside the colnorm); now the
-    single search over the NEXT stream (after the compaction sort)
-    serves the colnorm AND becomes the next iteration's indptr via the
-    carry, so each iteration runs exactly one."""
+    positions of the resident stream. The iteration runs exactly ONE
+    rank pass over the NEXT stream (after the compaction sort) — as two
+    short sorts, :func:`ranks_in_sorted`, not an m+1-probe binary
+    search (measured 0.4 vs 2.1 ms) — serving the colnorm AND, via the
+    carry, the next iteration's indptr."""
     kcsc, vals, starts_ext, ok = state  # compacted CSC elems [elem_pad]
     idx = jnp.arange(p_pad, dtype=jnp.int32)
     ku = jax.lax.bitcast_convert_type(kcsc, jnp.uint32) ^ np.uint32(2**31)
@@ -442,23 +603,40 @@ def _mcl_iteration(
            <= 0.01 * p_f + 1024.0)
     )
     p_clamped = jnp.clip(p_total, 0, p_pad)
-    # ---- role-flipped expand: broadcast (col_f, val_f), gather
-    # (row_j, val_j) from the SAME stream's CSC columns ----
-    c_bcast, r_gath, v = expand_partial_products(
-        jnp.where(valid_f, col_f, m),
-        jnp.where(valid_f, vals, 0.0),
-        a_k, indptr, row_f, vals, offsets, p_clamped, p_pad, m,
-    )
-    # C's CSC key: colC·m + rowC — duplicates adjacent after one sort,
-    # and the merged output lands directly in the resident order.
-    key = jnp.where(
-        idx < p_clamped, pack_key_biased(c_bcast, r_gath, m), _I32_MAX
-    )
+    if join == "auto":
+        join = "fill" if _fill_pack_ok(elem_pad, m) else "gather"
+    if join == "fill":
+        # ---- gather-free join: packed creation broadcast + combined
+        # sort + last-observation fill (see _loop_expand_fill); the
+        # merge stream grows by the elem_pad table slots (sentinels) ----
+        fill_passes = max(
+            1, int(np.ceil(np.log2(min(elem_pad, p_pad) + 1)))
+        )
+        key, v = _loop_expand_fill(
+            kcsc, vals, col_f, valid_f, indptr[a_k], offsets, p_clamped,
+            p_pad=p_pad, elem_pad=elem_pad, m=m, fill_passes=fill_passes,
+        )
+        stream_pad = p_pad + elem_pad
+    else:
+        # ---- role-flipped expand: broadcast (col_f, val_f), gather
+        # (row_j, val_j) from the SAME stream's CSC columns ----
+        c_bcast, r_gath, v = expand_partial_products(
+            jnp.where(valid_f, col_f, m),
+            jnp.where(valid_f, vals, 0.0),
+            a_k, indptr, row_f, vals, offsets, p_clamped, p_pad, m,
+        )
+        # C's CSC key: colC·m + rowC — duplicates adjacent after one
+        # sort, and the merged output lands directly in resident order.
+        key = jnp.where(
+            idx < p_clamped, pack_key_biased(c_bcast, r_gath, m), _I32_MAX
+        )
+        stream_pad = p_pad
     key_s, v_s = jax.lax.sort((key, v), num_keys=1, is_stable=False)
     from outerspace_tpu.ops.spgemm import merge_epilogue
 
     _, _, v2, valid2, _ = merge_epilogue(
-        key_s, v_s, m, m, None, pad_count=jnp.int32(p_pad) - p_clamped
+        key_s, v_s, m, m, None,
+        pad_count=jnp.int32(stream_pad) - p_clamped,
     )
     # ---- inflation / prune on the sorted stream, then compact FIRST
     # (the second 2-stream sort) and column-normalise at ELEM scale:
@@ -489,15 +667,12 @@ def _mcl_iteration(
     vp_next = jnp.power(vp_next, np.float32(inflation))
     ku2 = jax.lax.bitcast_convert_type(k_next, jnp.uint32) ^ np.uint32(2**31)
     kcol = (ku2 // np.uint32(m)).astype(jnp.int32) + KEY_BIAS
-    # THE iteration's one search: column positions of the new stream
+    # THE iteration's one rank pass: column positions of the new stream
     # (packed-key probes c·m land at the same positions as column
     # probes c since row < m), shared by the colnorm and — via the
-    # carry — the next iteration's indptr.
-    starts_next = jnp.searchsorted(
-        k_next,
-        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
-        side="left",
-    ).astype(jnp.int32)
+    # carry — the next iteration's indptr. Two short sorts instead of
+    # the m+1-probe binary search (measured 0.4 vs 2.1 ms in-iteration).
+    starts_next = _column_starts(k_next, m)
     colsum_bc = _csc_colnorm_sorted(kcol, vp_next, m, starts_next)
     valid_next = k_next != _I32_MAX
     v_next = jnp.where(valid_next, vp_next / colsum_bc, 0.0)
@@ -526,6 +701,7 @@ def mcl_whole_traced(
     inflation: float, threshold: float, elem_pad: int | None = None,
     p_pads: tuple[int, ...] | None = None,
     blk_caps: tuple[int, ...] | None = None,
+    join: str = "auto",
 ):
     """The ENTIRE staged MCL as one traceable program: tiled first
     squaring (Pallas expand over the host plan) + inflation + compaction
@@ -662,11 +838,7 @@ def mcl_whole_traced(
     # One search serves the stage-1 colnorm AND seeds the loop carry's
     # column positions (packed-key probes c·m land at the same stream
     # positions as column probes c).
-    starts1 = jnp.searchsorted(
-        kp,
-        jnp.arange(m + 1, dtype=jnp.int32) * np.int32(m) + KEY_BIAS,
-        side="left",
-    ).astype(jnp.int32)
+    starts1 = _column_starts(kp, m)
     colsum_bc = _csc_colnorm_sorted(kcol, vp, m, starts1)
     vnp_ = jnp.where(valid1, vp / colsum_bc, 0.0)
 
@@ -702,6 +874,7 @@ def mcl_whole_traced(
             return _mcl_iteration(
                 state, p_pad=_pp, elem_pad=elem_pad, m=m,
                 inflation=inflation, threshold=threshold, blk_cap=_cap,
+                join=join,
             )
 
         if j - i == 1:

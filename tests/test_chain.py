@@ -514,6 +514,92 @@ class TestBlockCompaction:
         assert not bool(np.asarray(ok_bad))
 
 
+class TestRanksAndFillJoin:
+    def test_ranks_in_sorted_matches_searchsorted(self):
+        from outerspace_tpu.ops.chain import ranks_in_sorted
+
+        rng = np.random.default_rng(7)
+        for _ in range(6):
+            # contract domain: unbiased values < 2^31 (i.e. negative
+            # biased i32, as the chain's packed keys c*m + KEY_BIAS are)
+            data = np.sort(
+                rng.integers(-(2**31), -(2**20), size=777).astype(np.int32)
+            )
+            ns = int(rng.integers(1, 60))
+            data[-ns:] = np.int32(2**31 - 1)  # sentinel tail
+            probes = np.unique(
+                rng.integers(-(2**31), -(2**20), size=123).astype(np.int32)
+            )
+            want = np.searchsorted(data, probes, side="left")
+            got = np.asarray(
+                ranks_in_sorted(jnp.asarray(data), jnp.asarray(probes))
+            )
+            assert (got == want).all()
+
+    def test_column_starts_matches_searchsorted(self):
+        from outerspace_tpu.ops.chain import _column_starts
+        from outerspace_tpu.ops.spgemm import KEY_BIAS, _I32_MAX
+
+        rng = np.random.default_rng(3)
+        m = 64
+        cols = np.sort(rng.integers(0, m, size=500))
+        rows = rng.integers(0, m, size=500)
+        k = np.sort(
+            (cols.astype(np.int64) * m + rows + KEY_BIAS).astype(np.int32)
+        )
+        k = np.concatenate([k, np.full(44, _I32_MAX, np.int32)])
+        probes = np.arange(m + 1, dtype=np.int64) * m + KEY_BIAS
+        want = np.searchsorted(k, probes.astype(np.int32), side="left")
+        got = np.asarray(_column_starts(jnp.asarray(k), m))
+        assert (got == want).all()
+
+    def test_mcl_fill_join_matches_gather_join(self):
+        # The gather-free combined-sort+fill expansion join
+        # (_loop_expand_fill; measured −9 ms on the rmat14 MCL program
+        # on chip) must agree with the flat-gather join elementwise in
+        # structure; values may differ by f32 summation order only.
+        from outerspace_tpu.ops.chain import mcl_whole_traced
+        from outerspace_tpu.ops.gather_pipeline import plan_spgemm_gather
+        from outerspace_tpu.ops.graph import _host_mcl_sizing
+        from outerspace_tpu.ops.spgemm import plan_tiled_parts
+        from outerspace_tpu.ops.symbolic import round_up_bucket
+        from outerspace_tpu.sched.planner import choose_strategy
+
+        import scipy.sparse as sp
+
+        g = rmat(9, edge_factor=6, seed=3)
+        flow = self_flow(g)
+        a_csc = flow.to_csc()
+        if choose_strategy(a_csc, flow) == "gather":
+            tplan = plan_spgemm_gather(a_csc, flow)
+        else:
+            tplan = plan_tiled_parts(a_csc, flow)
+        n = g.shape[0]
+        f = sp.csr_matrix(
+            (np.asarray(flow.data, np.float64),
+             np.asarray(flow.indices), np.asarray(flow.indptr)),
+            shape=(n, n),
+        )
+        p_list, nnz_list = _host_mcl_sizing(f, 2.0, 3, 1e-4)
+        p_pad = round_up_bucket(int(max(p_list) * 1.5), min_size=4096)
+        nnz_pad = round_up_bucket(int(max(nnz_list) * 1.5), min_size=1024)
+        outs = {}
+        for join in ("gather", "fill"):
+            r, c, v, nnz, ok = mcl_whole_traced(
+                tplan, p_pad=p_pad, nnz_pad=nnz_pad, m=n, n_cols=n,
+                iters=3, inflation=2.0, threshold=1e-4, join=join,
+            )
+            assert bool(np.asarray(ok))
+            k = int(np.asarray(nnz))
+            outs[join] = (
+                np.asarray(r)[:k], np.asarray(c)[:k], np.asarray(v)[:k]
+            )
+        a, b = outs["gather"], outs["fill"]
+        assert a[0].shape == b[0].shape
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-5, atol=1e-9)
+
+
 def self_flow(g):
     from outerspace_tpu.formats.coo import COO as _COO
     from outerspace_tpu.ops.graph import _col_normalize
