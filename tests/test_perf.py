@@ -336,3 +336,18 @@ def test_default_part_count_rule():
     assert default_part_count(1 << 20) == 1  # below min_part_stream
     assert default_part_count(20 << 20) == 4  # rmat14-scale
     assert default_part_count(128 << 20) == 8  # rmat16-scale
+
+
+def test_microbench_suite_smoke():
+    # The chained-timing micro-benchmark harness (perf/microbench.py)
+    # must run end-to-end at CI sizes: every cited rate key present and
+    # non-negative (absolute values are meaningless on CPU).
+    from outerspace_tpu.perf.microbench import suite
+
+    res = suite(p=8192, e=2048, m=256, k=2)
+    for key in (
+        "sort2_p", "scatter_bcast_lane", "pair_gather_random",
+        "two_single_gathers_random", "searchsorted_probes",
+        "rank_trick_probes",
+    ):
+        assert key in res and np.isfinite(res[key])
