@@ -50,6 +50,22 @@ def load_library():
         ]
         lib.osp_mtx_free.restype = None
         lib.osp_mtx_free.argtypes = [ctypes.c_void_p]
+        try:
+            # planner core (gplan.cpp) — absent in older built libs;
+            # callers probe with hasattr and fall back to Python
+            c_ll = ctypes.c_longlong
+            p_ll = ctypes.POINTER(c_ll)
+            lib.osp_plan_subtiles.restype = c_ll
+            lib.osp_plan_subtiles.argtypes = (
+                [p_ll] * 3 + [c_ll] * 6 + [p_ll] * 3
+            )
+            lib.osp_pack_groups.restype = c_ll
+            lib.osp_pack_groups.argtypes = (
+                [p_ll] * 2 + [c_ll] * 6
+                + [ctypes.POINTER(ctypes.c_int32)]
+            )
+        except AttributeError:
+            pass
         _LIB = lib
     except OSError:
         _LIB = None

@@ -154,6 +154,126 @@ def slabbed_stream_len(ngroups: int) -> int:
     )
 
 
+def _cut_subtiles(cum, jb, jend, b_win: int):
+    """Greedy product-space subtile cuts: (p0, owners, b_anchors) int64
+    arrays. Runs the native rolling-pointer core (``csrc/gplan.cpp``,
+    O(nk + nsub) — both searched keys are monotone across cuts) when the
+    library is built; the Python loop below is the semantic definition
+    and the fallback (bit-identical, cross-checked in tests)."""
+    from outerspace_tpu.runtime.native import load_library
+
+    nk = jb.shape[0]
+    p_real = int(cum[-1])
+    lib = load_library()
+    if lib is not None and hasattr(lib, "osp_plan_subtiles"):
+        import ctypes
+
+        # capacity covers every realistic plan (full subtiles + window
+        # cuts); a pathological plan overflows to -1 and falls back
+        cap = p_real // SUB_P + 4 * nk + 1024
+        p0 = np.empty(cap, np.int64)
+        ow = np.empty(cap, np.int64)
+        ba = np.empty(cap, np.int64)
+        pll = ctypes.POINTER(ctypes.c_longlong)
+        arrs = [np.ascontiguousarray(a, np.int64) for a in (cum, jb, jend)]
+        nsub = lib.osp_plan_subtiles(
+            *(a.ctypes.data_as(pll) for a in arrs),
+            nk, b_win, A_WIN, SUB_P, _BLK, cap,
+            *(a.ctypes.data_as(pll) for a in (p0, ow, ba)),
+        )
+        if nsub >= 0:
+            return p0[:nsub].copy(), ow[:nsub].copy(), ba[:nsub].copy()
+    starts_p, owner_l, banchor_l = [], [], []
+    p = 0
+    while p < p_real:
+        s = int(np.searchsorted(cum, p, side="right")) - 1
+        # anchor at the OWNER ELEMENT's row-start block (not the
+        # mid-element position): anchors stay monotone across same-k
+        # element runs (which restart at the k's jb), the window covers
+        # both the continuation of s and every following element's rows
+        # from below, and each cut is lossless — a B-bound cut includes
+        # the violating element's prefix up to the window edge and the
+        # next subtile re-anchors exactly there
+        anchor_blk = int(jb[s]) // _BLK
+        limit_b = (anchor_blk + b_win) * _BLK
+        # first element whose row end exceeds the B-window (jend is
+        # non-decreasing: ranges are sorted and same-k repeats share
+        # (jb, nb)); its prefix up to the window edge is includable
+        f = int(np.searchsorted(jend, limit_b, side="right"))
+        if f < nk:
+            q_b = int(cum[f]) + max(0, limit_b - int(jb[f]))
+        else:
+            q_b = p_real
+        # first element outside the A-window (256 elements from the
+        # block floor of the owner)
+        ea = (s // _BLK + A_WIN) * _BLK
+        q_a = int(cum[ea]) if ea < nk else p_real
+        q = min(p + SUB_P, q_b, q_a, p_real)
+        assert q > p
+        starts_p.append(p)
+        owner_l.append(s)
+        banchor_l.append(anchor_blk)
+        p = q
+    return (
+        np.asarray(starts_p, dtype=np.int64),
+        np.asarray(owner_l, dtype=np.int64),
+        np.asarray(banchor_l, dtype=np.int64),
+    )
+
+
+def _pack_groups(a_blk, b_blk, b_win: int) -> list[list[int]]:
+    """Pack consecutive subtiles into ≤``GROUP_SUBS`` groups sharing
+    super-windows anchored at each group's FIRST subtile; B anchors must
+    not dip below the first subtile's base (product-space cuts make them
+    locally non-monotone). Native core when built; Python fallback is
+    the definition."""
+    from outerspace_tpu.runtime.native import load_library
+
+    nsub = a_blk.shape[0]
+    lib = load_library()
+    if nsub and lib is not None and hasattr(lib, "osp_pack_groups"):
+        import ctypes
+
+        gid = np.empty(nsub, np.int32)
+        pll = ctypes.POINTER(ctypes.c_longlong)
+        aa = np.ascontiguousarray(a_blk, np.int64)
+        bb = np.ascontiguousarray(b_blk, np.int64)
+        ng = lib.osp_pack_groups(
+            aa.ctypes.data_as(pll), bb.ctypes.data_as(pll),
+            nsub, b_win, A_WIN, GROUP_SUBS, SUPER_A, SUPER_B,
+            gid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        bounds = np.searchsorted(gid, np.arange(1, ng, dtype=np.int32))
+        return [list(g) for g in np.split(np.arange(nsub), bounds)]
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    a_lo = b_lo = 0
+    for t in range(nsub):
+        al, bl = int(a_blk[t]), int(b_blk[t])
+        if cur:
+            a0, b0 = a_lo, b_lo
+            fits = (
+                len(cur) < GROUP_SUBS
+                and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER_A
+                and bl + b_win <= (b0 // 8) * 8 + 8 * SUPER_B
+                # product-space cuts make B anchors non-monotone (a
+                # mid-element start in a later A-element of the same k
+                # re-anchors back at that k's row): the ref base is the
+                # FIRST subtile's, so later subtiles must not anchor
+                # below it
+                and bl >= (b0 // 8) * 8
+            )
+            if not fits:
+                groups.append(cur)
+                cur = []
+        if not cur:
+            a_lo, b_lo = al, bl
+        cur.append(t)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def plan_gather(
     a_rows: np.ndarray,  # int32[nA] output row per kept element
     a_vals: np.ndarray,  # f32[nA]
@@ -200,39 +320,8 @@ def plan_gather(
     # ~half an element per subtile (measured subtile fill on the rmat15
     # A² parts: 87-88%, i.e. +12% on the pipeline-dominant sort stream;
     # product cuts only pay at true window limits).
-    starts_p, owner_l, banchor_l = [], [], []
-    p = 0
-    while p < p_real:
-        s = int(np.searchsorted(cum, p, side="right")) - 1
-        # anchor at the OWNER ELEMENT's row-start block (not the
-        # mid-element position): anchors stay monotone across same-k
-        # element runs (which restart at the k's jb), the window covers
-        # both the continuation of s and every following element's rows
-        # from below, and each cut is lossless — a B-bound cut includes
-        # the violating element's prefix up to the window edge and the
-        # next subtile re-anchors exactly there
-        anchor_blk = int(jb[s]) // _BLK
-        limit_b = (anchor_blk + b_win) * _BLK
-        # first element whose row end exceeds the B-window (jend is
-        # non-decreasing: ranges are sorted and same-k repeats share
-        # (jb, nb)); its prefix up to the window edge is includable
-        f = int(np.searchsorted(jend, limit_b, side="right"))
-        if f < nk:
-            q_b = int(cum[f]) + max(0, limit_b - int(jb[f]))
-        else:
-            q_b = p_real
-        # first element outside the A-window (256 elements from the
-        # block floor of the owner)
-        ea = (s // _BLK + A_WIN) * _BLK
-        q_a = int(cum[ea]) if ea < nk else p_real
-        q = min(p + SUB_P, q_b, q_a, p_real)
-        assert q > p
-        starts_p.append(p)
-        owner_l.append(s)
-        banchor_l.append(anchor_blk)
-        p = q
-    p0 = np.asarray(starts_p, dtype=np.int64)
-    owners = np.asarray(owner_l, dtype=np.int64)
+    p0, owners, b_anchor = _cut_subtiles(cum, jb, jend, b_win)
+    banchor_l = b_anchor
     nsub = p0.shape[0]
     a_blk = owners // _BLK
     b_blk = np.asarray(banchor_l, dtype=np.int64)
@@ -250,32 +339,7 @@ def plan_gather(
     widths = lasts - owners + 1  # owner-span per subtile, ≥ 1
 
     # --- group packing: 8 subtiles sharing 24-block super-windows ---
-    groups: list[list[int]] = []
-    cur: list[int] = []
-    a_lo = b_lo = 0
-    for t in range(nsub):
-        al, bl = int(a_blk[t]), int(b_blk[t])
-        if cur:
-            a0, b0 = a_lo, b_lo
-            fits = (
-                len(cur) < GROUP_SUBS
-                and al + A_WIN <= (a0 // 8) * 8 + 8 * SUPER_A
-                and bl + b_win <= (b0 // 8) * 8 + 8 * SUPER_B
-                # product-space cuts make B anchors non-monotone (a
-                # mid-element start in a later A-element of the same k
-                # re-anchors back at that k's row): the ref base is the
-                # FIRST subtile's, so later subtiles must not anchor
-                # below it
-                and bl >= (b0 // 8) * 8
-            )
-            if not fits:
-                groups.append(cur)
-                cur = []
-        if not cur:
-            a_lo, b_lo = al, bl
-        cur.append(t)
-    if cur:
-        groups.append(cur)
+    groups = _pack_groups(a_blk, b_blk, b_win)
     # Order groups by descending owner-span width: group order is free
     # (the output stream feeds a sort), and clustering wide groups at
     # the front lets the slab layout's per-call max width classify most

@@ -309,3 +309,32 @@ def test_anchored_search_shallow_calls_exist_and_plan_exact():
     got = spgemm_gather_padded(plan).to_csr()
     assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5)
 
+
+
+def test_native_planner_matches_python():
+    # The C++ planner core (csrc/gplan.cpp: rolling-pointer subtile
+    # cuts + group packing) must produce BIT-IDENTICAL plans to the
+    # Python definition loops it accelerates.
+    from outerspace_tpu.runtime import native
+    from outerspace_tpu.formats import rmat
+    from outerspace_tpu.ops.gather_pipeline import plan_spgemm_gather
+
+    lib = native.load_library()
+    if lib is None or not hasattr(lib, "osp_plan_subtiles"):
+        pytest.skip("native library not built with the planner core")
+    g = rmat(11, edge_factor=8, seed=2)
+    a_csc, b_csr = g.to_csc(), g.to_csr()
+    pn = plan_spgemm_gather(a_csc, b_csr)
+    native._LIB = None  # force the Python fallback loops
+    try:
+        pp = plan_spgemm_gather(a_csc, b_csr)
+    finally:
+        native._LIB = lib
+    assert len(pn.parts) == len(pp.parts)
+    for qa, qb in zip(pn.parts, pp.parts):
+        assert (qa.merge_pad, qa.ngroups, qa.call_bits, qa.max_run) == (
+            qb.merge_pad, qb.ngroups, qb.call_bits, qb.max_run
+        )
+        for k in qa.dev:
+            xa, xb = np.asarray(qa.dev[k]), np.asarray(qb.dev[k])
+            assert xa.shape == xb.shape and (xa == xb).all(), k
