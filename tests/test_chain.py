@@ -553,6 +553,29 @@ class TestRanksAndFillJoin:
         got = np.asarray(_column_starts(jnp.asarray(k), m))
         assert (got == want).all()
 
+    def test_column_starts_large_m_fallback(self):
+        # m beyond the rank-trick packing guard (m^2 >= 2^31 - 2) must
+        # take the searchsorted branch and stay exact.
+        from outerspace_tpu.ops.chain import (
+            _column_starts,
+            _ranks_ok_for_columns,
+        )
+        from outerspace_tpu.ops.spgemm import KEY_BIAS, _I32_MAX
+
+        m = 50_000
+        assert not _ranks_ok_for_columns(m)
+        rng = np.random.default_rng(11)
+        cols = np.sort(rng.integers(0, m, size=300))
+        rows = rng.integers(0, m, size=300)
+        k = np.sort(
+            (cols.astype(np.int64) * m + rows + KEY_BIAS).astype(np.int32)
+        )
+        k = np.concatenate([k, np.full(12, _I32_MAX, np.int32)])
+        probes = np.arange(m + 1, dtype=np.int64) * m + KEY_BIAS
+        want = np.searchsorted(k, probes.astype(np.int32), side="left")
+        got = np.asarray(_column_starts(jnp.asarray(k), m))
+        assert (got == want).all()
+
     def test_mcl_fill_join_matches_gather_join(self):
         # The gather-free combined-sort+fill expansion join
         # (_loop_expand_fill; measured −9 ms on the rmat14 MCL program
