@@ -633,8 +633,25 @@ def bench_nn_inference() -> dict:
 
     data = load_mnist() if find_mnist_dir() else synthetic_mnist(2048)
     x = data["test"][0][:1024].reshape(-1, 784).astype(np.float32)
-    params = MLP1().init(jax.random.PRNGKey(0), jnp.zeros((4, 784)))["params"]
-    params = prune_params(params, sparsity_level=0.1)
+    # Prefer the committed TRAINED extreme-sparsity artifact (MLP1w
+    # pruned to exactly 1% nnz per fc kernel + finetuned, 0.9770 test —
+    # the reference's prune0p01 workload); fall back to a pruned random
+    # init when the artifact is absent.
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "saved_weights", "MLP1w", "prune0p01_finetuned.pkl",
+    )
+    if os.path.exists(art):
+        from outerspace_tpu.nn.train import load_params
+
+        params = load_params(art)
+        weights_tag = "MLP1w_prune0p01_finetuned"
+    else:
+        params = MLP1().init(
+            jax.random.PRNGKey(0), jnp.zeros((4, 784))
+        )["params"]
+        params = prune_params(params, sparsity_level=0.1)
+        weights_tag = "synthetic_init_pruned10"
     model = SparseMLP(params)
     xd = jnp.asarray(x)
     K = 20
@@ -662,6 +679,7 @@ def bench_nn_inference() -> dict:
     err = float(np.max(np.abs(got - dense)) / max(np.max(np.abs(dense)), 1e-9))
     rec = dict(
         name="sparse_mlp_infer_b1024_spmm",
+        weights=weights_tag,
         t_tpu_s=round(t_tpu, 5),
         rpc_floor_s=round(_rpc_floor(), 4),
         t_cpu_s=round(t_cpu, 5),
