@@ -245,10 +245,26 @@ def cmd_graph(args) -> int:
         dt = time.perf_counter() - t0
         print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
     else:
+        report: dict = {}
         t0 = time.perf_counter()
-        flow = markov_cluster(g, iters=args.iters, backend=args.backend)
+        flow = markov_cluster(
+            g, iters=args.iters, backend=args.backend, report=report
+        )
         clusters = mcl_clusters(flow)
         dt = time.perf_counter() - t0
+        # the reference always printed its analytical model next to the
+        # cycle model (SimOuterSPACE.cpp:859-875); mirror that for the
+        # fused-chain kernel when the staged budgets are known
+        if report.get("p_pad"):
+            from outerspace_tpu.perf.roofline import predict_mcl_time
+
+            pred = predict_mcl_time(
+                report["p_pad"],
+                report.get("p_pads")
+                or (report["p_pad"],) * max(report["iters"] - 1, 0),
+                report.get("elem_pad") or report["nnz_pad"],
+            )
+            print(f"analytical model: {pred * 1e3:.1f} ms")
         print(f"mcl: {len(clusters)} clusters ({dt * 1e3:.1f} ms)")
     return 0
 

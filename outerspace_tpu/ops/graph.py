@@ -236,6 +236,7 @@ def markov_cluster(
     iters: int = 10,
     prune_threshold: float = 1e-4,
     backend: str = "tpu",
+    report: dict | None = None,
 ) -> CSR:
     """Markov Clustering (MCL): alternate expansion (matrix power via
     repeated SpGEMM) and inflation (elementwise power + column
@@ -262,12 +263,23 @@ def markov_cluster(
     # represent the (n-1, n-1) corner at exactly 2^32 (the plain A@B
     # pipeline CAN — its merge recovers the corner exactly)
     if backend == "tpu" and expansion == 2 and n * n < 2**32:
-        return mcl_run(
-            mcl_prepare(
-                flow, inflation=inflation, iters=iters,
-                prune_threshold=prune_threshold,
+        prep = mcl_prepare(
+            flow, inflation=inflation, iters=iters,
+            prune_threshold=prune_threshold,
+        )
+        out = mcl_run(prep)
+        if report is not None:
+            # staged budgets for the caller's analytical cross-check
+            # (the graph CLI prints predicted next to measured — the
+            # reference's always-print-both-models contract)
+            report.update(
+                p_pad=prep.get("p_pad"),
+                p_pads=prep.get("p_pads"),
+                elem_pad=prep.get("elem_pad"),
+                nnz_pad=prep.get("nnz_pad"),
+                iters=iters,
             )
-        ).to_csr()
+        return out.to_csr()
 
     def mult(a, b):
         if backend == "tpu":

@@ -136,6 +136,44 @@ def predict_spgemm_time(
     return t
 
 
+def predict_mcl_time(
+    p_stage1: int,
+    p_pads: list[int] | tuple[int, ...],
+    elem_pad: int,
+    nnz_stage1_stream: int | None = None,
+    cfg: TPUConfig = TPUConfig(),
+    stage1_parts: int = 1,
+) -> float:
+    """Analytical model of the fused MCL chain (``ops/chain.py``):
+    stage-1 squaring (the full A² roofline over its padded stream) + the
+    stage-1 masked compaction (one batched in-block sort pass over the
+    merged stream) + per-iteration loop costs from the measured
+    sort-band structure — the combined expansion sort at
+    ``p_pad + elem_pad``, the merge sort, the epilogue/compaction
+    passes, and the two-sort rank pass (all sort-shaped; see the
+    random-access law in ``ops/chain.py:mcl_whole_traced``).
+
+    Closed-form cross-check only — printed by the graph CLI next to the
+    measured time, the reference's always-print-both-models contract
+    (``SimOuterSPACE.cpp:859-875``)."""
+    L1 = nnz_stage1_stream or p_stage1
+    t = predict_spgemm_time(p_stage1, elem_pad, elem_pad, cfg)
+    if stage1_parts > 1:
+        t = predict_multiply_time(p_stage1, elem_pad, elem_pad, cfg)
+        t += predict_merge_time(p_stage1, cfg, parts=stage1_parts)
+    # stage-1 compaction: one blk-deep batched sort pass over the merged
+    # stream (log²(8192) stages, VMEM-resident) + the short combine sort
+    t += cfg.time(L1 * 13, L1 * 8 * 2 * 2.0, "vpu")
+    for pp in p_pads:
+        lc = pp + elem_pad
+        # combined expansion sort (3 streams) + merge sort (2 streams)
+        t += predict_merge_time(lc, cfg) * 1.5 + predict_merge_time(lc, cfg)
+        # compaction block pass + rank pass + elem-scale tails
+        t += cfg.time(lc * 13, lc * 8 * 2 * 2.0, "vpu")
+        t += cfg.time(elem_pad * 20, elem_pad * 8 * 2 * 4.0, "vpu")
+    return t
+
+
 def achieved_fraction(measured_s: float, predicted_s: float) -> float:
     """Roofline attainment: predicted / measured (1.0 = at the roof)."""
     return predicted_s / max(measured_s, 1e-12)
