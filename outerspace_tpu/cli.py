@@ -61,6 +61,15 @@ def cmd_spgemm(args) -> int:
         predict_multiply_time,
     )
 
+    if args.mesh:
+        # Sharded SPMD path (BASELINE configs[4]): 2-D (kx × ny)
+        # partition of the outer-product index space over the available
+        # devices, ICI all-to-all of partial products keyed by
+        # output-row owner, local Pallas expand + merge per device. On
+        # a 1-chip/CPU host, request virtual devices with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=N.
+        return _cmd_spgemm_sharded(args, a_csc, b_csr, m1, m2)
+
     flops = spgemm_flops(a_csc, b_csr)
     plan = expansion_plan(a_csc, b_csr)
     p_pad = plan.padded_size()
@@ -234,6 +243,59 @@ def cmd_nn(args) -> int:
     return 0
 
 
+def _cmd_spgemm_sharded(args, a_csc, b_csr, m1, m2) -> int:
+    """``spgemm --mesh KX[,NY]``: the multi-chip pipeline end to end —
+    plan, run under shard_map over a (kx × ny) device mesh, assemble,
+    and report. The multiply→merge exchange (the machine's whole point
+    in the reference, ``SimOuterSPACE.cpp:721-857``) rides
+    ``lax.all_to_all`` with exact host-planned receive capacities."""
+    import jax
+
+    from outerspace_tpu.ops.reference import spgemm_flops
+    from outerspace_tpu.shard.mesh import make_mesh
+    from outerspace_tpu.shard.tiled import (
+        shard_plan_tiled,
+        sharded_tiled_to_csr,
+        spgemm_sharded_tiled,
+    )
+
+    dims = [int(x) for x in str(args.mesh).split(",")]
+    kx = dims[0]
+    ny = dims[1] if len(dims) > 1 else 1
+    ndev = len(jax.devices())
+    if kx * ny != ndev:
+        print(
+            f"mesh {kx}x{ny} != {ndev} devices (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual mesh)",
+            file=sys.stderr,
+        )
+        return 2
+    flops = spgemm_flops(a_csc, b_csr)
+    t0 = time.perf_counter()
+    plan = shard_plan_tiled(a_csc, b_csr, kx=kx, ny=ny)
+    t_plan = time.perf_counter() - t0
+    mesh = make_mesh((kx, ny), ("x", "y"))
+    out = spgemm_sharded_tiled(plan, mesh)  # compile + warm
+    t0 = time.perf_counter()
+    out = spgemm_sharded_tiled(plan, mesh)
+    elapsed = time.perf_counter() - t0
+    c = sharded_tiled_to_csr(plan, out)
+    print(f"C shape: {c.shape}, nnz: {c.nnz}")
+    print(f"multiply flops: {flops}")
+    print(f"mesh: {kx}x{ny} over {ndev} devices; plan {t_plan:.2f}s")
+    print(
+        f"measured (sharded, warm): {elapsed * 1e3:.3f} ms "
+        f"({flops / max(elapsed, 1e-12) / 1e9:.3f} GFLOP/s)"
+    )
+    if args.out:
+        from outerspace_tpu.formats import write_mtx
+
+        write_mtx(args.out, c.to_coo())
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_graph(args) -> int:
     from outerspace_tpu.formats import read_mtx
     from outerspace_tpu.ops.graph import markov_cluster, mcl_clusters, triangle_count
@@ -292,6 +354,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-transpose", action="store_true",
                    help="compute M1 · M2 instead of M1 · M2ᵀ")
     p.add_argument("--out", default=None, help="write result .mtx here")
+    p.add_argument("--mesh", default=None, metavar="KX[,NY]",
+                   help="run the sharded SPMD pipeline over a KXxNY "
+                        "device mesh (kx*ny must equal the device count)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a Config field (e.g. --set waste_limit=3.0)")
     p.set_defaults(fn=cmd_spgemm)

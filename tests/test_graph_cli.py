@@ -151,6 +151,43 @@ class TestCLI:
         ref = spgemm_scipy(a, a).to_coo()
         assert compare_coo(got, ref, eps=1e-5)
 
+    @pytest.mark.slow
+    def test_spgemm_cli_sharded_mesh(self, tmp_path):
+        # --mesh KX,NY runs the SPMD pipeline under shard_map over a
+        # virtual device mesh and must match scipy elementwise.
+        from outerspace_tpu.formats import read_mtx
+        from outerspace_tpu.ops.reference import spgemm_scipy, compare_coo
+
+        a = erdos_renyi(60, 60, 0.12, seed=6)
+        pa = str(tmp_path / "a.mtx")
+        po = str(tmp_path / "c.mtx")
+        write_mtx(pa, a)
+        out = subprocess.run(
+            [sys.executable, "-m", "outerspace_tpu.cli", "spgemm",
+             pa, pa, "--no-transpose", "--mesh", "2,2", "--out", po],
+            capture_output=True, text=True, timeout=600,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+                "OUTERSPACE_FORCE_CPU": "1",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            },
+        )
+        assert out.returncode == 0, out.stderr
+        assert "mesh: 2x2 over 4 devices" in out.stdout
+        got = read_mtx(po, native=False)
+        ref = spgemm_scipy(a, a).to_coo()
+        assert compare_coo(got, ref, eps=1e-5)
+
+    def test_spgemm_cli_mesh_device_mismatch(self, tmp_path):
+        a = erdos_renyi(10, 10, 0.2, seed=4)
+        pa = str(tmp_path / "a.mtx")
+        write_mtx(pa, a)
+        out = self._run("spgemm", pa, pa, "--no-transpose",
+                        "--mesh", "16,16")
+        assert out.returncode == 2
+        assert "devices" in out.stderr
+
     def test_spgemm_cli_dim_mismatch(self, tmp_path):
         a = erdos_renyi(10, 20, 0.2, seed=4)
         b = erdos_renyi(30, 30, 0.2, seed=5)
