@@ -136,6 +136,27 @@ def cmd_spgemm(args) -> int:
                 f"event-model multiply:           {cyc * 1e3:.3f} ms "
                 f"(VMEM B-group hit rate {rate:.0%})"
             )
+            # Event-model merge: the same row-partition part split the
+            # pipeline merges with, each part one padded pair stream
+            # through the cache-less sort wiring (the reference ran
+            # simulateOuterSPACEMerge beside its analytical merge,
+            # SimOuterSPACE.cpp:868-871; its merge machine had no
+            # caches, :800-857). Output bytes from the measured nnz.
+            from outerspace_tpu.perf.perfsim import simulate_merge_parts
+
+            base, rem = divmod(p_pad, merge_parts)
+            part_lens = [
+                base + (1 if i < rem else 0) for i in range(merge_parts)
+            ]
+            onnz = int(c.nnz)
+            out_b = [8 * (onnz // merge_parts + 1)] * merge_parts
+            mpred = simulate_merge_parts(part_lens, out_b)
+            print(
+                f"event-model merge:              "
+                f"{mpred['seconds'] * 1e3:.3f} ms "
+                f"(parts={merge_parts}, sort util "
+                f"{mpred['sort_util']:.0%})"
+            )
     except Exception:
         pass
     print(f"measured (end-to-end): {elapsed * 1e3:.3f} ms")

@@ -129,6 +129,13 @@ struct SimConfig {
   double vpu_lanes = 8 * 128;           // f32 ops/cycle
   double mxu_ops_per_cycle = 16384.0;   // 128x128 MACs/cycle (bf16)
   int grid_overhead = 200;              // cycles per grid step (measured)
+  // Merge-phase sort throughput in pair-stages per cycle. XLA's 1-D
+  // (u32 key, f32 value) sort measures compute/latency-structured, not
+  // bandwidth-bound: t/pair ≈ 0.0033 ns per comparison-network stage
+  // with stages ≈ log2(L)^2 (measured 1.52 ns/pair @ 2.1M, 2.07 @ 32M,
+  // 2.43 @ 64M, 2.80 @ 128M → 0.0032-0.0036 cycles/pair/stage at
+  // 0.94 GHz). 1/0.0033 ≈ 300 pair-stages/cycle.
+  double sort_pairs_per_cycle = 300.0;
 };
 
 static SimConfig g_cfg;
@@ -376,6 +383,73 @@ class ComputeUnit : public Module {
   int64_t busy_cycles_ = 0, stall_cycles_ = 0;
 };
 
+// Merge-phase sort unit: pulls one row-partition part when idle and
+// counts down the comparison-network latency of sorting its padded
+// (key, value) pair stream — stages(L) = ceil(log2(L))^2 passes over L
+// pairs at the calibrated pair-stage rate. This is the cycle model of
+// the machine the merge phase actually runs on (XLA's sort is
+// compute-structured; see SimConfig.sort_pairs_per_cycle), playing the
+// role PEMerger's quadratic merge-workload countdown played in the
+// reference (SimOuterSPACE.cpp:554-606).
+class SortUnit : public Module {
+ public:
+  SortUnit(Fifo<int64_t>& in, Fifo<int64_t>& out, const SimConfig& cfg,
+           const int64_t* pair_counts)
+      : Module("sort_unit"), in_(in), out_(out), cfg_(cfg),
+        pair_counts_(pair_counts) {}
+
+  static int64_t stages(int64_t pairs) {
+    int64_t lg = 1;
+    while ((int64_t(1) << lg) < pairs) ++lg;
+    return lg * lg;
+  }
+
+  void clockUpdate() override {
+    if (busy_) {
+      ++busy_cycles_;
+      if (--cycles_left_ == 0) {
+        if (out_.canWrite()) {
+          out_.write(task_, 0);
+          busy_ = false;
+        } else {
+          ++cycles_left_;  // back-pressure from the epilogue stage
+          ++stall_cycles_;
+        }
+      }
+      return;
+    }
+    if (in_.canRead()) {
+      task_ = in_.read(0);
+      int64_t pairs = pair_counts_[task_];
+      int64_t st = stages(std::max<int64_t>(pairs, 2));
+      total_stages_ += st;
+      cycles_left_ = static_cast<int64_t>(
+                         static_cast<double>(st) * pairs /
+                         cfg_.sort_pairs_per_cycle) +
+                     1 + cfg_.grid_overhead;
+      busy_ = true;
+    }
+  }
+  void clockApply() override {}
+  int64_t busy_cycles() const { return busy_cycles_; }
+  int64_t total_stages() const { return total_stages_; }
+  void printStats(FILE* f) const override {
+    fprintf(f, "  sort_unit: busy=%lld stalled=%lld stages=%lld\n",
+            static_cast<long long>(busy_cycles_),
+            static_cast<long long>(stall_cycles_),
+            static_cast<long long>(total_stages_));
+  }
+
+ private:
+  Fifo<int64_t>& in_;
+  Fifo<int64_t>& out_;
+  SimConfig cfg_;
+  const int64_t* pair_counts_;
+  bool busy_ = false;
+  int64_t task_ = 0, cycles_left_ = 0;
+  int64_t busy_cycles_ = 0, stall_cycles_ = 0, total_stages_ = 0;
+};
+
 // Output DMA engine: drains finished tiles back to HBM (replaces
 // PEMerger's block-granular writes, SimOuterSPACE.cpp:554-606).
 class OutDma : public Module {
@@ -620,6 +694,60 @@ KernelTiming simulate_kernel_cached(const SimConfig& cfg, int64_t ntasks,
   return t;
 }
 
+struct MergeTiming {
+  int64_t cycles = 0;
+  int64_t sort_cycles = 0;
+  double sort_util = 0.0;
+  int64_t total_stages = 0;
+};
+
+// Cycle-stepped MERGE-phase pipeline: InDma (padded pair stream, 8 B
+// per (u32 key, f32 value) pair) → SortUnit → epilogue ComputeUnit
+// (segmented sum + unpack, one VPU op per pair) → OutDma (merged CSR
+// rows). Deliberately NO block cache in this wiring — parity with the
+// reference's phase reconfiguration, whose merge machine dropped the
+// L0 caches and went PEMerger → crossbar → DRAM directly
+// (SimOuterSPACE.cpp:800-857 vs :721-798). Each "task" is one
+// row-partition part of the sort (ops/spgemm.py plan_tiled_parts /
+// sched/gplanner.py row_partition); parts are pipelined through the
+// stages like the real device pipelines async part dispatches.
+MergeTiming simulate_merge(const SimConfig& cfg, int64_t nparts,
+                           const int64_t* pair_counts,
+                           const int64_t* out_bytes) {
+  Module::clearAll();
+  Hbm hbm(cfg);
+  Fifo<int64_t> vmem_in("vmem_in", 2);
+  Fifo<int64_t> sorted("sorted", 2);
+  Fifo<int64_t> vmem_out("vmem_out", 2);
+  std::vector<int64_t> in_bytes(nparts), epi_flops(nparts);
+  for (int64_t p = 0; p < nparts; ++p) {
+    in_bytes[p] = pair_counts[p] * 8;
+    epi_flops[p] = pair_counts[p];
+  }
+  InDma in_dma(hbm, vmem_in, cfg, nparts, in_bytes.data());
+  SortUnit sort(vmem_in, sorted, cfg, pair_counts);
+  ComputeUnit epilogue(sorted, vmem_out, cfg, epi_flops.data(),
+                       /*use_mxu=*/false);
+  OutDma out_dma(hbm, vmem_out, cfg, nparts, out_bytes);
+
+  MergeTiming t;
+  if (nparts == 0) return t;
+  const int64_t kMaxCycles = int64_t(1) << 40;
+  int64_t cycle = 0;
+  while (!out_dma.all_retired()) {
+    Module::updateAll();
+    maybeDumpStats(cycle);
+    if (++cycle > kMaxCycles)
+      throw std::runtime_error("perfsim: no forward progress (merge)");
+  }
+  t.cycles = cycle;
+  t.sort_cycles = sort.busy_cycles();
+  t.sort_util =
+      cycle > 0 ? static_cast<double>(t.sort_cycles) / cycle : 0.0;
+  t.total_stages = sort.total_stages();
+  return t;
+}
+
 }  // namespace
 
 extern "C" {
@@ -652,6 +780,7 @@ void osp_sim_get_config(double* vals) {
   vals[4] = g_cfg.vpu_lanes;
   vals[5] = g_cfg.mxu_ops_per_cycle;
   vals[6] = g_cfg.grid_overhead;
+  vals[7] = g_cfg.sort_pairs_per_cycle;
 }
 
 void osp_sim_set_config(const double* vals) {
@@ -662,6 +791,7 @@ void osp_sim_set_config(const double* vals) {
   if (vals[4] >= 0) g_cfg.vpu_lanes = vals[4];
   if (vals[5] >= 0) g_cfg.mxu_ops_per_cycle = vals[5];
   if (vals[6] >= 0) g_cfg.grid_overhead = static_cast<int>(vals[6]);
+  if (vals[7] >= 0) g_cfg.sort_pairs_per_cycle = vals[7];
 }
 
 // Uniform-task convenience wrapper.
@@ -699,6 +829,24 @@ int64_t osp_sim_kernel_cached(int64_t ntasks, const int64_t* in_bytes,
     stats[7] = static_cast<double>(t.hbm_stalls[1]);
     stats[8] = static_cast<double>(t.hbm_stalls[2]);
     stats[9] = static_cast<double>(t.hbm_contended);
+  }
+  return t.cycles;
+}
+
+// Merge-phase event model: nparts row-partition parts, each a padded
+// (key, value) pair stream of pair_counts[p] pairs sorted then swept by
+// the epilogue and written back as out_bytes[p]. stats (if non-null)
+// receives [sort_util, sort_busy_cycles, total_stages]. Returns total
+// cycles (the cycle-accurate counterpart of roofline.predict_merge_time,
+// as the reference ran simulateOuterSPACEMerge next to its analytical
+// merge model, SimOuterSPACE.cpp:859-875).
+int64_t osp_sim_merge(int64_t nparts, const int64_t* pair_counts,
+                      const int64_t* out_bytes, double* stats) {
+  MergeTiming t = simulate_merge(g_cfg, nparts, pair_counts, out_bytes);
+  if (stats) {
+    stats[0] = t.sort_util;
+    stats[1] = static_cast<double>(t.sort_cycles);
+    stats[2] = static_cast<double>(t.total_stages);
   }
   return t.cycles;
 }

@@ -95,6 +95,14 @@ def load(build: bool = True):
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
         ]
+    if hasattr(lib, "osp_sim_merge"):
+        lib.osp_sim_merge.restype = ctypes.c_int64
+        lib.osp_sim_merge.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
     if hasattr(lib, "osp_sim_set_config"):
         lib.osp_sim_set_config.restype = None
         lib.osp_sim_set_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
@@ -130,6 +138,7 @@ _CFG_KEYS = (
     "vpu_lanes",
     "mxu_ops_per_cycle",
     "grid_overhead",
+    "sort_pairs_per_cycle",
 )
 
 
@@ -277,6 +286,51 @@ def simulate_expand_cached(
     )
     out["seconds"] = out["cycles"] / clock_hz
     return out
+
+
+def simulate_merge_parts(
+    pair_counts,
+    out_bytes=None,
+    clock_hz: float = 0.94e9,
+) -> dict:
+    """Cycle-stepped MERGE-phase prediction: one row-partition part per
+    task, each a padded (key, value) pair stream pulled from HBM, sorted
+    by the comparison-network SortUnit (stages = log2(L)^2 at the
+    calibrated pair-stage rate), swept by the VPU epilogue and written
+    back — the event-model counterpart of
+    ``roofline.predict_merge_time``, with NO block cache in the wiring
+    (the reference's merge machine dropped its L0 caches between phases,
+    SimOuterSPACE.cpp:800-857).
+
+    ``pair_counts`` is the per-part padded stream length;``out_bytes``
+    defaults to the full stream (8 B/pair) as the upper bound when the
+    merged nnz is unknown. Returns dict(cycles, seconds, sort_util,
+    sort_busy_cycles, total_stages).
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_merge"):
+        raise RuntimeError("native perfsim not built (make -C csrc)")
+    pc = np.ascontiguousarray(pair_counts, dtype=np.int64)
+    if out_bytes is None:
+        ob = pc * 8
+    else:
+        ob = np.ascontiguousarray(out_bytes, dtype=np.int64)
+    if ob.shape != pc.shape:
+        raise ValueError("out_bytes must match pair_counts in shape")
+    stats = (ctypes.c_double * 3)(0.0, 0.0, 0.0)
+    cycles = lib.osp_sim_merge(
+        pc.shape[0],
+        pc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        stats,
+    )
+    return dict(
+        cycles=int(cycles),
+        seconds=int(cycles) / clock_hz,
+        sort_util=float(stats[0]),
+        sort_busy_cycles=int(stats[1]),
+        total_stages=int(stats[2]),
+    )
 
 
 def fifo_selftest() -> int:

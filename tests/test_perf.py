@@ -351,3 +351,52 @@ def test_microbench_suite_smoke():
         "rank_trick_probes",
     ):
         assert key in res and np.isfinite(res[key])
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="libouterspace.so not built")
+class TestEventModelMerge:
+    """Cycle-stepped merge-phase model (osp_sim_merge): the counterpart
+    of the reference running simulateOuterSPACEMerge beside its
+    analytical merge model (SimOuterSPACE.cpp:859-875)."""
+
+    def test_monotone_in_stream(self):
+        a = native.simulate_merge_parts([1 << 20])
+        b = native.simulate_merge_parts([1 << 24])
+        assert b["cycles"] > a["cycles"] > 0
+        assert b["total_stages"] > a["total_stages"]
+
+    def test_parts_beat_one_sort(self):
+        # The row-partition motivation: P parts of L/P pairs pay fewer
+        # comparison-network stages in total than one L-pair sort.
+        L = 1 << 24
+        one = native.simulate_merge_parts([L])
+        five = native.simulate_merge_parts([L // 5] * 5)
+        assert five["cycles"] < one["cycles"]
+
+    def test_calibration_anchor(self):
+        # Measured on chip (round-2/4 single-sort series): 2.07 ns/pair
+        # at 32M pairs. The model must land within 25% of the anchor.
+        L = 33_554_432
+        r = native.simulate_merge_parts([L])
+        ns_per_pair = r["seconds"] * 1e9 / L
+        assert 2.07 * 0.75 < ns_per_pair < 2.07 * 1.25
+
+    def test_sort_dominates_pipeline(self):
+        # The measured pipeline is sort-bound; the model must agree
+        # (sort busy most of the run at A2-suite part sizes).
+        r = native.simulate_merge_parts([4 << 20] * 4)
+        assert r["sort_util"] > 0.8
+
+    def test_sort_rate_config_knob(self):
+        L = 1 << 22
+        slow = native.simulate_merge_parts([L])
+        native.set_config(sort_pairs_per_cycle=3000.0)
+        try:
+            fast = native.simulate_merge_parts([L])
+        finally:
+            native.set_config(**native.CALIBRATED_CONFIG)
+        assert fast["cycles"] < slow["cycles"]
+
+    def test_out_bytes_shape_mismatch(self):
+        with pytest.raises(ValueError):
+            native.simulate_merge_parts([1024, 2048], out_bytes=[8192])
