@@ -26,7 +26,10 @@ scatter-broadcast ~1.7 ms per 196K→917K lane (XLA does NOT fuse
 same-index scatters), pair-gather 16.3 ms per 917K uniform-random
 fetches from a 196K×2 table (sorted indices do NOT help; single-lane
 6.6 ms), LOCF fill (18 passes, 2 lanes) 0.28 ms, two-sort rank pass
-0.40 ms vs 2.1-7.8 ms for an m+1-probe searchsorted.
+0.40 ms vs 2.1-7.8 ms for an m+1-probe searchsorted. Round-10: the
+single-lane u64 packed sort is 22% slower than the 2-lane (u32, f32)
+sort (1.15 vs 0.94 ns/pair @ 4.2M) — emulated 64-bit comparators lose
+more than the dropped value lane saves, so the merge stays 2-lane.
 """
 
 from __future__ import annotations
@@ -125,6 +128,32 @@ def suite(p: int = 917_504, e: int = 196_608, m: int = 16_384,
         return (ks, vs)
 
     out["sort2_p"] = chain_time(sort2, (kP, vP), k=k, floor=floor)
+
+    # Single-lane u64 packed sort (key<<32 | val bits) — the one lane
+    # layout not covered by the earlier negative results. Measured on
+    # v5e (2026-08, 4.2M pairs): 1.15 ns/pair vs 0.94 for the 2-lane
+    # (u32, f32) sort — 22% SLOWER; 64-bit comparators are emulated as
+    # 32-bit word pairs on the VPU, costing more than the second
+    # value-lane permutation saves. Recorded so the merge keeps the
+    # 2-lane layout on evidence, not assumption.
+    with jax.enable_x64():
+        pk = jnp.asarray(
+            (np.asarray(rng.integers(0, 2**30, size=p), np.uint64)
+             << np.uint64(32))
+            | rng.random(p, dtype=np.float32).view(np.uint32).astype(
+                np.uint64
+            )
+        )
+
+        def sort1(st):
+            (a,) = st
+            ks = jax.lax.sort(
+                (a ^ opaque_zero(a).astype(a.dtype),),
+                num_keys=1, is_stable=False,
+            )[0]
+            return (ks,)
+
+        out["sort1_u64_p"] = chain_time(sort1, (pk,), k=k, floor=floor)
 
     def scat1(st):
         acc = st[0]
