@@ -68,7 +68,7 @@ def cmd_spgemm(args) -> int:
         # output-row owner, local Pallas expand + merge per device. On
         # a 1-chip/CPU host, request virtual devices with
         # XLA_FLAGS=--xla_force_host_platform_device_count=N.
-        return _cmd_spgemm_sharded(args, a_csc, b_csr, m1, m2)
+        return _cmd_spgemm_sharded(args, a_csc, b_csr)
 
     flops = spgemm_flops(a_csc, b_csr)
     plan = expansion_plan(a_csc, b_csr)
@@ -264,7 +264,7 @@ def cmd_nn(args) -> int:
     return 0
 
 
-def _cmd_spgemm_sharded(args, a_csc, b_csr, m1, m2) -> int:
+def _cmd_spgemm_sharded(args, a_csc, b_csr) -> int:
     """``spgemm --mesh KX[,NY]``: the multi-chip pipeline end to end —
     plan, run under shard_map over a (kx × ny) device mesh, assemble,
     and report. The multiply→merge exchange (the machine's whole point
@@ -280,7 +280,17 @@ def _cmd_spgemm_sharded(args, a_csc, b_csr, m1, m2) -> int:
         spgemm_sharded_tiled,
     )
 
-    dims = [int(x) for x in str(args.mesh).split(",")]
+    try:
+        dims = [int(x) for x in str(args.mesh).split(",")]
+    except ValueError:
+        dims = []
+    if not 1 <= len(dims) <= 2 or any(d < 1 for d in dims):
+        print(
+            f"bad --mesh {args.mesh!r}: expected KX or KX,NY "
+            "(positive integers, e.g. --mesh 4,2)",
+            file=sys.stderr,
+        )
+        return 2
     kx = dims[0]
     ny = dims[1] if len(dims) > 1 else 1
     ndev = len(jax.devices())
@@ -348,6 +358,11 @@ def cmd_graph(args) -> int:
                 report.get("elem_pad") or report["nnz_pad"],
             )
             print(f"analytical model: {pred * 1e3:.1f} ms")
+        elif report.get("fast_path") is False:
+            # sizing-budget violation: the measured time came from the
+            # exact stepwise chain, which the fused-chain model does
+            # not describe — no prediction rather than a wrong one
+            print("analytical model: n/a (stepwise fallback ran)")
         print(f"mcl: {len(clusters)} clusters ({dt * 1e3:.1f} ms)")
     return 0
 

@@ -603,6 +603,10 @@ def _mcl_iteration(
            <= 0.01 * p_f + 1024.0)
     )
     p_clamped = jnp.clip(p_total, 0, p_pad)
+    if join not in ("auto", "fill", "gather"):
+        raise ValueError(
+            f"join={join!r}: expected 'auto', 'fill', or 'gather'"
+        )
     if join == "auto":
         join = "fill" if _fill_pack_ok(elem_pad, m) else "gather"
     if join == "fill":

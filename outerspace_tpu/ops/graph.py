@@ -267,18 +267,25 @@ def markov_cluster(
             flow, inflation=inflation, iters=iters,
             prune_threshold=prune_threshold,
         )
+        # Snapshot budgets BEFORE the run: mcl_run's ok-violation
+        # fallback doubles them for the NEXT call, and the doubled
+        # values describe buffers no run used — reporting them would
+        # corrupt the analytical-vs-measured cross-check.
+        budgets = {k: prep.get(k)
+                   for k in ("p_pad", "p_pads", "elem_pad", "nnz_pad")}
         out = mcl_run(prep)
         if report is not None:
             # staged budgets for the caller's analytical cross-check
             # (the graph CLI prints predicted next to measured — the
             # reference's always-print-both-models contract)
+            fell_back = prep.get("p_pad") != budgets["p_pad"]
             report.update(
-                p_pad=prep.get("p_pad"),
-                p_pads=prep.get("p_pads"),
-                elem_pad=prep.get("elem_pad"),
-                nnz_pad=prep.get("nnz_pad"),
-                iters=iters,
+                budgets, iters=iters, fast_path=not fell_back,
             )
+            if fell_back:
+                # the measured time came from the exact stepwise chain,
+                # which the fused-chain model does not describe
+                report["p_pad"] = None
         return out.to_csr()
 
     def mult(a, b):

@@ -29,17 +29,21 @@ def _lib_path() -> str:
 
 
 def build_native(force: bool = False) -> bool:
-    """Build libouterspace.so with make; returns availability."""
+    """Build libouterspace.so with make; returns availability.
+
+    Always invokes make (the Makefile's ``$(TARGET): $(SOURCES)`` rule
+    makes a fresh build a no-op) so a stale prebuilt .so can never
+    shadow newer csrc sources — a stale lib would make feature probes
+    (``hasattr(lib, 'osp_sim_merge')`` etc.) silently disable newer
+    entry points. If make is unavailable, an existing .so is still
+    accepted (callers probe per-symbol availability)."""
     path = _lib_path()
-    if os.path.exists(path) and not force:
-        return True
     csrc = os.path.dirname(path)
+    cmd = ["make", "-C", csrc] + (["--always-make"] if force else [])
     try:
-        subprocess.run(
-            ["make", "-C", csrc], check=True, capture_output=True, text=True
-        )
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return os.path.exists(path) and not force
     return os.path.exists(path)
 
 
@@ -48,8 +52,8 @@ def load(build: bool = True):
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_lib_path()) and build:
-        build_native()
+    if build:
+        build_native()  # no-op when the .so is newer than the sources
     if not os.path.exists(_lib_path()):
         return None
     lib = ctypes.CDLL(_lib_path())

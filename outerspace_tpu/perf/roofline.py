@@ -157,10 +157,11 @@ def predict_mcl_time(
     measured time, the reference's always-print-both-models contract
     (``SimOuterSPACE.cpp:859-875``)."""
     L1 = nnz_stage1_stream or p_stage1
-    t = predict_spgemm_time(p_stage1, elem_pad, elem_pad, cfg)
     if stage1_parts > 1:
         t = predict_multiply_time(p_stage1, elem_pad, elem_pad, cfg)
         t += predict_merge_time(p_stage1, cfg, parts=stage1_parts)
+    else:
+        t = predict_spgemm_time(p_stage1, elem_pad, elem_pad, cfg)
     # stage-1 compaction: one blk-deep batched sort pass over the merged
     # stream (log²(8192) stages, VMEM-resident) + the short combine sort
     t += cfg.time(L1 * 13, L1 * 8 * 2 * 2.0, "vpu")

@@ -29,6 +29,18 @@ def load_library():
         return _LIB
     _TRIED = True
     path = os.path.abspath(_lib_path())
+    try:
+        # Refresh a stale .so (no-op when newer than the sources) so a
+        # prebuilt lib never shadows newer csrc entry points — the
+        # hasattr probes below would silently disable them otherwise.
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", os.path.dirname(path)],
+            check=False, capture_output=True, text=True,
+        )
+    except (OSError, FileNotFoundError):
+        pass
     if not os.path.exists(path):
         return None
     try:

@@ -321,10 +321,9 @@ def plan_gather(
     # A² parts: 87-88%, i.e. +12% on the pipeline-dominant sort stream;
     # product cuts only pay at true window limits).
     p0, owners, b_anchor = _cut_subtiles(cum, jb, jend, b_win)
-    banchor_l = b_anchor
     nsub = p0.shape[0]
     a_blk = owners // _BLK
-    b_blk = np.asarray(banchor_l, dtype=np.int64)
+    b_blk = b_anchor  # already int64 from _cut_subtiles
     plen = np.concatenate([p0[1:], [p_real]]) - p0
     assert int(plen.max(initial=0)) <= SUB_P
     # Anchored-search metadata: the anchor element's offset within the

@@ -307,6 +307,36 @@ class TestChain:
         assert not bool(np.asarray(ok_bad))
 
     @pytest.mark.slow
+    def test_markov_cluster_report_on_fallback(self, monkeypatch):
+        # an ok-violation doubles prep budgets for the NEXT call; the
+        # report must carry the PRE-run budgets with p_pad=None (the
+        # fused-chain model does not describe the stepwise chain that
+        # actually ran) and fast_path=False — and the output stays exact
+        from outerspace_tpu.ops import graph as G
+
+        g = rmat(8, edge_factor=8, seed=12)
+        ref = G.markov_cluster(g, iters=3, backend="scipy")
+        orig = G.mcl_prepare
+
+        def sabotaged(flow, **kw):
+            prep = orig(flow, **kw)
+            prep["elem_pad"] = 4096  # too small for the survivors
+            prep["p_pads"] = None    # single-size fast path
+            prep["blk_caps"] = None
+            prep.pop("program", None)
+            return prep
+
+        monkeypatch.setattr(G, "mcl_prepare", sabotaged)
+        report: dict = {}
+        out = G.markov_cluster(g, iters=3, backend="tpu", report=report)
+        assert report["fast_path"] is False
+        assert report["p_pad"] is None
+        assert out.nnz == ref.nnz
+        np.testing.assert_allclose(
+            out.to_dense(), ref.to_dense(), rtol=5e-4, atol=1e-5
+        )
+
+    @pytest.mark.slow
     def test_mcl_split_tail_matches_single_sort(self):
         # the 8-way split stage-1 compaction (L >= 16*elem_pad) and the
         # single-sort path must produce identical flows

@@ -17,6 +17,9 @@ from outerspace_tpu.perf.timer import Timer, time_device, timed
 
 native = pytest.importorskip("outerspace_tpu.perf.perfsim")
 HAVE_NATIVE = native.available()
+# Per-symbol probe: a lib built without make (no dependency check)
+# could predate osp_sim_merge — skip rather than fail on it.
+HAVE_MERGE_SIM = HAVE_NATIVE and hasattr(native.load(), "osp_sim_merge")
 
 
 class TestRoofline:
@@ -353,7 +356,8 @@ def test_microbench_suite_smoke():
         assert key in res and np.isfinite(res[key])
 
 
-@pytest.mark.skipif(not HAVE_NATIVE, reason="libouterspace.so not built")
+@pytest.mark.skipif(not HAVE_MERGE_SIM,
+                    reason="libouterspace.so lacks osp_sim_merge")
 class TestEventModelMerge:
     """Cycle-stepped merge-phase model (osp_sim_merge): the counterpart
     of the reference running simulateOuterSPACEMerge beside its
