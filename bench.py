@@ -107,6 +107,52 @@ def _per_op(ts: list[float], k: int) -> float:
     return max(best - _rpc_floor(), best * 0.05) / k
 
 
+def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
+    """Tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
+    degraded) seeds the workload-shedding degrade factor and leaves a
+    diagnostic stderr record so a thin capture is attributable to tunnel
+    health, not the framework.
+
+    Runs in a daemon thread with a bounded wait: on a healthy day it
+    lands well inside the cap and nothing changes, but a blocking probe
+    can eat most of the budget by itself on a degraded day (captured
+    live: a 411.6 s probe left 85 s for the whole suite while the very
+    next workload compile took a healthy 19.3 s — the bad window was
+    transient and the probe absorbed all of it). Past the cap the suite
+    proceeds with the cap as the degrade seed; the probe record is
+    emitted whenever the compile actually lands (or as
+    ``tunnel_probe_inflight_s`` at cap time)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    probe: dict = {"s": None}
+
+    def probe_fn():
+        _sync_scalar(
+            jax.jit(
+                lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1]
+            )(jnp.arange(131072, dtype=jnp.int32))
+        )
+        probe["s"] = time.perf_counter() - t0
+        print(
+            json.dumps({"tunnel_probe_compile_s": round(probe["s"], 1)}),
+            file=sys.stderr, flush=True,
+        )
+
+    th = threading.Thread(target=probe_fn, daemon=True)
+    th.start()
+    th.join(timeout=cap_s)
+    if probe["s"] is None:
+        print(
+            json.dumps({"tunnel_probe_inflight_s": cap_s}),
+            file=sys.stderr, flush=True,
+        )
+    return max(1.0, (probe["s"] or cap_s) / healthy_s)
+
+
 def _time_host(fn, reps: int = 3):
     t0 = time.perf_counter()
     fn()
@@ -571,26 +617,8 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
         "rmat16_ef8": 90.0,
         "mtx_rmat10_a2": 60.0,
     }
-    # tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
-    # degraded) seeds the degrade factor and leaves a diagnostic record
-    # so a thin capture is attributable to tunnel health, not the
-    # framework
-    import jax
-    import jax.numpy as jnp
-
-    t0 = time.perf_counter()
     _stage("tunnel_probe")
-    _sync_scalar(
-        jax.jit(
-            lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1]
-        )(jnp.arange(131072, dtype=jnp.int32))
-    )
-    probe_s = time.perf_counter() - t0
-    print(
-        json.dumps({"tunnel_probe_compile_s": round(probe_s, 1)}),
-        file=sys.stderr, flush=True,
-    )
-    degrade = max(1.0, probe_s / 12.0)
+    degrade = _tunnel_probe()
     for name, gen, exact, forced in workloads:
         # reserve ~80 s so the NN/triangle/MCL benches can still run
         est = est_base.get(name, 90.0) * degrade + 80.0

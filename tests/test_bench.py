@@ -129,6 +129,29 @@ class TestSizingCache:
         assert "p_pad" not in got and got["nnz_pad"] == 1024
 
 
+class TestTunnelProbe:
+    def test_probe_lands_within_cap(self, capsys):
+        # healthy path: the compile lands inside the cap, the factor is
+        # >= 1 and the diagnostic record is emitted
+        d = bench._tunnel_probe(cap_s=120.0)
+        assert d >= 1.0
+        assert "tunnel_probe_compile_s" in capsys.readouterr().err
+
+    def test_probe_capped_does_not_block(self, monkeypatch, capsys):
+        # degraded path: the suite must proceed after cap_s with the
+        # cap as the degrade seed instead of blocking for the whole
+        # bad window (a 411.6 s blocking probe once left 85 s for the
+        # entire suite)
+        import time as _t
+
+        monkeypatch.setattr(bench, "_sync_scalar", lambda x: _t.sleep(3.0))
+        t0 = _t.perf_counter()
+        d = bench._tunnel_probe(cap_s=0.3, healthy_s=0.1)
+        assert _t.perf_counter() - t0 < 2.5  # returned at the cap
+        assert d == pytest.approx(3.0)  # cap_s / healthy_s
+        assert "tunnel_probe_inflight_s" in capsys.readouterr().err
+
+
 class TestHeadline:
     def test_stalled_headline_attributes_stage(self, capsys):
         # the watchdog path names the in-flight stage so a thin capture
