@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from outerspace_tpu.formats import COO, BlockELL
@@ -73,6 +74,8 @@ def mlp_forward_spmm(
 ) -> np.ndarray:
     """Forward pass with block-ELL sparse weights × dense activations on
     the MXU: ``h' = (W_blockell @ hᵀ)ᵀ + b``."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # Pallas only runs interpreted off-TPU
     h = jnp.asarray(x, dtype=jnp.float32).reshape(x.shape[0], -1)
     layers = sorted(k for k in params.keys() if k.startswith("Dense"))
     from outerspace_tpu.ops.pallas.spmm_kernel import spmm
@@ -95,8 +98,6 @@ def lenet_forward_spgemm(
     for its simulator, ``get_mtx_files.py:117-133``), fc layers as
     act @ Wᵀ — all through the SpGEMM pipeline.
     """
-    import jax
-
     from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
 
     mult = spgemm if backend == "tpu" else spgemm_scipy
@@ -160,6 +161,8 @@ class SparseMLP:
             spmm_blockell_device,
         )
 
+        if jax.default_backend() == "cpu":
+            interpret = True  # Pallas only runs interpreted off-TPU
         self._interpret = interpret
         self._tn = tn
         self._spmm = spmm_blockell_device
@@ -178,8 +181,6 @@ class SparseMLP:
                     bias=jnp.asarray(params[name]["bias"]),
                 )
             )
-
-        import jax
 
         layers = self.layers
         spmm_dev = self._spmm
