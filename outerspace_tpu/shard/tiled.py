@@ -487,30 +487,18 @@ def _local_tiled_fn(
     bstart = jnp.searchsorted(key, jnp.asarray(boundaries)).astype(jnp.int32)
     starts = bstart[:-1].reshape(kx, chunks)
     ends = bstart[1:].reshape(kx, chunks)
-    total = key.shape[0]
-    lane = jnp.arange(capacity, dtype=jnp.int32)
+    from outerspace_tpu.shard.spgemm_sharded import _slice_fill_buckets
+
     # Chunked exchange+merge: chunk c+1's all_to_all has no dependency
     # on chunk c's merge, so the collective overlaps merge compute (and
     # every merge sorts a chunks× shorter stream). Outputs concatenate
     # in row order — chunk sub-ranges ascend within each owner.
     outs = []
     for c in range(chunks):
-        sk_l, sv_l = [], []
-        for o in range(kx):
-            s = starts[o, c]
-            e = ends[o, c]
-            # clamp so the window stays in bounds; the live mask is
-            # window-relative (the merge sorts the buffer, so where the
-            # live run sits inside the owner slot is irrelevant)
-            s0 = jnp.minimum(s, jnp.int32(total - capacity))
-            off = s - s0
-            sl_k = jax.lax.dynamic_slice(key, (s0,), (capacity,))
-            sl_v = jax.lax.dynamic_slice(val, (s0,), (capacity,))
-            live = (lane >= off) & (lane < off + (e - s))
-            sk_l.append(jnp.where(live, sl_k, _I32_MAX))
-            sv_l.append(jnp.where(live, sl_v, 0.0))
-        send_key = jnp.stack(sk_l)
-        send_val = jnp.stack(sv_l)
+        send_key, send_val = _slice_fill_buckets(
+            starts[:, c], ends[:, c], capacity, kx,
+            (key, _I32_MAX), (val, 0.0),
+        )
         recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
         recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
         outs.append(
