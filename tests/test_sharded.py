@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from outerspace_tpu.formats import COO, erdos_renyi, rmat
 from outerspace_tpu.ops.reference import assert_csr_allclose, spgemm_scipy
@@ -296,3 +297,65 @@ class TestShardedTiled:
                     c_bounds[j], c_bounds[j + 1],
                 ).nnz
         assert total == b.nnz
+
+
+class TestSliceFillBuckets:
+    """The exchange buffer fill: per-destination dynamic_slice copies
+    (the jnp.take/scatter fills measured ~13-15 ns/element on chip —
+    the random-access law — vs stream-rate contiguous slices)."""
+
+    def _reference_fill(self, starts, ends, capacity, arrs_dead):
+        # positionally-free reference: bucket d's live elements are
+        # stream[starts[d]:ends[d]] in order somewhere inside the slot,
+        # every other slot holds the dead value
+        outs = []
+        for arr, dead in arrs_dead:
+            buf = np.full((len(starts), capacity), dead, arr.dtype)
+            for d, (s, e) in enumerate(zip(starts, ends)):
+                buf[d, : e - s] = arr[s:e]
+            outs.append(buf)
+        return outs
+
+    def test_matches_reference_modulo_offset(self):
+        from outerspace_tpu.shard.spgemm_sharded import _slice_fill_buckets
+
+        rng = np.random.default_rng(5)
+        total, ndst, capacity = 1000, 4, 300
+        key = np.sort(rng.integers(0, 10_000, total)).astype(np.int32)
+        val = rng.random(total, dtype=np.float32)
+        starts = np.array([0, 250, 400, 900], np.int32)
+        ends = np.array([250, 400, 650, 1000], np.int32)  # lens <= cap
+        sk, sv = _slice_fill_buckets(
+            jnp.asarray(starts), jnp.asarray(ends), capacity, ndst,
+            (jnp.asarray(key), np.int32(2**31 - 1)),
+            (jnp.asarray(val), np.float32(0.0)),
+        )
+        rk, rv = self._reference_fill(
+            starts, ends, capacity, [(key, 2**31 - 1), (val, 0.0)]
+        )
+        # position inside the slot is free (downstream merges sort), so
+        # compare each slot's live multiset + dead count
+        for d in range(ndst):
+            got_k = np.sort(np.asarray(sk[d]))
+            want_k = np.sort(rk[d])
+            np.testing.assert_array_equal(got_k, want_k)
+            got_v = np.sort(np.asarray(sv[d]))
+            np.testing.assert_array_equal(got_v, np.sort(rv[d]))
+
+    def test_uses_slices_not_gathers(self):
+        # the fill must lower to dynamic_slice, never gather/scatter
+        from outerspace_tpu.shard.spgemm_sharded import _slice_fill_buckets
+
+        key = jnp.arange(512, dtype=jnp.int32)
+        val = jnp.ones(512, jnp.float32)
+        starts = jnp.array([0, 100], jnp.int32)
+        ends = jnp.array([100, 300], jnp.int32)
+        jaxpr = str(
+            jax.make_jaxpr(
+                lambda s, e, k, v: _slice_fill_buckets(
+                    s, e, 256, 2, (k, jnp.int32(0)), (v, jnp.float32(0.0))
+                )
+            )(starts, ends, key, val)
+        )
+        assert "dynamic_slice" in jaxpr
+        assert "gather" not in jaxpr and "scatter" not in jaxpr
