@@ -304,7 +304,10 @@ def _cmd_spgemm_sharded(args, a_csc, b_csr) -> int:
         return 2
     flops = spgemm_flops(a_csc, b_csr)
     t0 = time.perf_counter()
-    plan = shard_plan_tiled(a_csc, b_csr, kx=kx, ny=ny)
+    plan = shard_plan_tiled(
+        a_csc, b_csr, kx=kx, ny=ny,
+        exchange_chunks=max(int(args.chunks or 1), 1),
+    )
     t_plan = time.perf_counter() - t0
     mesh = make_mesh((kx, ny), ("x", "y"))
     out = spgemm_sharded_tiled(plan, mesh)  # compile + warm
@@ -393,6 +396,9 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default=None, metavar="KX[,NY]",
                    help="run the sharded SPMD pipeline over a KXxNY "
                         "device mesh (kx*ny must equal the device count)")
+    p.add_argument("--chunks", type=int, default=1,
+                   help="sharded exchange chunks (>1 overlaps all_to_all "
+                        "with merge compute on multi-chip meshes)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a Config field (e.g. --set waste_limit=3.0)")
     p.set_defaults(fn=cmd_spgemm)
