@@ -184,6 +184,31 @@ def suite(p: int = 917_504, e: int = 196_608, m: int = 16_384,
         gpair(js), (jnp.zeros(p, jnp.int32),), k=k, floor=floor
     )
 
+    # contiguous-bucket slice fill (the sharded exchange pattern): the
+    # per-destination dynamic_slice copy that replaced jnp.take fills —
+    # measure it beside the gathers so the ~stream-rate vs
+    # ~15 ns/element contrast stays a recorded fact
+    from outerspace_tpu.shard.spgemm_sharded import _slice_fill_buckets
+
+    ndst = 8
+    cap = max(256, (p // ndst) // 256 * 256 + 256)
+    fstarts = jnp.asarray(
+        np.linspace(0, max(p - cap, 0), ndst).astype(np.int32)
+    )
+    fends = jnp.minimum(fstarts + cap - 7, p)
+
+    def sfill(st):
+        acc = st[0]
+        sk, sv = _slice_fill_buckets(
+            fstarts + opaque_zero(acc), fends, cap, ndst,
+            (kP, jnp.int32(0)), (vP, jnp.float32(0.0)),
+        )
+        return (acc + sk.sum(),)
+
+    out["slice_fill_buckets"] = chain_time(
+        sfill, (jnp.zeros((), jnp.int32),), k=k, floor=floor
+    )
+
     def g1(st):
         acc = st[0]
         return (acc + ti[jnp.clip(jr + opaque_zero(acc), 0, e - 1)],)

@@ -350,8 +350,9 @@ def test_microbench_suite_smoke():
     res = suite(p=8192, e=2048, m=256, k=2)
     for key in (
         "sort2_p", "sort1_u64_p", "scatter_bcast_lane",
-        "pair_gather_random", "two_single_gathers_random",
-        "searchsorted_probes", "rank_trick_probes",
+        "slice_fill_buckets", "pair_gather_random",
+        "two_single_gathers_random", "searchsorted_probes",
+        "rank_trick_probes",
     ):
         assert key in res and np.isfinite(res[key])
 
