@@ -356,3 +356,21 @@ def test_plot_training_stats(tmp_path):
     assert len(paths) == 2
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_save_training_stats_reference_tuple_layout(tmp_path):
+    # the reference pickles (train_losses, train_accs, val_losses,
+    # val_accs) (util.py:27-37); the layout is the on-disk contract
+    import pickle
+
+    from outerspace_tpu.nn.train import save_training_stats
+
+    hist = {
+        "train_loss": [1.0, 0.5], "train_acc": [0.4, 0.8],
+        "val_loss": [1.1, 0.6], "val_acc": [0.35, 0.75],
+    }
+    p = str(tmp_path / "train_stats")
+    save_training_stats(p, hist)
+    with open(p, "rb") as f:
+        tup = pickle.load(f)
+    assert tup == ([1.0, 0.5], [0.4, 0.8], [1.1, 0.6], [0.35, 0.75])

@@ -405,3 +405,16 @@ class TestEventModelMerge:
     def test_out_bytes_shape_mismatch(self):
         with pytest.raises(ValueError):
             native.simulate_merge_parts([1024, 2048], out_bytes=[8192])
+
+
+def test_profiler_trace_smoke(tmp_path):
+    # the reference's per-100k-cycle stats dumps → jax.profiler traces;
+    # the context manager must start/stop cleanly and leave a trace dir
+    import jax.numpy as jnp
+
+    from outerspace_tpu.perf.timer import profiler_trace
+
+    logdir = str(tmp_path / "trace")
+    with profiler_trace(logdir):
+        _ = (jnp.arange(1024) * 2).sum()
+    assert os.path.isdir(logdir) and os.listdir(logdir)

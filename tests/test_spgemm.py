@@ -247,3 +247,14 @@ class TestBiasedKeys:
         c_packed = spgemm(g, g, strategy="tiles", packed=True, interpret=True)
         c_two = spgemm(g, g, strategy="tiles", packed=False, interpret=True)
         assert_csr_allclose(c_packed, c_two, rtol=1e-6)
+
+
+def test_spgemm_coo_matches_csr_api():
+    from outerspace_tpu.formats import erdos_renyi
+    from outerspace_tpu.ops.reference import compare_coo, spgemm_scipy
+    from outerspace_tpu.ops.spgemm import spgemm_coo
+
+    a = erdos_renyi(120, 120, 0.05, seed=41)
+    b = erdos_renyi(120, 120, 0.05, seed=42)
+    got = spgemm_coo(a, b)
+    assert compare_coo(got, spgemm_scipy(a, b).to_coo(), eps=1e-5)
