@@ -47,20 +47,6 @@ from outerspace_tpu.ops.symbolic import (
 from outerspace_tpu.shard.mesh import balanced_contiguous_partition
 
 
-def _pad_streams_to(capacity, r, c, v, sentinel_row):
-    """Sentinel-extend (r, c, v) so ``len >= capacity`` (dynamic_slice
-    needs size <= len). Sentinel rows are the key-space maximum, so
-    sorted order is preserved."""
-    if capacity <= r.shape[0]:
-        return r, c, v
-    ext = capacity - r.shape[0]
-    return (
-        jnp.concatenate([r, jnp.full((ext,), sentinel_row, r.dtype)]),
-        jnp.concatenate([c, jnp.zeros((ext,), c.dtype)]),
-        jnp.concatenate([v, jnp.zeros((ext,), v.dtype)]),
-    )
-
-
 def _slice_fill_buckets(starts, ends, capacity, ndst, *streams):
     """Fill (ndst, capacity) exchange buffers from owner-sorted streams
     with per-destination ``dynamic_slice`` copies — contiguous DMA at
@@ -69,20 +55,29 @@ def _slice_fill_buckets(starts, ends, capacity, ndst, *streams):
 
     ``starts``/``ends``: int32[ndst] bucket ranges into the streams
     (each range's length must be <= capacity).
-    ``streams``: (array, dead_value) pairs; dead slots (outside the
-    bucket's live run) get ``dead_value``. The live run lands at a
-    window-relative offset inside its destination slot — callers'
-    downstream merges sort the buffer, so position is irrelevant."""
-    total = streams[0][0].shape[0]
+    ``streams``: (array, dead_value) pairs; dead slots (past the
+    bucket's live run) get ``dead_value``. The live run lands
+    LEFT-ALIGNED in its destination slot with a dead-only tail — when
+    a key lane's dead value is the key-space maximum, a slot filled
+    from a sorted stream is itself sorted, so receivers can
+    searchsorted part boundaries straight into exchanged buckets
+    (the merge-partition pass relies on this)."""
     lane = jnp.arange(capacity, dtype=jnp.int32)
+    # Extend each stream by `capacity` dead values so a slice starting
+    # at any live position (starts <= len) stays in bounds without
+    # dynamic_slice's silent start-clamping shifting the window.
+    exts = [
+        jnp.concatenate(
+            [arr, jnp.full((capacity,), dead, arr.dtype)]
+        )
+        for arr, dead in streams
+    ]
     outs = [[] for _ in streams]
     for d in range(ndst):
         s = starts[d]
-        e = ends[d]
-        s0 = jnp.minimum(s, jnp.int32(total - capacity))
-        live = (lane >= s - s0) & (lane < (s - s0) + (e - s))
-        for oi, (arr, dead) in enumerate(streams):
-            sl = jax.lax.dynamic_slice(arr, (s0,), (capacity,))
+        live = lane < (ends[d] - s)
+        for oi, ((_, dead), ext) in enumerate(zip(streams, exts)):
+            sl = jax.lax.dynamic_slice(ext, (s,), (capacity,))
             outs[oi].append(jnp.where(live, sl, dead))
     return tuple(jnp.stack(o) for o in outs)
 
@@ -217,7 +212,6 @@ def _local_shard_fn(
     # law) for data a contiguous slice moves at stream rate. The live
     # mask is window-relative; the downstream merge sorts the buffer,
     # so the run's position inside the destination slot is irrelevant.
-    r, c, v = _pad_streams_to(capacity, r, c, v, sentinel_row)
     row_bounds = jnp.minimum(
         jnp.arange(1, ndev + 1, dtype=jnp.int32) * rows_per_dev,
         sentinel_row,
@@ -486,7 +480,6 @@ def _local_shard_fn_2d(
     r, c, v = jax.lax.sort((r, c, v), num_keys=1, is_stable=False)
     # Contiguous owner buckets → slice fill, never scatters (see the
     # 1-D variant for the measured random-access rationale).
-    r, c, v = _pad_streams_to(capacity, r, c, v, sentinel_row)
     row_bounds = jnp.minimum(
         jnp.arange(1, kx + 1, dtype=jnp.int32) * rows_per_dev,
         sentinel_row,

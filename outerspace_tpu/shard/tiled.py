@@ -111,8 +111,10 @@ class ShardedTiledPlan:
     kx: int
     ny: int
     rows_per_x: int  # output-row ownership granularity along "x"
-    capacity: int  # per-(src, dst, chunk) exchange bucket (mult. of 1024)
+    capacity: int  # per-(src, dst, chunk) exchange bucket (bucket grid)
     chunks: int  # exchange chunks per owner (see shard_plan_tiled)
+    merge_parts: int  # key-range parts per chunk merge (see shard_plan_tiled)
+    mcap: int  # per-(src, dst, chunk, part) merge-part bucket (bucket grid)
     max_run: int  # global duplicate bound (pow2)
     # Active tile classes (subset of TILE_A_CLASSES with any task):
     tile_as: tuple[int, ...]
@@ -131,8 +133,9 @@ class ShardedTiledPlan:
     g_table: np.ndarray | None  # int32[kx, ny, G, GROUP_SUBS, 128]
     g_apack: np.ndarray | None  # int32[kx, ny, NAB8, 8, 4, 128]
     g_bpack: np.ndarray | None  # int32[kx, ny, NBB8, 8, 2, 128]
-    recv_pad: np.ndarray  # int32[kx, ny, chunks] sentinels after exchange
+    recv_pad: np.ndarray  # int32[kx, ny, chunks, parts] sentinels after exchange
     boundaries: np.ndarray  # int32[kx*chunks+1] biased (owner, chunk) starts
+    mbounds: np.ndarray  # int32[kx, ny, chunks*parts+1] biased part starts
 
     @property
     def stream_len(self) -> int:
@@ -143,7 +146,7 @@ class ShardedTiledPlan:
 
     @property
     def merge_len(self) -> int:
-        return self.kx * self.capacity * self.chunks
+        return self.kx * self.mcap * self.merge_parts * self.chunks
 
 
 def shard_plan_tiled(
@@ -153,6 +156,7 @@ def shard_plan_tiled(
     ny: int = 1,
     waste_limit: float | None = None,
     exchange_chunks: int = 1,
+    merge_parts: int | None = None,
 ) -> ShardedTiledPlan:
     """Build the stacked per-device Pallas plan for a (kx × ny) grid.
 
@@ -168,7 +172,22 @@ def shard_plan_tiled(
     sort win measured on the single-chip pipeline: 8× L/8 pair-sorts at
     1.52 vs 2.35 ns/pair). Chunk boundaries respect row ownership, so
     output semantics are unchanged (per-device rows stay ascending
-    across concatenated chunk merges)."""
+    across concatenated chunk merges).
+
+    ``merge_parts`` key-range-partitions every chunk's post-exchange
+    merge WITHOUT touching the exchange: the received buffer is ``kx``
+    sorted segments (each sender's bucket is a left-aligned slice of
+    its sorted local stream), so per-part boundaries come from one
+    vmapped ``searchsorted`` and the part buffers fill with the same
+    slice-fill copies as the exchange itself — then each part sorts a
+    ``parts``× shorter stream. Unlike ``exchange_chunks`` this adds no
+    extra collectives, no send-side boundary searches, and no extra
+    receive buffers, so it captures the row-partition sort win (the
+    single-chip pipeline's 1.52-vs-2.35 ns/pair measurement) at merge
+    scale only. ``None`` auto-picks from the per-chunk merge stream
+    length via the shared :func:`~outerspace_tpu.sched.gplanner.
+    perf_part_count` rule (capped at 8 — parts unroll inside the one
+    SPMD program)."""
     if a_csc.shape[1] != b_csr.shape[0]:
         raise ValueError("inner dimensions differ")
     m, n = a_csc.shape[0], b_csr.shape[1]
@@ -217,7 +236,7 @@ def shard_plan_tiled(
     row_starts_all[-1] = m
 
     # ---- per-device planning (host, vectorised inner ops) ----
-    cps, gplans, b_slices, per_dst = {}, {}, {}, {}
+    cps, gplans, b_slices, per_dst, dst_inputs = {}, {}, {}, {}, {}
     for i in range(kx):
         k_lo, k_hi = int(k_bounds[i]), int(k_bounds[i + 1])
         a_sl = slice_a_columns(a_csc, k_lo, k_hi)
@@ -271,6 +290,9 @@ def shard_plan_tiled(
             per_dst[i, j] = np.bincount(
                 owners, weights=counts_e, minlength=kx * chunks
             ).astype(np.int64)
+            dst_inputs[i, j] = (
+                np.asarray(a_sl.indices, dtype=np.int64), counts_e
+            )
 
     # ---- common shapes across the grid ----
     from outerspace_tpu.ops.pallas.expand import (
@@ -376,15 +398,77 @@ def shard_plan_tiled(
         (int(per_dst[d].max()) for d in per_dst if per_dst[d].size),
         default=1,
     )
-    # Multiple of 1024 so kx·capacity keeps the pow2 chunk divisor the
-    # Pallas merge epilogue needs.
-    capacity = max(1024, -(-cap // 1024) * 1024)
-    incoming = np.zeros((kx, ny, chunks), np.int64)
-    for (i, j), pd in per_dst.items():
-        incoming[:, j, :] += pd.reshape(kx, chunks)
-    recv_pad = (kx * capacity - incoming).astype(np.int32)
+    # Bucket-grid rounding (NOT a flat 1024 granule): the merge stream
+    # length kx·capacity needs a LARGE pow2 divisor or the Pallas
+    # epilogue grid degrades to 1024-element blocks — measured on chip
+    # (rmat13, (1,1) mesh, same session): capacity 6233088 = 2^10·odd
+    # ran 22.7 ms/op vs 18.0 at 6291456 = 3·2^21, and the same ~5 ms
+    # held at every merge_parts (mp=4: 21.5 → 16.8). round_up_bucket
+    # values are 2^k·{1,1.25,1.5,1.75}, i.e. divisible by ≥ n/16, with
+    # padding waste ≤ 25%.
+    capacity = round_up_bucket(cap, min_size=1024)
+
+    # Merge-partition count: per-chunk merge stream = kx·capacity pairs;
+    # target ~2M pairs/part — the measured optimum for the sharded
+    # merge (rmat13 (1,1) sweep, 64K-rounded buffers: mp=1 18.0, mp=2
+    # 19.0, mp=3 15.9, mp=4 16.8, mp=5 17.5, mp=8 16.5 ms/op), finer
+    # than the single-chip pipeline's ~3.7M/part because each part
+    # also pays an mcap-padded slice fill here.
+    if merge_parts is None:
+        from outerspace_tpu.sched.gplanner import perf_part_count
+
+        mparts = perf_part_count(
+            float(kx) * capacity, max_part_products=2 << 20, part_cap=8
+        )
+    else:
+        mparts = max(1, int(merge_parts))
+
+    # Fine (owner, chunk, part) row starts + exact per-destination
+    # counts at part granularity (mcap bounds every received part run).
+    if mparts > 1:
+        row_fine = np.empty(kx * chunks * mparts + 1, dtype=np.int64)
+        for b in range(kx * chunks):
+            lo = int(row_starts_all[b])
+            hi = int(row_starts_all[b + 1])
+            sub = (
+                balanced_contiguous_partition(prod_row[lo:hi], mparts) + lo
+            )
+            row_fine[b * mparts : (b + 1) * mparts] = sub[:-1]
+        row_fine[-1] = m
+        mcap_real = 1
+        incoming_f = np.zeros((kx, ny, chunks, mparts), np.int64)
+        for (i, j), (rows_e, counts_e) in dst_inputs.items():
+            if rows_e.size == 0:
+                continue
+            of = np.searchsorted(row_fine, rows_e, side="right") - 1
+            pdf = np.bincount(
+                of, weights=counts_e, minlength=kx * chunks * mparts
+            ).astype(np.int64)
+            mcap_real = max(mcap_real, int(pdf.max()))
+            incoming_f[:, j] += pdf.reshape(kx, chunks, mparts)
+        mcap = round_up_bucket(mcap_real, min_size=1024)
+    else:
+        row_fine = row_starts_all
+        mcap = capacity
+        incoming_f = np.zeros((kx, ny, chunks, 1), np.int64)
+        for (i, j), pd in per_dst.items():
+            incoming_f[:, j, :, 0] += pd.reshape(kx, chunks)
+    recv_pad = (kx * mcap - incoming_f).astype(np.int32)
 
     boundaries = _pack_u32_biased(row_starts_all * n)
+    # Device d's part boundaries: its own (chunk, part) row starts plus
+    # the closing bound — consecutive devices share interior points, so
+    # this is a sliding window over the fine table, not a reshape.
+    fine_b = _pack_u32_biased(row_fine * n)
+    per_dev = np.stack(
+        [
+            fine_b[d * chunks * mparts : (d + 1) * chunks * mparts + 1]
+            for d in range(kx)
+        ]
+    )
+    mbounds = np.broadcast_to(
+        per_dev[:, None, :], (kx, ny, chunks * mparts + 1)
+    ).copy()
 
     max_run = int(
         np.bincount(
@@ -395,7 +479,8 @@ def shard_plan_tiled(
 
     plan = ShardedTiledPlan(
         m=m, n=n, kx=kx, ny=ny, rows_per_x=rows_per_x,
-        capacity=capacity, chunks=chunks, max_run=max_run,
+        capacity=capacity, chunks=chunks, merge_parts=mparts,
+        mcap=mcap, max_run=max_run,
         tile_as=tile_as, class_T=class_T, nblocks=nblocks,
         ngroups=ngroups, b_win=B_WIN,
         class_tasks=class_tasks, class_arow=class_arow,
@@ -403,7 +488,7 @@ def shard_plan_tiled(
         b_cols_blk=b_cols_blk, b_vals_blk=b_vals_blk,
         g_bases=g_bases, g_table=g_table,
         g_apack=g_apack, g_bpack=g_bpack,
-        recv_pad=recv_pad, boundaries=boundaries,
+        recv_pad=recv_pad, boundaries=boundaries, mbounds=mbounds,
     )
     if plan.stream_len >= 2**31:
         raise ValueError(
@@ -424,6 +509,8 @@ def _local_tiled_fn(
     kx,
     capacity,
     chunks,
+    merge_parts,
+    mcap,
     boundaries,
     max_run,
     axis,
@@ -432,7 +519,7 @@ def _local_tiled_fn(
     """Per-device SPMD program (leading [1, 1] dims stripped). ``args``
     layout: per-class (tasks, arow, aval) triples, then (b_cols_blk,
     b_vals_blk) if any class is active, then (bases, table, a_pack,
-    b_pack) if a gather residue exists, then recv_pad."""
+    b_pack) if a gather residue exists, then mbounds and recv_pad."""
     it = iter(args)
     keys_l, vals_l = [], []
     class_args = [
@@ -446,6 +533,7 @@ def _local_tiled_fn(
         g_table = next(it)[0, 0]
         g_apack = next(it)[0, 0]
         g_bpack = next(it)[0, 0]
+    mbounds = next(it)[0, 0]
     recv_pad = next(it)[0, 0]
 
     from outerspace_tpu.ops.pallas.expand import expand_tiles_packed
@@ -478,12 +566,6 @@ def _local_tiled_fn(
     # random-access law), ~185 ms of a 204 ms rmat13 (1,1)-mesh run,
     # while the slice fill is stream-rate.
     key, val = jax.lax.sort((key, val), num_keys=1, is_stable=False)
-    if capacity > key.shape[0]:
-        # dynamic_slice needs size <= len; sentinel-extend (sorted
-        # order is preserved — sentinels are the key-space maximum)
-        ext = capacity - key.shape[0]
-        key = jnp.concatenate([key, jnp.full((ext,), _I32_MAX, key.dtype)])
-        val = jnp.concatenate([val, jnp.zeros((ext,), val.dtype)])
     bstart = jnp.searchsorted(key, jnp.asarray(boundaries)).astype(jnp.int32)
     starts = bstart[:-1].reshape(kx, chunks)
     ends = bstart[1:].reshape(kx, chunks)
@@ -501,14 +583,43 @@ def _local_tiled_fn(
         )
         recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
         recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
-        outs.append(
-            merge_biased_keys(
-                recv_key.reshape(-1), recv_val.reshape(-1), n_cols,
-                sentinel_row, max_run, pad_count=recv_pad[c],
-                interpret=interpret,
+        if merge_parts == 1:
+            outs.append(
+                merge_biased_keys(
+                    recv_key.reshape(-1), recv_val.reshape(-1), n_cols,
+                    sentinel_row, max_run, pad_count=recv_pad[c, 0],
+                    interpret=interpret,
+                )
             )
-        )
-    if chunks == 1:
+            continue
+        # Key-range-partitioned merge: every received row is a SORTED
+        # bucket (the slice fill left-aligns a slice of the sender's
+        # sorted stream, dead tail = key-space max), so one vmapped
+        # searchsorted locates every part's run in every segment and
+        # the part buffers fill with the same slice copies as the
+        # exchange — each part then sorts a merge_parts× shorter
+        # stream (the measured 1.52-vs-2.35 ns/pair row-partition
+        # win) with no extra collectives or send-side searches.
+        bounds_c = mbounds[c * merge_parts : (c + 1) * merge_parts + 1]
+        pos = jax.vmap(
+            lambda seg: jnp.searchsorted(seg, bounds_c, side="left")
+        )(recv_key).astype(jnp.int32)  # [kx, parts+1]
+        rk = recv_key.reshape(-1)
+        rv = recv_val.reshape(-1)
+        base = jnp.arange(kx, dtype=jnp.int32) * jnp.int32(capacity)
+        for r in range(merge_parts):
+            pk, pv = _slice_fill_buckets(
+                base + pos[:, r], base + pos[:, r + 1], mcap, kx,
+                (rk, _I32_MAX), (rv, 0.0),
+            )
+            outs.append(
+                merge_biased_keys(
+                    pk.reshape(-1), pv.reshape(-1), n_cols,
+                    sentinel_row, max_run, pad_count=recv_pad[c, r],
+                    interpret=interpret,
+                )
+            )
+    if len(outs) == 1:
         mr, mc, mv, mvalid, nnz = outs[0]
     else:
         mr, mc, mv, mvalid = (
@@ -558,6 +669,8 @@ def build_sharded_tiled(
             jnp.asarray(plan.g_apack), jnp.asarray(plan.g_bpack),
         ]
         in_specs += [spec] * 4
+    args.append(jnp.asarray(plan.mbounds))
+    in_specs.append(spec)
     args.append(jnp.asarray(plan.recv_pad))
     in_specs.append(spec)
 
@@ -572,6 +685,8 @@ def build_sharded_tiled(
         kx=plan.kx,
         capacity=plan.capacity,
         chunks=plan.chunks,
+        merge_parts=plan.merge_parts,
+        mcap=plan.mcap,
         boundaries=np.asarray(plan.boundaries),
         max_run=plan.max_run,
         axis=ax,
