@@ -868,6 +868,58 @@ def bench_mcl() -> dict:
     return rec
 
 
+def bench_sharded() -> dict:
+    """The SPMD sharded-tiled pipeline on a (1,1) mesh — the one real
+    chip runs the full multi-chip program (per-device Pallas expand,
+    local owner-bucket sort, slice-fill exchange buffers, all_to_all,
+    key-range-partitioned merges), so the exchange machinery's overhead
+    vs the single-chip pipeline is measured on hardware every round.
+    The reference's whole point is the multiply→merge DRAM exchange
+    (``SimOuterSPACE.cpp:721-857``); this is its device-mesh analogue
+    under ``shard_map``."""
+    import jax
+
+    from outerspace_tpu.formats import rmat
+    from outerspace_tpu.ops.reference import spgemm_scipy
+    from outerspace_tpu.shard import make_mesh
+    from outerspace_tpu.shard.tiled import build_sharded_tiled, shard_plan_tiled
+
+    g = rmat(13, edge_factor=8, seed=7)
+    t0 = time.perf_counter()
+    plan = shard_plan_tiled(g.to_csc(), g.to_csr(), kx=1, ny=1)
+    t_plan = time.perf_counter() - t0
+    mesh = make_mesh((1,), ("x",))
+    fn, args = build_sharded_tiled(plan, mesh, axes="x")
+    K = 10
+    with mesh:
+        jfn = jax.jit(fn)
+        out = jfn(*args)
+        nnz_tpu = int(np.asarray(out[4]).sum())  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = jfn(*args)
+            _sync_scalar(np.asarray(out[4]).ravel()[0])
+            ts.append(time.perf_counter() - t0)
+    t_tpu = _per_op(ts, K)
+    t_cpu = _time_host(lambda: spgemm_scipy(g, g), reps=2)
+    nnz_cpu = spgemm_scipy(g, g).nnz
+    rec = dict(
+        name="sharded_rmat13_1x1",
+        t_tpu_s=round(t_tpu, 5),
+        rpc_floor_s=round(_rpc_floor(), 4),
+        t_plan_s=round(t_plan, 3),
+        t_scipy_s=round(t_cpu, 5),
+        speedup_vs_scipy=round(t_cpu / t_tpu, 3),
+        merge_parts=plan.merge_parts,
+        capacity=plan.capacity,
+        nnz_exact=bool(nnz_tpu == nnz_cpu),
+    )
+    _emit(rec)
+    return rec
+
+
 _HEADLINE_LOCK = threading.Lock()
 
 
@@ -944,6 +996,8 @@ def main() -> None:
             # sizes + the split tail); starting it with less head-room
             # risks the hard process timeout mid-run
             (130, "mcl_rmat14_4iter", bench_mcl),
+            # last: useful but never displaces the aux benches above
+            (45, "sharded_rmat13_1x1", bench_sharded),
         ):
             if _time_left() > gate:
                 _stage(name)
