@@ -307,6 +307,7 @@ def _cmd_spgemm_sharded(args, a_csc, b_csr) -> int:
     plan = shard_plan_tiled(
         a_csc, b_csr, kx=kx, ny=ny,
         exchange_chunks=max(int(args.chunks or 1), 1),
+        merge_parts=args.merge_parts,
     )
     t_plan = time.perf_counter() - t0
     mesh = make_mesh((kx, ny), ("x", "y"))
@@ -399,6 +400,10 @@ def main(argv=None) -> int:
     p.add_argument("--chunks", type=int, default=1,
                    help="sharded exchange chunks (>1 overlaps all_to_all "
                         "with merge compute on multi-chip meshes)")
+    p.add_argument("--merge-parts", type=int, default=None,
+                   dest="merge_parts",
+                   help="key-range parts per sharded chunk merge "
+                        "(default: auto, ~2M pairs/part)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a Config field (e.g. --set waste_limit=3.0)")
     p.set_defaults(fn=cmd_spgemm)
