@@ -25,6 +25,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: repeat suite runs on the same box skip XLA
+# re-compiles (the dominant cost of the CPU profile). Cold runs are
+# unaffected; the cache lives outside the repo.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "OUTERSPACE_TEST_COMPILE_CACHE",
+        os.path.join(tempfile.gettempdir(), "outerspace_test_xla_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
 

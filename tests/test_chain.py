@@ -606,11 +606,14 @@ class TestRanksAndFillJoin:
         got = np.asarray(_column_starts(jnp.asarray(k), m))
         assert (got == want).all()
 
+    @pytest.mark.slow
     def test_mcl_fill_join_matches_gather_join(self):
         # The gather-free combined-sort+fill expansion join
         # (_loop_expand_fill; measured −9 ms on the rmat14 MCL program
         # on chip) must agree with the flat-gather join elementwise in
         # structure; values may differ by f32 summation order only.
+        # slow (~30 s): the default join path is already scipy-checked
+        # by test_mcl_backends_agree / the stepwise-chain tests.
         from outerspace_tpu.ops.chain import mcl_whole_traced
         from outerspace_tpu.ops.gather_pipeline import plan_spgemm_gather
         from outerspace_tpu.ops.graph import _host_mcl_sizing

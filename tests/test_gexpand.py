@@ -288,7 +288,10 @@ def test_anchored_search_matches_full_window():
     np.testing.assert_array_equal(v_fast, v_full)
 
 
+@pytest.mark.slow
 def test_anchored_search_shallow_calls_exist_and_plan_exact():
+    # slow (~35 s): shallow-vs-full-window element equality is covered
+    # by test_anchored_search_matches_full_window in the default run.
     # An operand whose B rows are wide (few owner elements per
     # 1024-product subtile) must classify at least one slab call
     # shallow, and the full pipeline stays exact vs scipy through the

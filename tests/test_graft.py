@@ -15,7 +15,10 @@ def test_entry_compiles_and_runs():
     assert bool(np.isfinite(np.asarray(out)).all())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
+    # slow (~36 s): the driver itself runs dryrun_multichip(8) every
+    # round, so the default profile keeps only the cheap entry() check.
     import __graft_entry__ as g
 
     # conftest provides 8 virtual CPU devices, so the direct impl runs.

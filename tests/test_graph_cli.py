@@ -188,18 +188,23 @@ class TestCLI:
         assert out.returncode == 2
         assert "devices" in out.stderr
 
-    def test_spgemm_cli_mesh_malformed(self, tmp_path):
+    def test_spgemm_cli_mesh_malformed(self, tmp_path, capsys):
         # the natural typo ("2x2", the format the mismatch message
         # itself prints) must take the friendly exit-2 path, not an
-        # uncaught ValueError traceback; same for a third dimension
+        # uncaught ValueError traceback; same for a third dimension.
+        # In-process (main() returns the exit code): the validation is
+        # pre-compute, so subprocess startup would be all the test paid.
+        from outerspace_tpu import cli
+
         a = erdos_renyi(10, 10, 0.2, seed=4)
         pa = str(tmp_path / "a.mtx")
         write_mtx(pa, a)
         for bad in ("2x2", "2,2,2", "0,4", "-1"):
-            out = self._run("spgemm", pa, pa, "--no-transpose",
-                            "--mesh", bad)
-            assert out.returncode == 2, (bad, out.stderr)
-            assert "bad --mesh" in out.stderr, (bad, out.stderr)
+            rc = cli.main(["spgemm", pa, pa, "--no-transpose",
+                           "--mesh", bad])
+            err = capsys.readouterr().err
+            assert rc == 2, (bad, err)
+            assert "bad --mesh" in err, (bad, err)
 
     def test_spgemm_cli_dim_mismatch(self, tmp_path):
         a = erdos_renyi(10, 20, 0.2, seed=4)

@@ -407,9 +407,12 @@ class TestEventModelMerge:
             native.simulate_merge_parts([1024, 2048], out_bytes=[8192])
 
 
+@pytest.mark.slow
 def test_profiler_trace_smoke(tmp_path):
     # the reference's per-100k-cycle stats dumps → jax.profiler traces;
-    # the context manager must start/stop cleanly and leave a trace dir
+    # the context manager must start/stop cleanly and leave a trace dir.
+    # slow (~18 s): the cost is jax.profiler start/stop itself, not the
+    # traced op — nothing to shrink.
     import jax.numpy as jnp
 
     from outerspace_tpu.perf.timer import profiler_trace

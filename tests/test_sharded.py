@@ -177,7 +177,10 @@ class TestShardedTiled:
                 lambda: rmat(7, edge_factor=8, seed=71),
                 marks=pytest.mark.slow,
             ),
-            lambda: erdos_renyi(256, 256, 0.02, seed=72),
+            pytest.param(
+                lambda: erdos_renyi(256, 256, 0.02, seed=72),
+                marks=pytest.mark.slow,
+            ),
             pytest.param(
                 lambda: erdos_renyi(100, 300, 0.05, seed=73),
                 marks=pytest.mark.slow,
@@ -267,7 +270,11 @@ class TestShardedTiled:
 
     @pytest.mark.parametrize(
         "chunks,parts",
-        [(1, 3), pytest.param(2, 2, marks=pytest.mark.slow)],
+        [
+            (1, 2),
+            pytest.param(1, 3, marks=pytest.mark.slow),
+            pytest.param(2, 2, marks=pytest.mark.slow),
+        ],
     )
     def test_merge_parts_matches_scipy(self, mesh8, chunks, parts):
         # merge_parts key-range-partitions every chunk's post-exchange

@@ -249,7 +249,10 @@ class TestBiasedKeys:
         assert_csr_allclose(c_packed, c_two, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_spgemm_coo_matches_csr_api():
+    # slow (~13 s): API-wrapper coverage; the underlying pipeline is
+    # scipy-checked by TestSpGEMM in the default profile.
     from outerspace_tpu.formats import erdos_renyi
     from outerspace_tpu.ops.reference import compare_coo, spgemm_scipy
     from outerspace_tpu.ops.spgemm import spgemm_coo
