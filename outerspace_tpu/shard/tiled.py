@@ -44,7 +44,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from outerspace_tpu.formats.csr import CSC, CSR
-from outerspace_tpu.ops.spgemm import _I32_MAX, merge_biased_keys
+from outerspace_tpu.ops.spgemm import (
+    _I32_MAX,
+    merge_biased_keys,
+    merge_epilogue,
+)
 from outerspace_tpu.ops.symbolic import round_up_bucket
 from outerspace_tpu.sched.gplanner import B_WIN, GROUP_SUBS, SUB_P
 from outerspace_tpu.sched.planner import (
@@ -415,11 +419,18 @@ def shard_plan_tiled(
     # than the single-chip pipeline's ~3.7M/part because each part
     # also pays an mcap-padded slice fill here.
     if merge_parts is None:
-        from outerspace_tpu.sched.gplanner import perf_part_count
+        if kx == 1:
+            # One sender: received buffers are single sorted runs, the
+            # merge skips its sort entirely (merge_epilogue direct) —
+            # parts would only add mcap-padded fills + per-part
+            # epilogue dispatches with no sort to shorten.
+            mparts = 1
+        else:
+            from outerspace_tpu.sched.gplanner import perf_part_count
 
-        mparts = perf_part_count(
-            float(kx) * capacity, max_part_products=2 << 20, part_cap=8
-        )
+            mparts = perf_part_count(
+                float(kx) * capacity, max_part_products=2 << 20, part_cap=8
+            )
     else:
         mparts = max(1, int(merge_parts))
 
@@ -575,6 +586,24 @@ def _local_tiled_fn(
     # on chunk c's merge, so the collective overlaps merge compute (and
     # every merge sorts a chunks× shorter stream). Outputs concatenate
     # in row order — chunk sub-ranges ascend within each owner.
+    #
+    # kx == 1 (one sender): every received buffer is a single
+    # left-aligned slice of the local sorted stream with a key-max
+    # dead tail — ALREADY SORTED — so the post-exchange merge skips
+    # its sort and runs the epilogue directly (the structural "second
+    # sort" of the exchange vanishes; a (1,1) mesh then sorts exactly
+    # once, like the single-chip pipeline).
+    def _merge(k2, v2, pad):
+        if kx == 1:
+            return merge_epilogue(
+                k2, v2, n_cols, sentinel_row, max_run,
+                pad_count=pad, interpret=interpret,
+            )
+        return merge_biased_keys(
+            k2, v2, n_cols, sentinel_row, max_run,
+            pad_count=pad, interpret=interpret,
+        )
+
     outs = []
     for c in range(chunks):
         send_key, send_val = _slice_fill_buckets(
@@ -585,10 +614,9 @@ def _local_tiled_fn(
         recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
         if merge_parts == 1:
             outs.append(
-                merge_biased_keys(
-                    recv_key.reshape(-1), recv_val.reshape(-1), n_cols,
-                    sentinel_row, max_run, pad_count=recv_pad[c, 0],
-                    interpret=interpret,
+                _merge(
+                    recv_key.reshape(-1), recv_val.reshape(-1),
+                    recv_pad[c, 0],
                 )
             )
             continue
@@ -613,11 +641,7 @@ def _local_tiled_fn(
                 (rk, _I32_MAX), (rv, 0.0),
             )
             outs.append(
-                merge_biased_keys(
-                    pk.reshape(-1), pv.reshape(-1), n_cols,
-                    sentinel_row, max_run, pad_count=recv_pad[c, r],
-                    interpret=interpret,
-                )
+                _merge(pk.reshape(-1), pv.reshape(-1), recv_pad[c, r])
             )
     if len(outs) == 1:
         mr, mc, mv, mvalid, nnz = outs[0]
