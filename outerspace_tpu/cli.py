@@ -403,7 +403,8 @@ def main(argv=None) -> int:
     p.add_argument("--merge-parts", type=int, default=None,
                    dest="merge_parts",
                    help="key-range parts per sharded chunk merge "
-                        "(default: auto, ~2M pairs/part)")
+                        "(default: auto, ~2M pairs/part; 1 on a "
+                        "1-device k-axis where the merge skips its sort)")
     p.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a Config field (e.g. --set waste_limit=3.0)")
     p.set_defaults(fn=cmd_spgemm)

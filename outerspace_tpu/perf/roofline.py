@@ -113,6 +113,21 @@ def predict_merge_time(
     return cfg.time(flops, sort_bytes + scan_bytes, "vpu")
 
 
+def predict_sort_time(
+    n_pairs: int, cfg: TPUConfig = TPUConfig()
+) -> float:
+    """Sort-only roofline (the merge model minus its scan epilogue):
+    the sharded pipeline's LOCAL owner-bucketing sort before the
+    exchange (``shard/tiled.py``), which kx ≥ 2 meshes pay on top of
+    the post-exchange merge."""
+    n = max(n_pairs, 2)
+    stages = (math.ceil(math.log2(n)) ** 2 + math.ceil(math.log2(n))) // 2
+    hbm_passes = max(stages / 8.0, 1.0)
+    return cfg.time(
+        n * math.ceil(math.log2(n)), n * 8 * 2 * hbm_passes, "vpu"
+    )
+
+
 def predict_spgemm_time(
     padded_products: int,
     nnz_a: int,
@@ -131,6 +146,10 @@ def predict_spgemm_time(
     per_dev = per_device_products or [padded_products // ndev] * ndev
     worst = max(per_dev)
     t = predict_multiply_time(worst, nnz_a // ndev + 1, nnz_b, cfg)
+    # Local owner-bucketing sort before the exchange (the kx ≥ 2
+    # sharded pipeline sorts twice: send-side bucketing + post-exchange
+    # merge; a 1-device k-axis skips the merge sort instead).
+    t += predict_sort_time(worst, cfg)
     t += worst * STREAM_BYTES / cfg.ici_bw_bytes  # all-to-all exchange
     t += predict_merge_time(worst, cfg)
     return t
