@@ -27,15 +27,22 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: repeat suite runs on the same box skip XLA
 # re-compiles (the dominant cost of the CPU profile). Cold runs are
-# unaffected; the cache lives outside the repo.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "OUTERSPACE_TEST_COMPILE_CACHE",
-        os.path.join(tempfile.gettempdir(), "outerspace_test_xla_cache"),
-    ),
+# unaffected; the cache lives outside the repo. Set
+# OUTERSPACE_TEST_COMPILE_CACHE="" to disable.
+#
+# NOTE: the FULL suite (--runslow / OUTERSPACE_RUN_SLOW=1) must run in
+# per-file chunks (fresh process each): a single ~345-test process
+# segfaults inside XLA's CPU backend_compile after ~300 prior compiles
+# (reproduced with the cache disabled — an upstream compiler-state
+# issue, not this repo's code; the same test passes standalone). The
+# default profile runs single-process fine.
+_cache_dir = os.environ.get(
+    "OUTERSPACE_TEST_COMPILE_CACHE",
+    os.path.join(tempfile.gettempdir(), "outerspace_test_xla_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import sys
 
