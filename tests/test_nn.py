@@ -219,6 +219,31 @@ class TestExportAndSparseInfer:
             np.maximum(prod + b1, 0), act1, rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow
+    def test_exported_mtx_through_cli_driver(self, tmp_path, mnist,
+                                             mlp_params):
+        # The reference's whole-system workflow: export act_i.mtx +
+        # fcN_weight.mtx, then `./simulator act.mtx W.mtx` computes
+        # act·Wᵀ via the transpose-matrix-2 default
+        # (SimSpGEMM.cpp:852-857). Drive our CLI the same way and
+        # check the written product against scipy.
+        from outerspace_tpu import cli
+        from outerspace_tpu.nn.export import export_mlp1
+        from outerspace_tpu.ops.reference import spgemm_scipy
+
+        x = mnist["test"][0][:32]
+        files = export_mlp1(mlp_params, x, str(tmp_path))
+        out = str(tmp_path / "prod.mtx")
+        rc = cli.main([
+            "spgemm", files["act_0"], files["fc1_weight"], "--out", out,
+        ])
+        assert rc == 0
+        got = read_mtx(out, native=False).to_dense()
+        act0 = read_mtx(files["act_0"], native=False)
+        w1 = read_mtx(files["fc1_weight"], native=False)
+        want = spgemm_scipy(act0, w1.transpose()).to_dense()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_lenet_im2col_equals_conv(self):
         from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
 

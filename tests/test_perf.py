@@ -35,6 +35,20 @@ class TestRoofline:
         p = 1 << 24
         assert predict_merge_time(p) > predict_multiply_time(p, 1000, 1000)
 
+    def test_sort_term_in_multichip_model(self):
+        # The kx >= 2 sharded pipeline sorts twice (local owner
+        # bucketing + post-exchange merge); the model must charge the
+        # sort-only term: more than merge-free, less than a full merge.
+        from outerspace_tpu.perf.roofline import predict_sort_time
+
+        p = 1 << 24
+        ts = predict_sort_time(p)
+        assert 0 < ts < predict_merge_time(p)
+        # ndev=2 must NOT predict ~2x: each device sorts P/2 twice.
+        t1 = predict_spgemm_time(p, 10000, 10000, ndev=1)
+        t2 = predict_spgemm_time(p, 10000, 10000, ndev=2)
+        assert t2 < t1 and t1 / t2 < 1.5
+
     def test_multichip_scales_down(self):
         p = 1 << 26
         t1 = predict_spgemm_time(p, 10000, 10000, ndev=1)
