@@ -129,6 +129,26 @@ def suite(p: int = 917_504, e: int = 196_608, m: int = 16_384,
 
     out["sort2_p"] = chain_time(sort2, (kP, vP), k=k, floor=floor)
 
+    # Epilogue-only merge of an ALREADY-SORTED stream — what a kx=1
+    # sharded mesh runs after the exchange (the received buffer is one
+    # sorted run, so merge_biased_keys' sort is skipped). Compare with
+    # sort2_p: the difference is what the sort-skip saves per pass.
+    from outerspace_tpu.ops.spgemm import merge_epilogue
+
+    kS = jnp.sort(kP)
+
+    def epi(st):
+        acc = st[0]
+        mr, mc, mv, mvalid, nnz = merge_epilogue(
+            kS + opaque_zero(acc), vP, n_cols=1 << 15,
+            sentinel_row=1 << 15, max_run=8, pad_count=0,
+        )
+        return (acc + nnz + mr[0],)
+
+    out["merge_epilogue_sorted_p"] = chain_time(
+        epi, (jnp.zeros((), jnp.int32),), k=k, floor=floor
+    )
+
     # Single-lane u64 packed sort (key<<32 | val bits) — the one lane
     # layout not covered by the earlier negative results. Measured on
     # v5e (2026-08, 4.2M pairs): 1.15 ns/pair vs 0.94 for the 2-lane
