@@ -286,10 +286,21 @@ def gather_plan_to_host(
     table[:, :, 5] = plan.n  # n_cols broadcast into the table
     bases = np.zeros((ngroups_pad, 2), np.int32)
     bases[:g] = plan.bases
-    a_pack = np.zeros((nab8_pad, 8, 4, _BLK), np.int32)
-    a_pack[:nab8] = plan.a_pack.reshape(nab8, 8, 4, _BLK)
-    b_pack = np.zeros((nbb8_pad, 8, 2, _BLK), np.int32)
-    b_pack[:nbb8] = plan.b_pack.reshape(nbb8, 8, 2, _BLK)
+    # packs: reshape is a view; only COPY when padding is requested (the
+    # single-chip path never pads — zero-init + full copy of the multi-MB
+    # packs was ~1.2 s of the rmat16 plan)
+    a_view = plan.a_pack.reshape(nab8, 8, 4, _BLK)
+    if nab8_pad == nab8:
+        a_pack = a_view
+    else:
+        a_pack = np.zeros((nab8_pad, 8, 4, _BLK), np.int32)
+        a_pack[:nab8] = a_view
+    b_view = plan.b_pack.reshape(nbb8, 8, 2, _BLK)
+    if nbb8_pad == nbb8:
+        b_pack = b_view
+    else:
+        b_pack = np.zeros((nbb8_pad, 8, 2, _BLK), np.int32)
+        b_pack[:nbb8] = b_view
     return dict(
         bases=bases.reshape(-1),
         table=table,
@@ -299,6 +310,8 @@ def gather_plan_to_host(
 
 
 def gather_plan_to_device(plan: GatherPlan) -> dict[str, jax.Array]:
-    """Ship a GatherPlan's arrays (a/b packs reshaped to 8-block refs)."""
+    """Ship a GatherPlan's arrays (a/b packs reshaped to 8-block refs).
+    One batched device_put for all four arrays (per-array puts serialize
+    the tunnel round-trips on TPU)."""
     host = gather_plan_to_host(plan)
-    return {k: jnp.asarray(v) for k, v in host.items()}
+    return jax.device_put(host)
