@@ -78,6 +78,46 @@ def _sync_scalar(x) -> float:
 
 _FLOOR_S = None
 
+# Persistent XLA compilation cache: compiled executables (including
+# their Mosaic kernels) keyed by HLO + compile options, stored in the
+# repo and COMMITTED, so every later bench run deserializes instead of
+# recompiling. Measured over the tunnel: the 131072-element sort probe
+# compiles in 74 s cold (a mildly degraded day) and 0.7 s from cache; a
+# Pallas kernel 42 s cold, 0.6 s cached. This is what makes the capture
+# degradation-proof — the r03 capture lost 4 of 5 A² workloads to ONE
+# 343 s remote compile that this cache reduces to ~seconds. All bench
+# programs are deterministic (plans are pure host math, the autotuner
+# is a cost model, operands are seeded), so HLO is byte-stable across
+# rounds and the committed entries keep hitting.
+_XLA_CACHE_DIR = os.environ.get("OUTERSPACE_XLA_CACHE") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "xla_cache"
+)
+_CACHE = {"enabled": False, "hit": False, "entries": 0}
+
+
+def _enable_compile_cache() -> bool:
+    """Point JAX's persistent compilation cache at the committed repo
+    dir. Gated off the CPU backend (tests and CPU dry-runs would bloat
+    the committed dir with entries the TPU driver never reads) unless
+    the user points OUTERSPACE_XLA_CACHE somewhere explicitly."""
+    import jax
+
+    try:
+        if (
+            jax.default_backend() == "cpu"
+            and "OUTERSPACE_XLA_CACHE" not in os.environ
+        ):
+            return False
+        os.makedirs(_XLA_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _XLA_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _CACHE["enabled"] = True
+        _CACHE["entries"] = len(os.listdir(_XLA_CACHE_DIR))
+        return True
+    except Exception:
+        return False
+
 
 def _rpc_floor() -> float:
     """Measured per-sync RPC latency of the tunneled device link
@@ -137,10 +177,15 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
             )(jnp.arange(131072, dtype=jnp.int32))
         )
         probe["s"] = time.perf_counter() - t0
-        print(
-            json.dumps({"tunnel_probe_compile_s": round(probe["s"], 1)}),
-            file=sys.stderr, flush=True,
-        )
+        rec = {"tunnel_probe_compile_s": round(probe["s"], 1)}
+        if _CACHE["enabled"]:
+            # probe lands in ~1 s from a warm cache regardless of how
+            # degraded the tunnel's compile path is — that IS the
+            # signal that this run's compile costs are ~free
+            _CACHE["hit"] = probe["s"] < 5.0 and _CACHE["entries"] > 0
+            rec["xla_cache_entries"] = _CACHE["entries"]
+            rec["xla_cache_hit"] = _CACHE["hit"]
+        print(json.dumps(rec), file=sys.stderr, flush=True)
 
     th = threading.Thread(target=probe_fn, daemon=True)
     th.start()
@@ -150,6 +195,22 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
             json.dumps({"tunnel_probe_inflight_s": cap_s}),
             file=sys.stderr, flush=True,
         )
+        if _CACHE["enabled"]:
+            # Cache-hit compiles land in ~1-2 s even on degraded days
+            # (deserialization only), so a capped probe means the cache
+            # did NOT hit — either the entries are stale (jaxlib bump)
+            # or the cache layer itself is misbehaving on the tunnel.
+            # Either way the rest of the run is better off without it:
+            # disable and fall back to the cold-compile shedding logic.
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+                _CACHE["enabled"] = False
+                print(json.dumps({"xla_cache_disabled": "probe_capped"}),
+                      file=sys.stderr, flush=True)
+            except Exception:
+                pass
+    if _CACHE["hit"]:
+        return 1.0
     return max(1.0, (probe["s"] or cap_s) / healthy_s)
 
 
@@ -372,8 +433,12 @@ def _validate_vec(vec, k, c_ref):
     return True, bool(np.allclose(dev_sums, host_sums, rtol=3e-3, atol=1e-2))
 
 
-def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
-    """One A² workload end-to-end; returns the result record."""
+def prepare_spgemm(name, g, exact_check=False, force_strategy=None):
+    """Host-side stage of one A² workload: launch the CPU-baseline
+    thread, choose the strategy, build the plan and the jitted runner
+    closures. Triggers NO device compile (jit is lazy), so the suite
+    prefetches the NEXT workload's prepare on a thread inside the
+    CURRENT workload's remote-compile wait."""
     import jax
     import jax.numpy as jnp
 
@@ -516,6 +581,18 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
     # gather and row-partitioned tiles define their own dispatch-loop run
     if strategy != "gather" and make_once is not None:
         run = _chain_jit(make_once, k)
+    return dict(
+        name=name, g=g, strategy=strategy, run=run, merged_fn=merged_fn,
+        flops=flops, p_pad=p_pad, k=k, th=th, cpu=cpu, t_plan=t_plan,
+        exact_check=exact_check,
+    )
+
+
+def execute_spgemm(prep: dict) -> dict:
+    """Device stage of one A² workload: compile + warm, timed samples,
+    validation against the (already overlapped) CPU baselines."""
+    name, g, run, k = prep["name"], prep["g"], prep["run"], prep["k"]
+    th, cpu, flops = prep["th"], prep["cpu"], prep["flops"]
     t0 = time.perf_counter()
     vec = np.asarray(run())  # compile + warm (one 5-lane fetch = 1 RPC)
     t_compile = time.perf_counter() - t0
@@ -533,10 +610,10 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
     nnz_ok, val_ok = _validate_vec(vec, k, c_ref)
     exact_ok = None
-    if exact_check and nnz_ok:
+    if prep["exact_check"] and nnz_ok:
         # full fetch: only for the small fixture (the one extra compile
         # of an unchained pipeline is fixture-sized, XLA-only)
-        got = merged_fn().to_csr()
+        got = prep["merged_fn"]().to_csr()
         ref = c_ref
         exact_ok = bool(
             np.array_equal(got.indptr, ref.indptr)
@@ -546,16 +623,16 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
 
     rec = dict(
         name=name,
-        strategy=strategy,
+        strategy=prep["strategy"],
         nnz_in=g.nnz,
         nnz_out=int(c_ref.nnz),
         flops=int(flops),
-        p_pad=int(p_pad),
+        p_pad=int(prep["p_pad"]),
         t_cpu_ref_s=round(cpu["t_cpu"], 5),
         t_scipy_s=round(cpu["t_scipy"], 5),
         t_tpu_s=round(t_tpu, 5),
         rpc_floor_s=round(_rpc_floor(), 4),
-        t_plan_s=round(t_plan, 4),
+        t_plan_s=round(prep["t_plan"], 4),
         t_compile_s=round(t_compile, 1),
         speedup=round(cpu["t_cpu"] / t_tpu, 3),
         speedup_vs_scipy=round(cpu["t_scipy"] / t_tpu, 3),
@@ -567,6 +644,15 @@ def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
     if exact_ok is not None:
         rec["elementwise_exact"] = exact_ok
     return rec
+
+
+def bench_one_spgemm(name, g, exact_check=False, force_strategy=None):
+    """One A² workload end-to-end; returns the result record."""
+    return execute_spgemm(
+        prepare_spgemm(
+            name, g, exact_check=exact_check, force_strategy=force_strategy
+        )
+    )
 
 
 def bench_spgemm_suite(results: list | None = None) -> list[dict]:
@@ -600,45 +686,112 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     # reads it concurrently to report completed records on a hang)
     if results is None:
         results = []
-    # healthy-tunnel wall-cost priors per workload; the running
-    # `degrade` factor rescales them when measured costs come in high
-    # (remote compiles degrade ~10x on bad tunnel days)
+    # Two-part healthy-day wall-cost priors per workload:
+    # (compile seconds, everything-else seconds). The compile part
+    # scales with the probe's degrade factor — and collapses to ~15%
+    # when the committed compilation cache is hitting (deserialization
+    # + executable load are all that's left); the rest is RPC/host
+    # bound and scales with the measured tunnel floor instead.
     est_base = {
-        # ~1.5× the measured healthy-day wall costs of the round-8
-        # captured runs (rmat14 ~32 s incl. the shared kernel compiles
-        # it pays for the suite, er100k ~18, rmat15 ~30, rmat16 ~60,
-        # fixture ~32): the running degrade factor scales these on slow
-        # tunnels, and over-pricing sheds trailing workloads that would
-        # have fit (the old 90-110 s priors priced the pre-shared-merge
-        # compile profile)
-        "rmat14_ef8": 75.0,
-        "er_100k_d1e-4": 40.0,
-        "rmat15_ef8": 55.0,
-        "rmat16_ef8": 90.0,
-        "mtx_rmat10_a2": 60.0,
+        "rmat14_ef8": (45.0, 30.0),
+        "er_100k_d1e-4": (20.0, 20.0),
+        "rmat15_ef8": (25.0, 30.0),
+        "rmat16_ef8": (35.0, 55.0),
+        "mtx_rmat10_a2": (35.0, 25.0),
     }
     _stage("tunnel_probe")
     degrade = _tunnel_probe()
-    for name, gen, exact, forced in workloads:
-        # reserve ~80 s so the NN/triangle/MCL benches can still run
-        est = est_base.get(name, 90.0) * degrade + 80.0
-        if results and _time_left() < est:
+    run_scale = max(1.0, _rpc_floor() / 0.045)
+
+    def est(wname, dg):
+        c, r = est_base.get(wname, (45.0, 45.0))
+        cd = 0.15 if _CACHE["hit"] else dg
+        return c * cd + r * run_scale
+
+    # Degraded cold-cache day: force ONE compile family across the A²
+    # headliners. The autotuner picks gather for rmat14 (a real ~2x win
+    # on tiles on healthy days), but its Mosaic compiles seed nothing
+    # for the tiles-strategy rmat15/16 behind it; at >3x compile
+    # degrade the suite can afford roughly one compile family, so it
+    # spends it on the one that amortizes across the most records.
+    # (only under the driver's deadline: a user-extended deadline means
+    # the budget is explicit and the suite should run — and cache — the
+    # healthy-day strategy choices)
+    force_map = {}
+    if (
+        degrade > 3.0
+        and not _CACHE["hit"]
+        and "OUTERSPACE_BENCH_DEADLINE" not in os.environ
+    ):
+        force_map["rmat14_ef8"] = "tiles"
+        _emit({"degraded_mode": "one_compile_family",
+               "degrade": round(degrade, 1)})
+
+    # rmat16 is a headline deliverable: every earlier workload holds
+    # its estimated cost in reserve so the er100k/fixture records can
+    # never be the reason rmat16 goes uncaptured (r01-r03 all shipped
+    # without it). MCL's reserve lives in main()'s aux gates; on warm-
+    # cache days its cost is ~30 s and always fits.
+    headliners = ("rmat14_ef8", "rmat15_ef8", "rmat16_ef8")
+    done_names: set[str] = set()
+    prepped: dict[str, object] = {}
+    pf_thread = None
+
+    def _prefetch(wname, gen, exact, forced_s):
+        try:
+            prepped[wname] = prepare_spgemm(
+                wname, gen(), exact_check=exact, force_strategy=forced_s
+            )
+        except Exception as e:  # surfaced when the workload executes
+            prepped[wname] = e
+
+    for i, (name, gen, exact, forced) in enumerate(workloads):
+        forced = force_map.get(name, forced)
+        aux_reserve = 60.0 if _CACHE["hit"] else 80.0
+        rem = sum(
+            est(h, degrade) for h in headliners
+            if h not in done_names and h != name
+        )
+        if results and _time_left() < est(name, degrade) + rem + aux_reserve:
             print(json.dumps({"skipped": name, "reason": "deadline"}),
                   file=sys.stderr, flush=True)
+            prepped.pop(name, None)
             continue
         _w0 = time.perf_counter()
         _stage(name)
         try:
-            rec = bench_one_spgemm(
-                name, gen(), exact_check=exact, force_strategy=forced
-            )
+            if pf_thread is not None:
+                pf_thread.join()
+                pf_thread = None
+            prep = prepped.pop(name, None)
+            if prep is None:
+                prep = prepare_spgemm(
+                    name, gen(), exact_check=exact, force_strategy=forced
+                )
+            # overlap the NEXT workload's host plan + CPU baselines
+            # with THIS workload's remote compile + samples
+            if i + 1 < len(workloads):
+                nname, ngen, nexact, nforced = workloads[i + 1]
+                pf_thread = threading.Thread(
+                    target=_prefetch,
+                    args=(nname, ngen, nexact, force_map.get(nname, nforced)),
+                    daemon=True,
+                )
+                pf_thread.start()
+            if isinstance(prep, Exception):
+                raise prep
+            rec = execute_spgemm(prep)
         except Exception as e:  # pragma: no cover - report and continue
             rec = dict(name=name, error=str(e)[:300])
         results.append(rec)
+        done_names.add(name)
         cost = time.perf_counter() - _w0
-        # most-recent ratio, not a ratchet: a one-off compile overshoot
-        # on the first workload must not permanently inflate estimates
-        degrade = max(1.0, cost / est_base.get(name, 90.0))
+        if not _CACHE["hit"]:
+            # most-recent compile-degrade ratio, not a ratchet: a
+            # one-off overshoot on the first workload must not
+            # permanently inflate estimates
+            c, r = est_base.get(name, (45.0, 45.0))
+            degrade = max(1.0, (cost - r * run_scale) / c)
         _emit(rec)
     return results
 
@@ -682,7 +835,11 @@ def bench_nn_inference() -> dict:
         weights_tag = "synthetic_init_pruned10"
     model = SparseMLP(params)
     xd = jnp.asarray(x)
-    K = 20
+    # K=64 bounds the floor-correction error: at ~2 ms/op the sample is
+    # ~130 ms + the ~30 ms floor, so a floor drift of even 5 ms moves
+    # the per-op figure by <4% (the r03 record's K=20 was measured 14x
+    # below the floor, leaving the 102x claim unboundable)
+    K = 64
 
     @jax.jit
     def run_k():
@@ -705,16 +862,119 @@ def bench_nn_inference() -> dict:
     dense = mlp_forward_dense(params, x)
     got = np.asarray(model(xd))
     err = float(np.max(np.abs(got - dense)) / max(np.max(np.abs(dense)), 1e-9))
+    spread = (max(ts) - min(ts)) / max(min(ts), 1e-9)
+    floor_frac = _rpc_floor() / max(min(ts), 1e-9)
     rec = dict(
         name="sparse_mlp_infer_b1024_spmm",
         weights=weights_tag,
         t_tpu_s=round(t_tpu, 5),
         rpc_floor_s=round(_rpc_floor(), 4),
+        # measurement provenance: K ops per sync, all raw samples, their
+        # spread, and the floor's share of a sample — enough to bound
+        # the floor-correction error from the record alone
+        chain_k=K,
+        chain_samples_s=[round(t, 4) for t in ts],
+        chain_spread=round(spread, 3),
+        floor_frac=round(floor_frac, 3),
+        floor_sensitive=bool(floor_frac > 0.5 and spread > 0.2),
         t_cpu_s=round(t_cpu, 5),
         speedup=round(t_cpu / t_tpu, 3),
         max_rel_err_vs_dense=err,
         parity_1e6=bool(err < 1e-6 * 10),
     )
+    _emit(rec)
+    return rec
+
+
+def bench_lenet_inference() -> dict:
+    """Sparse-LeNet inference on chip — the reference's flagship story
+    (NN conv/fc layers as sparse GEMMs, ``get_mtx_files.py:117-133``)
+    benched end-to-end: the committed pruned+finetuned LeNet artifact
+    (conv 25% / fc 10% nnz), convs im2col-lowered inside ONE jitted
+    device program with block-ELL weights on the MXU SpMM kernel, vs
+    the same chain on the scipy CPU oracle. Parity vs the dense flax
+    forward at the reference's 1e-6 eps (``SimSpGEMM.cpp:283``); a
+    sub-batch additionally runs the full sparse×sparse SpGEMM pipeline
+    (``lenet_forward_spgemm``) on chip as a second parity witness."""
+    import jax
+    import jax.numpy as jnp
+
+    from outerspace_tpu.nn.data import find_mnist_dir, load_mnist, synthetic_mnist
+    from outerspace_tpu.nn.models import LeNet
+    from outerspace_tpu.nn.sparse_infer import (
+        SparseLeNet,
+        lenet_forward_spgemm,
+    )
+    from outerspace_tpu.nn.train import load_params
+
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "saved_weights", "LeNet", "pruned_finetuned",
+    )
+    if not os.path.exists(art):
+        rec = dict(name="sparse_lenet_infer", error="artifact missing")
+        _emit(rec)
+        return rec
+    params = load_params(art)
+    data = load_mnist() if find_mnist_dir() else synthetic_mnist(512)
+    x = data["test"][0][:256].reshape(-1, 28, 28, 1).astype(np.float32)
+    model = SparseLeNet(params)
+    xd = jnp.asarray(x)
+    K = 8
+
+    @jax.jit
+    def run_k():
+        tot = jnp.float32(0)
+        xx = xd
+        for _ in range(K):
+            out = model._forward(xx)
+            tot = tot + jnp.sum(out)
+            xx = xd + jnp.minimum(tot, 0.0)  # opaque zero: defeat CSE
+        return tot
+
+    _sync_scalar(run_k())  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync_scalar(run_k())
+        ts.append(time.perf_counter() - t0)
+    t_tpu = _per_op(ts, K)
+    t_cpu = _time_host(
+        lambda: lenet_forward_spgemm(params, x, backend="scipy"), reps=2
+    )
+    # dense oracle at HIGHEST matmul precision (default conv precision
+    # quantizes to bf16, which would hide real kernel errors behind a
+    # ~1e-3 noise floor)
+    with jax.default_matmul_precision("float32"):
+        dense = np.asarray(LeNet().apply({"params": params}, xd)[0])
+    got = np.asarray(model(xd))
+    err = float(np.max(np.abs(got - dense)) / max(np.max(np.abs(dense)), 1e-9))
+    rec = dict(
+        name="sparse_lenet_infer_b256",
+        weights="LeNet_pruned_finetuned",
+        t_tpu_s=round(t_tpu, 5),
+        rpc_floor_s=round(_rpc_floor(), 4),
+        chain_k=K,
+        chain_samples_s=[round(t, 4) for t in ts],
+        t_cpu_s=round(t_cpu, 5),
+        speedup=round(t_cpu / t_tpu, 3),
+        max_rel_err_vs_dense=err,
+        parity_1e6=bool(err < 1e-6 * 10),
+    )
+    # Second witness when budget allows: the sparse×sparse SpGEMM
+    # pipeline (every layer act·Wᵀ through plan+expand+sort+merge on
+    # chip) on a sub-batch, vs the same dense oracle.
+    if _time_left() > 60:
+        try:
+            sp8 = lenet_forward_spgemm(params, x[:8], backend="tpu")
+            e8 = float(
+                np.max(np.abs(sp8 - dense[:8]))
+                / max(np.max(np.abs(dense[:8])), 1e-9)
+            )
+            rec["spgemm_path_rel_err"] = e8
+            rec["spgemm_path_parity_1e6"] = bool(e8 < 1e-6 * 10)
+        except Exception as e:  # parity witness must not kill the record
+            rec["spgemm_path_error"] = str(e)[:200]
     _emit(rec)
     return rec
 
@@ -963,6 +1223,7 @@ def main() -> None:
     # watchdog prints the headline from whatever records completed and
     # exits; the ``done`` event keeps the ONE-json-line contract when
     # the normal path got there first.
+    _enable_compile_cache()
     results: list[dict] = []
     done = threading.Event()
     # the 578 s cap encodes the DRIVER's ~595 s hard kill; a user who
@@ -989,15 +1250,19 @@ def main() -> None:
     # tunnel compiles can eat minutes) can never lose the headline
     _print_headline(results, done)
     try:
+        # the MCL program's cold compile is ~115 s (three loop-body
+        # sizes + the split tail) — but on a warm compilation cache it
+        # deserializes in seconds, so the gate adapts; MCL runs right
+        # after the cheap NN record because it is a headline deliverable
+        # (BASELINE configs[3]) that r01-r03 kept losing to the deadline
+        mcl_gate = 50 if _CACHE["hit"] else 130
         for gate, name, fn in (
-            (60, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
-            (45, "triangles_rmat13", bench_triangles),
-            # the MCL program's cold compile is ~115 s (three loop-body
-            # sizes + the split tail); starting it with less head-room
-            # risks the hard process timeout mid-run
-            (130, "mcl_rmat14_4iter", bench_mcl),
+            (45, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
+            (mcl_gate, "mcl_rmat14_4iter", bench_mcl),
+            (40, "triangles_rmat13", bench_triangles),
+            (60, "sparse_lenet_infer_b256", bench_lenet_inference),
             # last: useful but never displaces the aux benches above
-            (45, "sharded_rmat13_1x1", bench_sharded),
+            (40, "sharded_rmat13_1x1", bench_sharded),
         ):
             if _time_left() > gate:
                 _stage(name)

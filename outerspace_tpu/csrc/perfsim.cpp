@@ -24,6 +24,7 @@
 #include <stdexcept>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -748,6 +749,287 @@ MergeTiming simulate_merge(const SimConfig& cfg, int64_t nparts,
   return t;
 }
 
+// ---------------------------------------------------------------------
+// Multi-chip: ICI ring interconnect + sharded SpGEMM pipeline
+// ---------------------------------------------------------------------
+
+// ICI ring: ndev nodes, TWO directional rings (cw / ccw), shortest-path
+// routing, store-and-forward per hop, one bandwidth-credit drain per
+// directional link per cycle. This is the event-model counterpart of
+// the reference's inter-PE fabric (its two-level crossbars,
+// SimOuterSPACE.cpp:361-430,727-768) re-homed onto the TPU's actual
+// topology: per-link bandwidth, hop distance, and head-of-line
+// serialization all emerge from the queues instead of being charged as
+// one aggregate-bandwidth term the way the analytical roofline does.
+class IciRing : public Module {
+ public:
+  IciRing(int ndev, double bytes_per_cycle)
+      : Module("ici"),
+        ndev_(ndev),
+        rate_(bytes_per_cycle),
+        links_(2 * std::max(ndev, 1)),
+        credit_(2 * std::max(ndev, 1), 0.0),
+        busy_(2 * std::max(ndev, 1), 0) {}
+
+  // Post a message src→dst; id must be unique. Zero-byte / self
+  // messages complete immediately (the local bucket never crosses ICI).
+  void post(int src, int dst, int64_t bytes, int64_t id) {
+    if (src == dst || bytes <= 0 || ndev_ == 1) {
+      delivered_.insert(id);
+      return;
+    }
+    int fwd = (dst - src + ndev_) % ndev_;
+    int dir = (fwd <= ndev_ - fwd) ? 0 : 1;  // 0 = cw (+1), 1 = ccw (-1)
+    int hops = dir == 0 ? fwd : ndev_ - fwd;
+    total_hop_bytes_ += bytes * hops;
+    Msg m{id, bytes, bytes, src, dir, hops};
+    links_[linkOf(src, dir)].push_back(m);
+  }
+  bool done(int64_t id) const { return delivered_.count(id) != 0; }
+
+  void clockUpdate() override {
+    for (size_t l = 0; l < links_.size(); ++l) {
+      auto& q = links_[l];
+      if (q.empty()) {
+        credit_[l] = 0.0;  // no banking bandwidth while idle
+        continue;
+      }
+      credit_[l] += rate_;
+      int64_t drain = static_cast<int64_t>(credit_[l]);
+      if (drain <= 0) continue;
+      credit_[l] -= static_cast<double>(drain);
+      ++busy_[l];
+      Msg& m = q.front();
+      m.remaining -= drain;
+      if (m.remaining <= 0) {
+        Msg fin = m;
+        q.pop_front();
+        int next = fin.dir == 0 ? (fin.at + 1) % ndev_
+                                : (fin.at + ndev_ - 1) % ndev_;
+        if (--fin.hops_left == 0) {
+          delivered_.insert(fin.id);
+        } else {
+          fin.at = next;
+          fin.remaining = fin.bytes;  // store-and-forward: full re-send
+          staged_.push_back(fin);     // next hop starts next cycle
+        }
+      }
+    }
+  }
+  void clockApply() override {
+    for (auto& m : staged_) links_[linkOf(m.at, m.dir)].push_back(m);
+    staged_.clear();
+  }
+  void printStats(FILE* f) const override {
+    int64_t mx = 0;
+    for (auto b : busy_) mx = std::max(mx, b);
+    fprintf(f, "  ici: delivered=%zu hop_bytes=%lld max_link_busy=%lld\n",
+            delivered_.size(), static_cast<long long>(total_hop_bytes_),
+            static_cast<long long>(mx));
+  }
+  int64_t maxLinkBusy() const {
+    int64_t mx = 0;
+    for (auto b : busy_) mx = std::max(mx, b);
+    return mx;
+  }
+  int64_t totalHopBytes() const { return total_hop_bytes_; }
+
+ private:
+  struct Msg {
+    int64_t id;
+    int64_t bytes;      // per-hop size
+    int64_t remaining;  // current hop
+    int at;             // node the message is departing from
+    int dir;
+    int hops_left;
+  };
+  int linkOf(int node, int dir) const { return dir * ndev_ + node; }
+  int ndev_;
+  double rate_;
+  std::vector<std::deque<Msg>> links_;  // [dir*ndev + node]
+  std::vector<double> credit_;
+  std::vector<int64_t> busy_;
+  std::vector<Msg> staged_;
+  std::unordered_set<int64_t> delivered_;
+  int64_t total_hop_bytes_ = 0;
+};
+
+struct ShardedTiming {
+  int64_t cycles = 0;
+  int64_t expand_sort_cycles = 0;   // barrier entry: max over devices
+  int64_t exchange_done_cycles = 0; // last chunk delivered everywhere
+  int64_t max_link_busy = 0;
+  int64_t ici_hop_bytes = 0;
+};
+
+// Event model of the SPMD sharded SpGEMM program (shard/tiled.py):
+// per device  expand → local owner-bucket sort → [per chunk: all_to_all
+// over the ICI ring → merge_parts key-range merges],  with collective
+// barrier semantics (chunk c's all_to_all starts only when every device
+// has reached it, and chunk c+1's transfers serialize behind chunk c on
+// the links while chunk c's merges overlap them — the --chunks
+// rationale). Expand cycles are per-device inputs (the caller runs the
+// single-chip cached-kernel event model per device — each chip has its
+// own HBM, so there is no cross-device HBM coupling to simulate); sort
+// and merge stages use the same calibrated SortUnit comparison-network
+// model as the single-chip merge machine. This closes the round-3 gap:
+// the reference cycle-simulated its ENTIRE parallel machine
+// (SimOuterSPACE.cpp:721-857); the multi-chip story here was
+// roofline-only until now, and the two models cross-check each other
+// the way the reference ran analytical beside cycle-accurate
+// (SimOuterSPACE.cpp:859-875).
+ShardedTiming simulate_sharded(const SimConfig& cfg, int ndev,
+                               const int64_t* expand_cycles,
+                               const int64_t* sort_pairs, int nchunks,
+                               const int64_t* xfer_bytes, int merge_parts,
+                               const int64_t* merge_pairs,
+                               const int64_t* merge_out_bytes,
+                               double ici_bytes_per_cycle,
+                               bool merge_sort_skip) {
+  Module::clearAll();
+  IciRing ici(ndev, ici_bytes_per_cycle);
+
+  auto sort_cycles_of = [&](int64_t pairs) -> int64_t {
+    if (pairs <= 0) return 0;
+    int64_t st = SortUnit::stages(std::max<int64_t>(pairs, 2));
+    int64_t io = static_cast<int64_t>(2.0 * pairs * 8 /
+                                      cfg.hbm_bytes_per_cycle);
+    return static_cast<int64_t>(static_cast<double>(st) * pairs /
+                                cfg.sort_pairs_per_cycle) +
+           io + cfg.grid_overhead;
+  };
+  auto merge_cycles_of = [&](int64_t pairs, int64_t out_b) -> int64_t {
+    if (pairs <= 0) return 0;
+    int64_t io = static_cast<int64_t>(
+        (pairs * 8.0 + static_cast<double>(out_b)) /
+        cfg.hbm_bytes_per_cycle);
+    int64_t epi = static_cast<int64_t>(pairs / cfg.vpu_lanes);
+    int64_t srt = 0;
+    if (!merge_sort_skip) {
+      // kx = 1 meshes receive an already-sorted stream and skip the
+      // merge sort (shard/tiled.py's sort-skip; commit-measured 15.16
+      // → 9.42 ms/op on the (1,1) hardware record)
+      int64_t st = SortUnit::stages(std::max<int64_t>(pairs, 2));
+      srt = static_cast<int64_t>(static_cast<double>(st) * pairs /
+                                 cfg.sort_pairs_per_cycle);
+    }
+    return srt + io + epi + 2 * cfg.grid_overhead;
+  };
+
+  std::vector<int64_t> front_left(ndev);  // expand + local sort countdown
+  for (int d = 0; d < ndev; ++d)
+    front_left[d] = expand_cycles[d] + sort_cycles_of(sort_pairs[d]);
+  std::vector<int> chunk_recv(ndev, 0);
+  // per-device merge work queue: parts of delivered chunks, sequential
+  std::vector<std::deque<int64_t>> merge_q(ndev);
+  std::vector<int64_t> merge_left(ndev, 0);
+  std::vector<int> parts_done(ndev, 0);
+  const int total_parts = nchunks * merge_parts;
+  int chunk_posted = 0;
+
+  auto msg_id = [&](int c, int s, int t) -> int64_t {
+    return (static_cast<int64_t>(c) * ndev + s) * ndev + t + 1;
+  };
+
+  ShardedTiming out;
+  const int64_t kMaxCycles = int64_t(1) << 40;
+  int64_t cycle = 0;
+  bool barrier_recorded = false;
+  while (true) {
+    bool all_done = true;
+    for (int d = 0; d < ndev; ++d)
+      if (parts_done[d] < total_parts || chunk_recv[d] < nchunks) {
+        all_done = false;
+        break;
+      }
+    if (all_done && nchunks > 0) break;
+    if (nchunks == 0) break;
+
+    Module::updateAll();  // advances the ICI links
+    ++cycle;
+
+    // front: expand + local sort
+    bool all_sorted = true;
+    for (int d = 0; d < ndev; ++d) {
+      if (front_left[d] > 0) --front_left[d];
+      if (front_left[d] > 0) all_sorted = false;
+    }
+    if (all_sorted && !barrier_recorded) {
+      out.expand_sort_cycles = cycle;
+      barrier_recorded = true;
+    }
+
+    // collective: post chunk c when every device has entered it (all
+    // sorted) and chunk c-1 has fully drained off the links
+    if (all_sorted && chunk_posted < nchunks) {
+      bool prev_drained = true;
+      if (chunk_posted > 0) {
+        for (int s = 0; s < ndev && prev_drained; ++s)
+          for (int t = 0; t < ndev; ++t)
+            if (!ici.done(msg_id(chunk_posted - 1, s, t))) {
+              prev_drained = false;
+              break;
+            }
+      }
+      if (prev_drained) {
+        int c = chunk_posted;
+        for (int s = 0; s < ndev; ++s)
+          for (int t = 0; t < ndev; ++t)
+            ici.post(s, t,
+                     xfer_bytes[(static_cast<int64_t>(c) * ndev + s) *
+                                    ndev + t],
+                     msg_id(c, s, t));
+        ++chunk_posted;
+      }
+    }
+
+    // delivery check: a device's chunk completes when every incoming
+    // message of that chunk has landed; its merge parts then queue
+    for (int d = 0; d < ndev; ++d) {
+      while (chunk_recv[d] < chunk_posted) {
+        int c = chunk_recv[d];
+        bool got_all = true;
+        for (int s = 0; s < ndev; ++s)
+          if (!ici.done(msg_id(c, s, d))) {
+            got_all = false;
+            break;
+          }
+        if (!got_all) break;
+        if (c + 1 > chunk_recv[d]) {
+          for (int p = 0; p < merge_parts; ++p) {
+            int64_t idx =
+                (static_cast<int64_t>(d) * nchunks + c) * merge_parts + p;
+            merge_q[d].push_back(
+                merge_cycles_of(merge_pairs[idx], merge_out_bytes[idx]));
+          }
+          chunk_recv[d] = c + 1;
+          if (chunk_recv[d] == nchunks) {
+            bool everyone = true;
+            for (int e = 0; e < ndev; ++e)
+              if (chunk_recv[e] < nchunks) everyone = false;
+            if (everyone) out.exchange_done_cycles = cycle;
+          }
+        }
+      }
+      // merge engine: sequential parts (overlaps later chunks' links)
+      if (merge_left[d] > 0) {
+        if (--merge_left[d] == 0) ++parts_done[d];
+      }
+      if (merge_left[d] == 0 && !merge_q[d].empty()) {
+        merge_left[d] = std::max<int64_t>(merge_q[d].front(), 1);
+        merge_q[d].pop_front();
+      }
+    }
+
+    if (cycle > kMaxCycles)
+      throw std::runtime_error("perfsim: no forward progress (sharded)");
+  }
+  out.cycles = cycle;
+  out.max_link_busy = ici.maxLinkBusy();
+  out.ici_hop_bytes = ici.totalHopBytes();
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -849,6 +1131,92 @@ int64_t osp_sim_merge(int64_t nparts, const int64_t* pair_counts,
     stats[2] = static_cast<double>(t.total_stages);
   }
   return t.cycles;
+}
+
+// Multi-chip sharded-pipeline event model (see simulate_sharded):
+// expand_cycles[ndev] come from per-device osp_sim_kernel_cached runs;
+// sort_pairs[ndev] is the local owner-bucketing sort stream (0 = the
+// kx=1 sort-skip); xfer_bytes[nchunks*ndev*ndev] the per-(chunk, src,
+// dst) exchange buckets; merge_pairs / merge_out_bytes
+// [ndev*nchunks*merge_parts] the key-range merge parts. stats (if
+// non-null, >= 4 slots) receives [expand_sort_cycles,
+// exchange_done_cycles, max_link_busy, ici_hop_bytes]. Returns total
+// cycles for the whole sharded program (max over devices emerges from
+// the barrier + queue dynamics rather than being taken analytically).
+int64_t osp_sim_sharded(int ndev, const int64_t* expand_cycles,
+                        const int64_t* sort_pairs, int nchunks,
+                        const int64_t* xfer_bytes, int merge_parts,
+                        const int64_t* merge_pairs,
+                        const int64_t* merge_out_bytes,
+                        double ici_bytes_per_cycle, int merge_sort_skip,
+                        double* stats) {
+  ShardedTiming t = simulate_sharded(
+      g_cfg, ndev, expand_cycles, sort_pairs, nchunks, xfer_bytes,
+      merge_parts, merge_pairs, merge_out_bytes, ici_bytes_per_cycle,
+      merge_sort_skip != 0);
+  if (stats) {
+    stats[0] = static_cast<double>(t.expand_sort_cycles);
+    stats[1] = static_cast<double>(t.exchange_done_cycles);
+    stats[2] = static_cast<double>(t.max_link_busy);
+    stats[3] = static_cast<double>(t.ici_hop_bytes);
+  }
+  return t.cycles;
+}
+
+// ICI-ring self-test: on a 4-node ring, a single-hop message at rate R
+// must take ~bytes/R cycles; a 2-hop message ~2x that (store-and-
+// forward); and an all-to-all must keep every link busy (shortest-path
+// routing splits cw/ccw). Returns 0 on success.
+int osp_sim_ici_selftest() {
+  {
+    Module::clearAll();
+    IciRing ici(4, 64.0);
+    ici.post(0, 1, 6400, 1);  // 1 hop cw (link 0→1)
+    ici.post(1, 3, 6400, 2);  // 2 hops cw (links 1→2, 2→3: disjoint)
+    int cycles_1 = -1, cycles_2 = -1;
+    for (int c = 1; c <= 100000; ++c) {
+      Module::updateAll();
+      if (cycles_1 < 0 && ici.done(1)) cycles_1 = c;
+      if (cycles_2 < 0 && ici.done(2)) cycles_2 = c;
+      if (cycles_1 > 0 && cycles_2 > 0) break;
+    }
+    if (cycles_1 < 100 || cycles_1 > 110) return 1;   // ~6400/64 = 100
+    if (cycles_2 < 200 || cycles_2 > 220) return 2;   // ~2 hops
+  }
+  {
+    // all_to_all 4x4: every directional link must carry traffic
+    Module::clearAll();
+    IciRing ici(4, 64.0);
+    int64_t id = 1;
+    for (int s = 0; s < 4; ++s)
+      for (int t = 0; t < 4; ++t) ici.post(s, t, 6400, id++);
+    for (int c = 0; c < 100000; ++c) {
+      Module::updateAll();
+      bool all = true;
+      for (int64_t i = 1; i < id; ++i)
+        if (!ici.done(i)) { all = false; break; }
+      if (all) break;
+    }
+    for (int64_t i = 1; i < id; ++i)
+      if (!ici.done(i)) return 3;
+    if (ici.maxLinkBusy() <= 0) return 4;
+  }
+  {
+    // sharded pipeline smoke: 4 devices, 1 chunk, 2 merge parts; the
+    // total must exceed the front (barrier) + a link-bound exchange
+    int64_t exp_c[4] = {1000, 1200, 900, 1100};
+    int64_t sp[4] = {1 << 16, 1 << 16, 1 << 16, 1 << 16};
+    std::vector<int64_t> xb(16, 1 << 16);
+    int64_t mp[8], mo[8];
+    for (int i = 0; i < 8; ++i) { mp[i] = 1 << 15; mo[i] = 1 << 15; }
+    ShardedTiming t = simulate_sharded(g_cfg, 4, exp_c, sp, 1, xb.data(),
+                                       2, mp, mo, 48.0, false);
+    if (t.expand_sort_cycles <= 1200) return 5;  // includes the sort
+    if (t.cycles <= t.expand_sort_cycles) return 6;
+    if (t.exchange_done_cycles <= t.expand_sort_cycles) return 7;
+    if (t.ici_hop_bytes <= 0) return 8;
+  }
+  return 0;
 }
 
 // Crossbar-arbitration self-test: two ports saturate the HBM; the

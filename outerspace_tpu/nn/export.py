@@ -43,8 +43,29 @@ def im2col(x: jax.Array, kernel: int, padding: int) -> jax.Array:
         window_strides=(1, 1),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # identity-kernel conv: HIGHEST makes the extraction bit-exact
+        # (default precision quantizes the patches to bf16 on TPU/CPU,
+        # which would cap NN-chain parity at ~1e-3 instead of 1e-6)
+        precision=jax.lax.Precision.HIGHEST,
     )  # (N, out_h, out_w, C*k*k) with feature order (C, kh, kw)
     return patches.reshape(n * patches.shape[1] * patches.shape[2], -1)
+
+
+def im2col_np(x: np.ndarray, kernel: int, padding: int) -> np.ndarray:
+    """Pure-numpy :func:`im2col` with the identical (C, kh, kw) feature
+    order — the CPU oracle path must not touch the device (the jnp
+    version would silently run on the tunneled TPU and pollute CPU
+    baseline timings with device round-trips)."""
+    x = np.asarray(x)
+    n, _, _, c = x.shape
+    xp = np.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    win = np.lib.stride_tricks.sliding_window_view(
+        xp, (kernel, kernel), axis=(1, 2)
+    )  # (n, out_h, out_w, C, kh, kw) — already (C, kh, kw) order
+    oh, ow = win.shape[1], win.shape[2]
+    return np.ascontiguousarray(
+        win.reshape(n * oh * ow, c * kernel * kernel)
+    )
 
 
 def conv_kernel_to_2d(w: np.ndarray) -> np.ndarray:

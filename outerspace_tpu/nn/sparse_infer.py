@@ -98,7 +98,7 @@ def lenet_forward_spgemm(
     for its simulator, ``get_mtx_files.py:117-133``), fc layers as
     act @ Wᵀ — all through the SpGEMM pipeline.
     """
-    from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
+    from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col_np
 
     mult = spgemm if backend == "tpu" else spgemm_scipy
 
@@ -114,27 +114,26 @@ def lenet_forward_spgemm(
         x = x[..., None]
     n = x.shape[0]
 
+    # Host orchestration (im2col, pooling) is pure numpy: only the
+    # sp_mm GEMMs touch the device on the "tpu" backend, and the
+    # "scipy" oracle never does (a jnp im2col would silently run on
+    # the tunneled TPU inside CPU baseline timings).
     def maxpool2(h):
-        return np.asarray(
-            jax.numpy.max(
-                jnp.asarray(h)
-                .reshape(h.shape[0], h.shape[1] // 2, 2, h.shape[2] // 2, 2, -1)
-                .transpose(0, 1, 3, 2, 4, 5),
-                axis=(3, 4),
-            )
-        )
+        return h.reshape(
+            h.shape[0], h.shape[1] // 2, 2, h.shape[2] // 2, 2, -1
+        ).max(axis=(2, 4))
 
     conv_layers = sorted(k for k in params.keys() if k.startswith("Conv"))
     fc_layers = sorted(k for k in params.keys() if k.startswith("Dense"))
 
     # conv1 (k5, pad 2) → relu → pool
-    p1 = np.asarray(im2col(jnp.asarray(x), 5, 2))
+    p1 = im2col_np(x, 5, 2)
     w1 = conv_kernel_to_2d(params[conv_layers[0]]["kernel"])
     b1 = np.asarray(params[conv_layers[0]]["bias"])
     h = np.maximum(sp_mm(p1, w1) + b1, 0.0).reshape(n, 28, 28, 6)
     h = maxpool2(h)  # (n, 14, 14, 6)
     # conv2 (k5, valid) → relu → pool
-    p2 = np.asarray(im2col(jnp.asarray(h), 5, 0))
+    p2 = im2col_np(h, 5, 0)
     w2 = conv_kernel_to_2d(params[conv_layers[1]]["kernel"])
     b2 = np.asarray(params[conv_layers[1]]["bias"])
     h = np.maximum(sp_mm(p2, w2) + b2, 0.0).reshape(n, 10, 10, 16)
@@ -147,6 +146,99 @@ def lenet_forward_spgemm(
         if i < len(fc_layers) - 1:
             h = _relu(h)
     return h
+
+
+class SparseLeNet:
+    """Device-resident sparse LeNet: every layer im2col-lowered to a
+    GEMM (the reference's lowering for its simulator workloads,
+    ``get_mtx_files.py:117-133``) with the pruned weights staged once as
+    block-ELL operands on the MXU SpMM kernel — im2col, SpMM, bias,
+    ReLU and the pools all run inside ONE jitted program, the serving
+    path the reference's per-layer ``act_i.mtx × weight.mtx``
+    simulations stood for."""
+
+    def __init__(self, params, interpret: bool = False, tn: int = 128):
+        from outerspace_tpu.nn.export import conv_kernel_to_2d, im2col
+        from outerspace_tpu.ops.pallas.spmm_kernel import (
+            blockell_to_device,
+            spmm_blockell_device,
+        )
+
+        if jax.default_backend() == "cpu":
+            interpret = True  # Pallas only runs interpreted off-TPU
+        self._interpret = interpret
+        self._tn = tn
+
+        def stage(w2d, bias):
+            w_ell = BlockELL.from_coo(
+                COO.from_dense(np.asarray(w2d, np.float32)),
+                block_shape=(8, 128),
+            )
+            return dict(
+                dev=blockell_to_device(w_ell),
+                out_dim=w2d.shape[0],
+                in_dim=w2d.shape[1],
+                bias=jnp.asarray(bias),
+            )
+
+        conv_names = sorted(k for k in params if k.startswith("Conv"))
+        fc_names = sorted(k for k in params if k.startswith("Dense"))
+        self.conv1 = stage(
+            conv_kernel_to_2d(params[conv_names[0]]["kernel"]),
+            params[conv_names[0]]["bias"],
+        )
+        self.conv2 = stage(
+            conv_kernel_to_2d(params[conv_names[1]]["kernel"]),
+            params[conv_names[1]]["bias"],
+        )
+        self.fcs = [
+            stage(dense_kernel_to_2d(params[n]["kernel"]), params[n]["bias"])
+            for n in fc_names
+        ]
+        conv1, conv2, fcs = self.conv1, self.conv2, self.fcs
+
+        def sp_layer(layer, act):  # (rows, in_dim) → (rows, out_dim)
+            rows = act.shape[0]
+            k_pad = -(-layer["in_dim"] // 128) * 128
+            n_pad = -(-rows // tn) * tn
+            hp = jnp.zeros((k_pad, n_pad), jnp.float32)
+            hp = hp.at[: act.shape[1], :rows].set(act.T)
+            y = spmm_blockell_device(
+                layer["dev"]["meta"], layer["dev"]["blocks"], hp,
+                tn=tn, interpret=interpret,
+            )
+            return y[: layer["out_dim"], :rows].T + layer["bias"][None, :]
+
+        def pool2(h):
+            n, hh, ww, c = h.shape
+            return jnp.max(
+                h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4)
+            )
+
+        def forward(x):
+            n = x.shape[0]
+            x = x.reshape(n, 28, 28, 1)
+            p1 = im2col(x, 5, 2)  # (n·784, 25)
+            h = jnp.maximum(sp_layer(conv1, p1), 0.0)
+            h = pool2(h.reshape(n, 28, 28, 6))  # (n, 14, 14, 6)
+            p2 = im2col(h, 5, 0)  # (n·100, 150)
+            h = jnp.maximum(sp_layer(conv2, p2), 0.0)
+            h = pool2(h.reshape(n, 10, 10, 16)).reshape(n, -1)  # (n, 400)
+            for li, layer in enumerate(fcs):
+                h = sp_layer(layer, h)
+                if li < len(fcs) - 1:
+                    h = jnp.maximum(h, 0.0)
+            return h
+
+        self._forward = jax.jit(forward)
+
+    def __call__(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if x.ndim == 2:
+            x = x.reshape(x.shape[0], 28, 28, 1)
+        elif x.ndim == 3:
+            x = x[..., None]
+        return self._forward(x)
 
 
 class SparseMLP:

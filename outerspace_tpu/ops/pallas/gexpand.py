@@ -269,7 +269,13 @@ def gather_plan_to_host(
     8-block refs). Explicit pad targets (≥ the natural sizes) let the
     sharded path stack per-device plans to one common shape: padding
     groups are all-zero table rows (plen = 0 ⇒ pure sentinel output),
-    padding pack blocks are zeros (reads are clamped in-bounds)."""
+    padding pack blocks are zeros (reads are clamped in-bounds).
+
+    READ-ONLY RESULT: in the no-pad case ``a_pack``/``b_pack`` are
+    reshape *views aliasing* ``plan.a_pack``/``plan.b_pack`` (copying
+    the multi-MB packs cost ~1.2 s of the rmat16 plan); the views are
+    returned with ``writeable = False`` so an accidental in-place write
+    raises instead of silently corrupting the GatherPlan."""
     nab8 = plan.a_pack.shape[0] // 8
     nbb8 = plan.b_pack.shape[0] // 8
     g = plan.ngroups
@@ -292,12 +298,14 @@ def gather_plan_to_host(
     a_view = plan.a_pack.reshape(nab8, 8, 4, _BLK)
     if nab8_pad == nab8:
         a_pack = a_view
+        a_pack.flags.writeable = False
     else:
         a_pack = np.zeros((nab8_pad, 8, 4, _BLK), np.int32)
         a_pack[:nab8] = a_view
     b_view = plan.b_pack.reshape(nbb8, 8, 2, _BLK)
     if nbb8_pad == nbb8:
         b_pack = b_view
+        b_pack.flags.writeable = False
     else:
         b_pack = np.zeros((nbb8_pad, 8, 2, _BLK), np.int32)
         b_pack[:nbb8] = b_view

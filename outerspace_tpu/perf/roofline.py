@@ -155,6 +155,41 @@ def predict_spgemm_time(
     return t
 
 
+def predict_sharded_tiled(plan, cfg: TPUConfig = TPUConfig()) -> float:
+    """Plan-aware multi-chip roofline for a
+    ``shard.tiled.ShardedTiledPlan``: charges the REAL per-device stream
+    sizes — the commonized padded expand stream, the capacity-padded
+    exchange buckets, the mcap-padded merge parts — i.e. the same work
+    the device program executes and the C++ event model
+    (``perfsim.simulate_sharded_tiled``) clocks, so the two multi-chip
+    models cross-check each other on identical workload numbers with
+    independent timing machinery (the reference ran its analytical model
+    beside the cycle-accurate one the same way,
+    ``SimOuterSPACE.cpp:859-875``). The generic
+    :func:`predict_spgemm_time` ``ndev`` path stays as the plan-free
+    estimate; this one is what the CLI prints for ``--mesh`` runs."""
+    kx = plan.kx
+    # expand + local owner-bucketing sort of the padded stream
+    t = predict_multiply_time(plan.stream_len, 0, 0, cfg)
+    t += predict_sort_time(plan.stream_len, cfg)
+    if kx > 1:
+        # ring all_to_all of the per-(src, dst) capacity buckets:
+        # shortest-path hop-bytes spread over the 2·kx directional links
+        hops = sum(min(h, kx - h) for h in range(1, kx))  # per source
+        link_bytes = plan.chunks * plan.capacity * 8 * hops / 2.0
+        t += link_bytes / cfg.ici_bw_bytes
+    # post-exchange merges: chunks × merge_parts streams of kx·mcap
+    per = max(kx * plan.mcap, 2)
+    n_streams = plan.chunks * plan.merge_parts
+    if kx == 1:
+        # sort-skip (the stream arrives sorted): epilogue-only passes
+        lg = math.ceil(math.log2(per))
+        t += n_streams * cfg.time(per * lg, per * 5 * 2 * lg, "vpu")
+    else:
+        t += n_streams * predict_merge_time(per, cfg)
+    return t
+
+
 def predict_mcl_time(
     p_stage1: int,
     p_pads: list[int] | tuple[int, ...],

@@ -175,6 +175,11 @@ class TestCLI:
         )
         assert out.returncode == 0, out.stderr
         assert "mesh: 2x2 over 4 devices" in out.stdout
+        # dual-model contract for the sharded machine: the plan-aware
+        # roofline AND the C++ event model print beside the measurement
+        # (SimOuterSPACE.cpp:859-875 always printed both models)
+        assert "analytical sharded (roofline):" in out.stdout
+        assert "event-model sharded:" in out.stdout
         got = read_mtx(po, native=False)
         ref = spgemm_scipy(a, a).to_coo()
         assert compare_coo(got, ref, eps=1e-5)
