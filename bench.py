@@ -179,10 +179,15 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
         probe["s"] = time.perf_counter() - t0
         rec = {"tunnel_probe_compile_s": round(probe["s"], 1)}
         if _CACHE["enabled"]:
-            # probe lands in ~1 s from a warm cache regardless of how
-            # degraded the tunnel's compile path is — that IS the
-            # signal that this run's compile costs are ~free
-            _CACHE["hit"] = probe["s"] < 5.0 and _CACHE["entries"] > 0
+            # A cache hit is an executable LOAD, not a compile: the
+            # serialized binary ships over the tunnel's slow data path
+            # (~1 MB/s), so a hit still takes seconds (measured: 0.4 s
+            # standalone, up to ~20 s as the process's first device
+            # contact). The threshold only needs to separate hits from
+            # DEGRADED cold compiles (minutes) — a <25 s probe means
+            # compile costs are cheap this run either way, so pricing
+            # them at the cache-hit rate is safe even on a miss.
+            _CACHE["hit"] = probe["s"] < 25.0 and _CACHE["entries"] > 0
             rec["xla_cache_entries"] = _CACHE["entries"]
             rec["xla_cache_hit"] = _CACHE["hit"]
         print(json.dumps(rec), file=sys.stderr, flush=True)

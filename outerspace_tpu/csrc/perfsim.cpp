@@ -125,7 +125,9 @@ struct SimConfig {
   double hbm_bytes_per_cycle = 500.0;   // measured Pallas stream rate
                                         // (spec: 871 = 819 GB/s @ 0.94 GHz)
   int hbm_channels = 16;                // interleaved (parity: 16 ch)
-  int hbm_latency = 100;                // cycles to first beat
+  int hbm_latency = 20;                 // controller/queue cycles to
+                                        // first beat (row timing below
+                                        // adds the DRAM-side latency)
   int dma_max_outstanding = 8;          // concurrent DMAs per engine
   double vpu_lanes = 8 * 128;           // f32 ops/cycle
   double mxu_ops_per_cycle = 16384.0;   // 128x128 MACs/cycle (bf16)
@@ -137,6 +139,22 @@ struct SimConfig {
   // 2.43 @ 64M, 2.80 @ 128M → 0.0032-0.0036 cycles/pair/stage at
   // 0.94 GHz). 1/0.0033 ≈ 300 pair-stages/cycle.
   double sort_pairs_per_cycle = 300.0;
+  // DRAM row-buffer state (the last reference mechanism with no
+  // mechanistic counterpart here — ramulator's bank state machines,
+  // SimOuterSPACE.cpp:608-719 + HBM-config.cfg). Each channel keeps
+  // hbm_banks open-row registers (row = addr / hbm_row_bytes, bank =
+  // row % banks); a transfer whose first row is already open starts
+  // after hbm_row_hit cycles, otherwise hbm_row_miss (precharge +
+  // activate + CAS). With the DMA engines' bounded outstanding this
+  // makes the measured gather-vs-stream asymmetry EMERGE: random
+  // single-element fetches are latency-bound at outstanding/(latency)
+  // ≈ 8/(20+110) ≈ 14 ns/element (measured on chip: ~13-15 ns/elem),
+  // while large sequential transfers amortize one activation across
+  // the whole burst and run at the bandwidth roof.
+  int hbm_row_bytes = 2048;
+  int hbm_banks = 16;
+  int hbm_row_hit = 30;
+  int hbm_row_miss = 110;
 };
 
 static SimConfig g_cfg;
@@ -176,26 +194,49 @@ class Hbm : public Module {
  public:
   static constexpr int kPorts = 3;  // 0=in_dma, 1=out_dma, 2=vmem_cache
 
+  static constexpr int64_t kPageBytes = 4096;  // channel interleave page
+                                               // (parity: addr/4096 % 16,
+                                               // SimOuterSPACE.cpp:764-768)
+
   explicit Hbm(const SimConfig& cfg)
       : Module("hbm"),
         cfg_(cfg),
         chan_(cfg.hbm_channels),
         rr_(cfg.hbm_channels, 0),
         credit_(cfg.hbm_channels, 0.0),
+        open_row_(cfg.hbm_channels,
+                  std::vector<int64_t>(std::max(cfg.hbm_banks, 1), -1)),
         per_chan_rate_(cfg.hbm_bytes_per_cycle / cfg.hbm_channels) {
     for (auto& c : chan_) c.resize(kPorts);
     for (int p = 0; p < kPorts; ++p) port_grants_[p] = port_stalls_[p] = 0;
   }
 
   // Enqueue a transfer on a requester port; completion via done().
-  void schedule(int64_t id, int64_t bytes, int port = 0) {
+  // ``addr`` drives the channel select (page interleave for small
+  // transfers; large ones stripe over every channel) and the
+  // row-buffer state: the first-beat latency is hbm_row_hit when the
+  // transfer's opening row is already open in its bank, hbm_row_miss
+  // otherwise (precharge + activate + CAS) — ramulator's role in the
+  // reference, reduced to the open-row mechanism that actually drives
+  // the gather-vs-stream asymmetry.
+  void schedule(int64_t id, int64_t bytes, int64_t addr, int port = 0) {
     total_bytes_ += bytes;
     ++transfers_;
+    int p = port < 0 ? 0 : (port >= kPorts ? kPorts - 1 : port);
+    if (bytes < kPageBytes) {
+      int ci = static_cast<int>((addr / kPageBytes) % cfg_.hbm_channels);
+      if (ci < 0) ci += cfg_.hbm_channels;
+      remaining_beats_[id] = 1;
+      chan_[ci][p].push_back(
+          Beat{bytes, now_ + firstBeatLatency(ci, addr, bytes), id});
+      return;
+    }
     int64_t per_chan = bytes / cfg_.hbm_channels + 1;
     remaining_beats_[id] = cfg_.hbm_channels;
-    int p = port < 0 ? 0 : (port >= kPorts ? kPorts - 1 : port);
-    for (auto& c : chan_)
-      c[p].push_back(Beat{per_chan, now_ + cfg_.hbm_latency, id});
+    for (int ci = 0; ci < cfg_.hbm_channels; ++ci)
+      chan_[ci][p].push_back(Beat{
+          per_chan,
+          now_ + firstBeatLatency(ci, addr + ci * per_chan, per_chan), id});
   }
   bool done(int64_t id) const {
     auto it = remaining_beats_.find(id);
@@ -248,10 +289,13 @@ class Hbm : public Module {
   void printStats(FILE* f) const override {
     fprintf(f,
             "  hbm: transfers=%zu bytes=%lld busy=%lld contended=%lld "
+            "row_hits=%lld row_misses=%lld "
             "grants=[%lld,%lld,%lld] stalls=[%lld,%lld,%lld]\n",
             transfers_, static_cast<long long>(total_bytes_),
             static_cast<long long>(busy_cycles_),
             static_cast<long long>(contended_cycles_),
+            static_cast<long long>(row_hits_),
+            static_cast<long long>(row_misses_),
             static_cast<long long>(port_grants_[0]),
             static_cast<long long>(port_grants_[1]),
             static_cast<long long>(port_grants_[2]),
@@ -262,8 +306,27 @@ class Hbm : public Module {
   int64_t portGrants(int p) const { return port_grants_[p]; }
   int64_t portStalls(int p) const { return port_stalls_[p]; }
   int64_t contendedCycles() const { return contended_cycles_; }
+  int64_t rowHits() const { return row_hits_; }
+  int64_t rowMisses() const { return row_misses_; }
 
  private:
+  // Open-row check + update at issue time: the transfer's first row
+  // decides hit/miss; the rows it covers become the banks' open rows
+  // (intra-burst row crossings pipeline at bandwidth — HBM burst mode).
+  int64_t firstBeatLatency(int ci, int64_t addr, int64_t bytes) {
+    int64_t row0 = addr / cfg_.hbm_row_bytes;
+    int banks = std::max(cfg_.hbm_banks, 1);
+    int bank0 = static_cast<int>(row0 % banks);
+    bool hit = open_row_[ci][bank0] == row0;
+    int64_t row_last = (addr + std::max<int64_t>(bytes, 1) - 1) /
+                       cfg_.hbm_row_bytes;
+    open_row_[ci][bank0] = row0;
+    open_row_[ci][row_last % banks] = row_last;
+    if (hit) ++row_hits_; else ++row_misses_;
+    return cfg_.hbm_latency +
+           (hit ? cfg_.hbm_row_hit : cfg_.hbm_row_miss);
+  }
+
   struct Beat {
     int64_t remaining;
     int64_t ready_at;
@@ -273,6 +336,8 @@ class Hbm : public Module {
   std::vector<std::vector<std::deque<Beat>>> chan_;  // [chan][port]
   std::vector<int> rr_;
   std::vector<double> credit_;
+  std::vector<std::vector<int64_t>> open_row_;  // [chan][bank]
+  int64_t row_hits_ = 0, row_misses_ = 0;
   double per_chan_rate_;
   std::unordered_map<int64_t, int> remaining_beats_;
   int64_t now_ = 0;
@@ -308,10 +373,13 @@ class InDma : public Module {
       inflight_.pop_front();
       break;  // one FIFO write per cycle (hazard contract)
     }
-    // issue the next fetch when a slot frees
+    // issue the next fetch when a slot frees; the input stream is
+    // SEQUENTIAL in HBM (flat operand arrays), so consecutive fetches
+    // ride the open rows
     if (next_ < ntasks_ &&
         static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
-      hbm_.schedule(next_ + 1, in_bytes_[next_], /*port=*/0);
+      hbm_.schedule(next_ + 1, in_bytes_[next_], addr_, /*port=*/0);
+      addr_ += in_bytes_[next_];
       inflight_.push_back(next_ + 1);
       ++next_;
     }
@@ -327,6 +395,7 @@ class InDma : public Module {
   const int64_t* in_bytes_;
   std::deque<int64_t> inflight_;
   int64_t next_ = 0;
+  int64_t addr_ = 0;
 };
 
 // Compute unit (VPU or MXU): consumes staged tiles, counts down the
@@ -472,8 +541,11 @@ class OutDma : public Module {
     if (vmem_out_.canRead() &&
         static_cast<int>(inflight_.size()) < cfg_.dma_max_outstanding) {
       int64_t task = vmem_out_.read(0);
-      // ids offset past input ids
-      hbm_.schedule(ntasks_ + task + 1, out_bytes_[task], /*port=*/1);
+      // ids offset past input ids; the output stream appends
+      // sequentially in its own HBM region
+      hbm_.schedule(ntasks_ + task + 1, out_bytes_[task], addr_,
+                    /*port=*/1);
+      addr_ += out_bytes_[task];
       inflight_.push_back(ntasks_ + task + 1);
     }
   }
@@ -488,6 +560,7 @@ class OutDma : public Module {
   const int64_t* out_bytes_;
   std::deque<int64_t> inflight_;
   int64_t retired_ = 0;
+  int64_t addr_ = int64_t(1) << 36;  // distinct region from the inputs
 };
 
 // Timed VMEM block cache with blocking-miss semantics (parity with the
@@ -525,7 +598,12 @@ class BlockCache : public Module {
       return false;
     }
     ++misses_;
-    hbm_.schedule(kCacheIdBase + block_id, line_bytes_, /*port=*/2);
+    // line address = the block's true HBM position: scattered block
+    // ids land on scattered DRAM rows, so a thrashing task order pays
+    // row misses as well as refetches (the asymmetry the planner's
+    // B-major ordering exists to avoid)
+    hbm_.schedule(kCacheIdBase + block_id, line_bytes_,
+                  (int64_t(1) << 38) + block_id * line_bytes_, /*port=*/2);
     pending_[block_id] = 1;
     return false;
   }
@@ -1063,6 +1141,10 @@ void osp_sim_get_config(double* vals) {
   vals[5] = g_cfg.mxu_ops_per_cycle;
   vals[6] = g_cfg.grid_overhead;
   vals[7] = g_cfg.sort_pairs_per_cycle;
+  vals[8] = g_cfg.hbm_row_bytes;
+  vals[9] = g_cfg.hbm_banks;
+  vals[10] = g_cfg.hbm_row_hit;
+  vals[11] = g_cfg.hbm_row_miss;
 }
 
 void osp_sim_set_config(const double* vals) {
@@ -1074,6 +1156,87 @@ void osp_sim_set_config(const double* vals) {
   if (vals[5] >= 0) g_cfg.mxu_ops_per_cycle = vals[5];
   if (vals[6] >= 0) g_cfg.grid_overhead = static_cast<int>(vals[6]);
   if (vals[7] >= 0) g_cfg.sort_pairs_per_cycle = vals[7];
+  if (vals[8] >= 0) g_cfg.hbm_row_bytes = static_cast<int>(vals[8]);
+  if (vals[9] >= 0) g_cfg.hbm_banks = static_cast<int>(vals[9]);
+  if (vals[10] >= 0) g_cfg.hbm_row_hit = static_cast<int>(vals[10]);
+  if (vals[11] >= 0) g_cfg.hbm_row_miss = static_cast<int>(vals[11]);
+}
+
+// Row-buffer self-test: the gather-vs-stream asymmetry must EMERGE
+// from the open-row mechanism + bounded outstanding, reproducing the
+// on-chip measurements from first principles:
+//  (a) random single-element (16 B) fetches with 8 outstanding run
+//      latency-bound at ~outstanding/(queue + row_miss) — must land in
+//      the measured 11-17 cycles/element (~12-18 ns/elem) band;
+//  (b) the same fetches sequential (row hits) must be ≥2x faster;
+//  (c) a large sequential stream must achieve ≥70% of the configured
+//      bandwidth roof (row activations amortized by burst mode).
+// Returns 0 on success.
+int osp_sim_rowbuffer_selftest() {
+  SimConfig cfg = g_cfg;
+  auto run_fetches = [&](bool random_addr, int n) -> int64_t {
+    Module::clearAll();
+    Hbm hbm(cfg);
+    std::deque<int64_t> inflight;
+    int64_t issued = 0, retired = 0, cycle = 0;
+    uint64_t rng = 0x9e3779b97f4a7c15ull;
+    while (retired < n && cycle < (int64_t(1) << 32)) {
+      Module::updateAll();
+      ++cycle;
+      while (!inflight.empty() && hbm.done(inflight.front())) {
+        inflight.pop_front();
+        ++retired;
+      }
+      if (issued < n &&
+          static_cast<int>(inflight.size()) < cfg.dma_max_outstanding) {
+        int64_t addr;
+        if (random_addr) {
+          rng ^= rng << 13; rng ^= rng >> 7; rng ^= rng << 17;
+          addr = static_cast<int64_t>(rng % (int64_t(1) << 30)) & ~15ll;
+        } else {
+          addr = issued * 16;
+        }
+        hbm.schedule(issued + 1, 16, addr, 0);
+        inflight.push_back(issued + 1);
+        ++issued;
+      }
+    }
+    return cycle;
+  };
+  const int N = 4096;
+  int64_t rand_c = run_fetches(true, N);
+  int64_t seq_c = run_fetches(false, N);
+  double rand_per = static_cast<double>(rand_c) / N;
+  if (rand_per < 11.0 || rand_per > 17.0) return 1;
+  if (seq_c * 2 > rand_c) return 2;
+  {
+    // large stream: 64 transfers x 1 MB, bandwidth-bound
+    Module::clearAll();
+    Hbm hbm(cfg);
+    const int nt = 64;
+    const int64_t sz = 1 << 20;
+    int64_t cycle = 0;
+    std::deque<int64_t> inflight;
+    int64_t issued = 0, retired = 0;
+    while (retired < nt && cycle < (int64_t(1) << 32)) {
+      Module::updateAll();
+      ++cycle;
+      while (!inflight.empty() && hbm.done(inflight.front())) {
+        inflight.pop_front();
+        ++retired;
+      }
+      if (issued < nt &&
+          static_cast<int>(inflight.size()) < cfg.dma_max_outstanding) {
+        hbm.schedule(issued + 1, sz, issued * sz, 0);
+        inflight.push_back(issued + 1);
+        ++issued;
+      }
+    }
+    double eff = static_cast<double>(nt) * sz / cycle;
+    if (eff < 0.7 * cfg.hbm_bytes_per_cycle) return 3;
+    if (hbm.rowMisses() == 0 || hbm.rowHits() != 0) return 4;
+  }
+  return 0;
 }
 
 // Uniform-task convenience wrapper.
@@ -1229,8 +1392,8 @@ int osp_sim_arbiter_selftest() {
   Hbm hbm(cfg);
   // saturate ports 0 and 1 with many transfers
   for (int i = 0; i < 64; ++i) {
-    hbm.schedule(1000 + i, 4096, 0);
-    hbm.schedule(2000 + i, 4096, 1);
+    hbm.schedule(1000 + i, 4096, int64_t(i) * 4096, 0);
+    hbm.schedule(2000 + i, 4096, (int64_t(1) << 36) + int64_t(i) * 4096, 1);
   }
   for (int c = 0; c < 200000; ++c) {
     Module::updateAll();

@@ -125,6 +125,9 @@ def load(build: bool = True):
     if hasattr(lib, "osp_sim_ici_selftest"):
         lib.osp_sim_ici_selftest.restype = ctypes.c_int
         lib.osp_sim_ici_selftest.argtypes = []
+    if hasattr(lib, "osp_sim_rowbuffer_selftest"):
+        lib.osp_sim_rowbuffer_selftest.restype = ctypes.c_int
+        lib.osp_sim_rowbuffer_selftest.argtypes = []
     if hasattr(lib, "osp_sim_set_config"):
         lib.osp_sim_set_config.restype = None
         lib.osp_sim_set_config.argtypes = [ctypes.POINTER(ctypes.c_double)]
@@ -161,6 +164,14 @@ _CFG_KEYS = (
     "mxu_ops_per_cycle",
     "grid_overhead",
     "sort_pairs_per_cycle",
+    # DRAM row-buffer state (ramulator's role in the reference,
+    # SimOuterSPACE.cpp:608-719): open-row hit vs row-miss first-beat
+    # latency per (channel, bank) — the mechanism behind the measured
+    # ~14 ns/elem random-access vs stream-rate sequential asymmetry
+    "hbm_row_bytes",
+    "hbm_banks",
+    "hbm_row_hit",
+    "hbm_row_miss",
 )
 
 
@@ -472,6 +483,17 @@ def ici_selftest() -> int:
     if lib is None or not hasattr(lib, "osp_sim_ici_selftest"):
         raise RuntimeError("native perfsim not built")
     return int(lib.osp_sim_ici_selftest())
+
+
+def rowbuffer_selftest() -> int:
+    """0 = the gather-vs-stream asymmetry emerges from the row-buffer
+    mechanism: random 16 B fetches land in the measured 11-17
+    cycles/element band, sequential ones ride open rows ≥2x faster,
+    and large streams achieve ≥70% of the bandwidth roof."""
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_rowbuffer_selftest"):
+        raise RuntimeError("native perfsim not built")
+    return int(lib.osp_sim_rowbuffer_selftest())
 
 
 def fifo_selftest() -> int:

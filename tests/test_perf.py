@@ -421,6 +421,39 @@ class TestEventModelMerge:
             native.simulate_merge_parts([1024, 2048], out_bytes=[8192])
 
 
+class TestRowBuffer:
+    """DRAM row-buffer state (ramulator's role in the reference,
+    SimOuterSPACE.cpp:608-719 + HBM-config.cfg): the measured
+    gather-vs-stream asymmetry must EMERGE from open-row hit/miss
+    latency + bounded outstanding instead of being a calibrated
+    per-element constant (round-3 verdict, missing item #2)."""
+
+    def test_rowbuffer_selftest(self):
+        # random 16 B fetches in the measured 11-17 cycles/elem band
+        # (~12-18 ns/elem vs the on-chip ~13-15); sequential >= 2x
+        # faster on open rows; large streams >= 70% of the roof
+        assert native.rowbuffer_selftest() == 0
+
+    def test_row_miss_latency_knob(self):
+        # raising the miss penalty must slow a random-access-shaped
+        # cached-kernel run (scattered block ids -> row misses)
+        in_b = np.full(256, 64, np.int64)
+        out_b = np.full(256, 64, np.int64)
+        fl = np.full(256, 64, np.int64)
+        blocks = np.arange(256, dtype=np.int64) * 7919 % 4096  # scattered
+        base = native.simulate_kernel_cached(
+            in_b, out_b, fl, blocks, cache_slots=4
+        )
+        native.set_config(hbm_row_miss=600.0)
+        try:
+            slow = native.simulate_kernel_cached(
+                in_b, out_b, fl, blocks, cache_slots=4
+            )
+        finally:
+            native.set_config(**native.CALIBRATED_CONFIG)
+        assert slow["cycles"] > base["cycles"]
+
+
 class TestShardedEventModel:
     """Multi-chip event model (osp_sim_sharded): ICI ring with store-
     and-forward hop routing + collective barrier + per-device merge
