@@ -453,6 +453,7 @@ def prepare_spgemm(name, g, exact_check=False, force_strategy=None):
     th, cpu = _cpu_baselines_async(g)
     a_csc, b_csr = g.to_csc(), g.to_csr()
     t0 = time.perf_counter()
+    c0 = time.thread_time()
     strategy = force_strategy or choose_strategy(a_csc, b_csr)
     make_once = None  # branches without a dispatch-loop `run` set this
     if strategy == "flat":
@@ -582,6 +583,13 @@ def prepare_spgemm(name, g, exact_check=False, force_strategy=None):
             return spgemm_padded_tiled_parts(tplan)
 
     t_plan = time.perf_counter() - t0
+    # Thread CPU time beside wall: on this 1-core box the plan phase
+    # timeshares with the baseline threads (and, when prefetched, with
+    # the previous workload's samples), so wall overstates the
+    # planner's cost by the contention factor — rmat16's planner is
+    # ~0.8 s warm / ~1.4 s cold of actual CPU (measured idle) while
+    # its in-record wall can read 5-9 s.
+    t_plan_cpu = time.thread_time() - c0
     k = _chain_k(flops)
     # gather and row-partitioned tiles define their own dispatch-loop run
     if strategy != "gather" and make_once is not None:
@@ -589,7 +597,7 @@ def prepare_spgemm(name, g, exact_check=False, force_strategy=None):
     return dict(
         name=name, g=g, strategy=strategy, run=run, merged_fn=merged_fn,
         flops=flops, p_pad=p_pad, k=k, th=th, cpu=cpu, t_plan=t_plan,
-        exact_check=exact_check,
+        t_plan_cpu=t_plan_cpu, exact_check=exact_check,
     )
 
 
@@ -638,6 +646,7 @@ def execute_spgemm(prep: dict) -> dict:
         t_tpu_s=round(t_tpu, 5),
         rpc_floor_s=round(_rpc_floor(), 4),
         t_plan_s=round(prep["t_plan"], 4),
+        t_plan_cpu_s=round(prep["t_plan_cpu"], 4),
         t_compile_s=round(t_compile, 1),
         speedup=round(cpu["t_cpu"] / t_tpu, 3),
         speedup_vs_scipy=round(cpu["t_scipy"] / t_tpu, 3),

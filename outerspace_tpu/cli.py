@@ -368,6 +368,30 @@ def cmd_graph(args) -> int:
 
     g = read_mtx(args.matrix)
     if args.kernel == "triangles":
+        if getattr(args, "mesh", None):
+            # mesh-composed kernel: sharded A² + owner-sharded bitmap
+            import jax
+
+            from outerspace_tpu.ops.graph import triangle_count_sharded
+            from outerspace_tpu.shard.mesh import make_mesh
+
+            dims = [int(x) for x in str(args.mesh).split(",")]
+            kx = dims[0]
+            ny = dims[1] if len(dims) > 1 else 1
+            if kx * ny != len(jax.devices()):
+                print(
+                    f"mesh {kx}x{ny} != {len(jax.devices())} devices",
+                    file=sys.stderr,
+                )
+                return 2
+            mesh = make_mesh((kx, ny), ("x", "y"))
+            t0 = time.perf_counter()
+            n = triangle_count_sharded(
+                g, mesh, axes=("x", "y"), kx=kx, ny=ny
+            )
+            dt = time.perf_counter() - t0
+            print(f"triangles (mesh {kx}x{ny}): {n} ({dt * 1e3:.1f} ms)")
+            return 0
         t0 = time.perf_counter()
         n = triangle_count(g, backend=args.backend, strategy=args.strategy)
         dt = time.perf_counter() - t0
@@ -472,6 +496,9 @@ def main(argv=None) -> int:
         "(auto = cost model)",
     )
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--mesh", default=None, metavar="KX[,NY]",
+                   help="triangles only: run the mesh-composed sharded "
+                        "kernel over a (kx × ny) device mesh")
     p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser("bench", help="benchmark suite (one JSON line)")

@@ -72,8 +72,26 @@ def read_mtx(path: str, expand_symmetric: bool = True, native: bool = True) -> C
     """Read a Matrix Market file into COO.
 
     Tries the native C++ reader first (if built), falling back to the
-    pure-Python implementation.
+    pure-Python implementation. ``.mtx.gz`` files (SuiteSparse ships
+    compressed) are transparently decompressed through the Python
+    reader.
     """
+    if path.endswith(".gz"):
+        import gzip
+        import tempfile
+
+        # decompress once to a temp file so either reader can stream it
+        with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
+            suffix=".mtx", delete=False
+        ) as dst:
+            dst.write(src.read())
+            tmp = dst.name
+        try:
+            return read_mtx(
+                tmp, expand_symmetric=expand_symmetric, native=native
+            )
+        finally:
+            os.unlink(tmp)
     if native:
         try:
             from outerspace_tpu.runtime.native import read_mtx_native

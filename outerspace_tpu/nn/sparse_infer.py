@@ -297,8 +297,34 @@ class SparseMLP:
                     h = jnp.maximum(h, 0.0)
             return h.T
 
+        self._forward_py = forward
         self._forward = jax.jit(forward)
 
     def __call__(self, x) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=jnp.float32).reshape(x.shape[0], -1)
         return self._forward(x)
+
+    def sharded(self, mesh, axis: str = "dp"):
+        """Data-parallel serving entry: returns a jitted callable that
+        shard_maps the forward over ``axis`` of ``mesh`` — each device
+        runs the MXU SpMM kernels on its batch shard with the block-ELL
+        weights replicated (a Pallas custom call cannot be
+        auto-partitioned by XLA, so the batch split must be explicit).
+        The batch must divide the axis size. Multi-chip counterpart of
+        the single-chip serving path the bench times."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fwd = jax.jit(
+            shard_map(
+                self._forward_py, mesh=mesh,
+                in_specs=P(axis), out_specs=P(axis),
+                check_rep=False,
+            )
+        )
+
+        def run(x):
+            x = jnp.asarray(x, dtype=jnp.float32).reshape(x.shape[0], -1)
+            return fwd(x)
+
+        return run

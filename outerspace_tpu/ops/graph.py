@@ -210,6 +210,97 @@ def triangle_count_device(prep) -> int:
     return int(round(float(np.asarray(total)) / 6.0))
 
 
+def triangle_count_sharded(
+    adj: COO | CSR,
+    mesh,
+    axes: tuple[str, str] | str = ("x", "y"),
+    kx: int | None = None,
+    ny: int = 1,
+) -> int:
+    """Triangle counting over a device mesh: the sharded SpGEMM program
+    (per-device Pallas expand, owner-keyed all_to_all, partitioned
+    merges — ``shard/tiled.py``) computes A² row-sharded along the k/x
+    axis, then a second shard_map stage does the Hadamard-with-A
+    membership test AGAINST A'S EDGE BITMAP SHARDED THE SAME WAY — each
+    device holds only its own row-range's bitmap slice (the exchange
+    already routed every A² entry to its row owner, so membership is a
+    purely local gather), and only per-device partial sums cross back.
+    Multi-chip composition of the single-chip
+    :func:`triangle_count_device`; exact vs the scipy oracle on CPU
+    meshes (``tests/test_sharded.py``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from outerspace_tpu.shard.tiled import build_sharded_tiled, shard_plan_tiled
+
+    coo = adj if isinstance(adj, COO) else adj.to_coo()
+    sym = _symmetrize_simple(coo)
+    if kx is None:
+        kx = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        ny = 1
+    plan = shard_plan_tiled(sym.to_csc(), sym.to_csr(), kx=kx, ny=ny)
+    if isinstance(axes, str):
+        axes = (axes, None)
+    ax, ay = axes[0], (axes[1] if len(axes) > 1 else None)
+    sharded, args = build_sharded_tiled(
+        plan, mesh, axes=ax if ny == 1 else (ax, ay)
+    )
+
+    # Edge bitmap sharded by owner-row block along x (each device tests
+    # membership only for rows it owns), all columns per slice.
+    n = plan.n
+    n_words = -(-n // 32)
+    rows_pad = plan.kx * plan.rows_per_x
+    bitmap = np.zeros(rows_pad * n_words, dtype=np.uint32)
+    word = sym.row.astype(np.int64) * n_words + (sym.col >> 5)
+    bit = np.uint32(1) << (sym.col.astype(np.uint32) & np.uint32(31))
+    np.bitwise_or.at(bitmap, word, bit)
+    bm = jnp.asarray(
+        bitmap.view(np.int32).reshape(plan.kx, plan.rows_per_x * n_words)
+    )
+
+    spec = P(ax, ay) if ny > 1 else P(ax)
+    bm_spec = P(ax, None)
+    out_spec = P(ax, ay) if ny > 1 else P(ax)
+    rows_per_x = plan.rows_per_x
+
+    def local_tri(mr, mc, mv, mvalid, bmv):
+        rows = mr.reshape(-1)
+        cols = mc.reshape(-1)
+        vals = mv.reshape(-1)
+        valid = mvalid.reshape(-1)
+        base = jax.lax.axis_index(ax).astype(jnp.int32) * jnp.int32(
+            rows_per_x
+        )
+        w_idx = jnp.where(
+            valid, (rows - base) * np.int32(n_words) + (cols >> 5), 0
+        )
+        w = bmv.reshape(-1)[w_idx]
+        member = valid & (((w >> (cols & 31)) & 1) != 0)
+        s = jnp.sum(jnp.where(member, vals, 0.0))
+        return s.reshape((1, 1) if ny > 1 else (1,))
+
+    tri_stage = shard_map(
+        local_tri,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, bm_spec),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+
+    @jax.jit
+    def program(*a):
+        mr, mc, mv, mvalid, _nnz = sharded(*a[:-1])
+        return tri_stage(mr, mc, mv, mvalid, a[-1])
+
+    with mesh:
+        partials = program(*args, bm)
+    return int(round(float(np.asarray(partials).sum()) / 6.0))
+
+
 def _make_tri_sum():
     import functools
 

@@ -256,3 +256,25 @@ class TestSkewSymmetric:
         self._write(p)
         ref = scipy.io.mmread(p).toarray()
         np.testing.assert_allclose(read_mtx(p, native=False).to_dense(), ref)
+
+
+def test_read_mtx_gz_roundtrip(tmp_path):
+    """SuiteSparse ships .mtx.gz — read_mtx decompresses transparently
+    (both reader backends go through the same temp-file path)."""
+    import gzip
+    import shutil
+
+    from outerspace_tpu.formats import read_mtx, write_mtx
+    from outerspace_tpu.formats.generators import erdos_renyi
+
+    g = erdos_renyi(40, 40, 0.1, seed=2)
+    p = tmp_path / "g.mtx"
+    write_mtx(str(p), g)
+    pz = tmp_path / "g.mtx.gz"
+    with open(p, "rb") as f, gzip.open(pz, "wb") as z:
+        shutil.copyfileobj(f, z)
+    a = read_mtx(str(p))
+    b = read_mtx(str(pz))
+    assert a.nnz == b.nnz
+    assert np.array_equal(a.row, b.row) and np.array_equal(a.col, b.col)
+    assert np.allclose(a.val, b.val)

@@ -269,3 +269,29 @@ class TestCLI:
         out = self._run("graph", "triangles", p, "--backend", "scipy")
         assert out.returncode == 0, out.stderr
         assert "triangles:" in out.stdout
+
+    @pytest.mark.slow
+    def test_graph_cli_triangles_mesh(self, tmp_path):
+        # mesh-composed sharded triangle kernel from the CLI; count
+        # must match the scipy backend exactly
+        import subprocess as _sp
+
+        g = erdos_renyi(48, 48, 0.12, seed=6)
+        p = str(tmp_path / "g.mtx")
+        write_mtx(p, g)
+        ref = self._run("graph", "triangles", p, "--backend", "scipy")
+        assert ref.returncode == 0, ref.stderr
+        n_ref = int(ref.stdout.split("triangles:")[1].split("(")[0])
+        out = _sp.run(
+            [sys.executable, "-m", "outerspace_tpu.cli",
+             "graph", "triangles", p, "--mesh", "2,2"],
+            capture_output=True, text=True, timeout=600,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+                "OUTERSPACE_FORCE_CPU": "1",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            },
+        )
+        assert out.returncode == 0, out.stderr
+        assert f"triangles (mesh 2x2): {n_ref}" in out.stdout

@@ -461,3 +461,38 @@ class TestSliceFillBuckets:
         )
         assert "dynamic_slice" in jaxpr
         assert "gather" not in jaxpr and "scatter" not in jaxpr
+
+
+class TestTriangleCountSharded:
+    """Graph kernel composed over the mesh: A² via the sharded Pallas
+    pipeline + a second shard_map stage testing Hadamard membership
+    against A's edge bitmap SHARDED BY OWNER-ROW RANGE (the exchange
+    already routed every A² entry to its row owner, so membership is a
+    local gather; only per-device partials cross back)."""
+
+    def test_1d_mesh_exact(self):
+        from outerspace_tpu.formats.generators import erdos_renyi
+        from outerspace_tpu.ops.graph import (
+            triangle_count,
+            triangle_count_sharded,
+        )
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        g = erdos_renyi(60, 60, 0.12, seed=6)
+        ref = triangle_count(g, backend="scipy")
+        mesh = make_mesh((8,), ("x",))
+        assert triangle_count_sharded(g, mesh, axes="x") == ref
+
+    def test_2d_mesh_exact(self):
+        from outerspace_tpu.formats.generators import rmat
+        from outerspace_tpu.ops.graph import (
+            triangle_count,
+            triangle_count_sharded,
+        )
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        g = rmat(9, edge_factor=6, seed=3).deduplicated()
+        ref = triangle_count(g, backend="scipy")
+        mesh = make_mesh((4, 2), ("x", "y"))
+        got = triangle_count_sharded(g, mesh, axes=("x", "y"), kx=4, ny=2)
+        assert got == ref

@@ -78,3 +78,27 @@ def test_masked_slots_reuse_neighbor_indices():
                 prev = (col, slot)
             elif prev is not None:
                 assert (col, slot) == prev, (rb, s)
+
+
+def test_sparse_mlp_sharded_serving_matches_single():
+    """Data-parallel serving (SparseMLP.sharded): the batch shard_maps
+    over a dp mesh with the block-ELL weights replicated, and must be
+    bit-identical to the single-device forward (the Pallas SpMM kernel
+    cannot be auto-partitioned by XLA — the batch split is explicit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from outerspace_tpu.nn.models import MLP1
+    from outerspace_tpu.nn.prune import prune_params
+    from outerspace_tpu.nn.sparse_infer import SparseMLP
+    from outerspace_tpu.shard.mesh import make_mesh
+
+    params = MLP1().init(jax.random.PRNGKey(0), jnp.zeros((4, 784)))["params"]
+    params = prune_params(params, sparsity_level=0.1)
+    m = SparseMLP(params)
+    x = np.random.default_rng(0).random((16, 784)).astype(np.float32)
+    ref = np.asarray(m(x))
+    ndev = len(jax.devices())
+    mesh = make_mesh((ndev,), ("dp",))
+    got = np.asarray(m.sharded(mesh, axis="dp")(x))
+    assert np.array_equal(got, ref)
