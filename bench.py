@@ -601,9 +601,16 @@ def prepare_spgemm(name, g, exact_check=False, force_strategy=None):
     )
 
 
-def execute_spgemm(prep: dict) -> dict:
+def execute_spgemm(prep: dict, on_sampled=None) -> dict:
     """Device stage of one A² workload: compile + warm, timed samples,
-    validation against the (already overlapped) CPU baselines."""
+    validation against the (already overlapped) CPU baselines.
+
+    ``on_sampled`` fires right AFTER the timed samples: the suite hooks
+    the next workload's prefetch there, so its host planning + plan
+    device transfers overlap this workload's validation/baseline-join
+    and the next compile — but never the timed samples themselves
+    (a concurrent multi-MB plan upload on the shared tunnel data path
+    would contaminate them)."""
     name, g, run, k = prep["name"], prep["g"], prep["run"], prep["k"]
     th, cpu, flops = prep["th"], prep["cpu"], prep["flops"]
     t0 = time.perf_counter()
@@ -615,6 +622,8 @@ def execute_spgemm(prep: dict) -> dict:
         vec = np.asarray(run())
         ts.append(time.perf_counter() - t0)
     t_tpu = _per_op(ts, k)
+    if on_sampled is not None:
+        on_sampled()
 
     th.join(timeout=max(_time_left() - 30, 5))
     c_ref = cpu.get("c_ref")
@@ -719,7 +728,12 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
 
     def est(wname, dg):
         c, r = est_base.get(wname, (45.0, 45.0))
-        cd = 0.15 if _CACHE["hit"] else dg
+        # a cache hit replaces the compile with an executable LOAD over
+        # the tunnel's data path (~40-50% of the healthy compile time),
+        # which degrades with tunnel bandwidth like the rest of the
+        # run-bound work — so it scales with run_scale, not the
+        # compile-degrade factor
+        cd = 0.45 * run_scale if _CACHE["hit"] else dg
         return c * cd + r * run_scale
 
     # Degraded cold-cache day: force ONE compile family across the A²
@@ -747,7 +761,8 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     # without it). MCL's reserve lives in main()'s aux gates; on warm-
     # cache days its cost is ~30 s and always fits.
     headliners = ("rmat14_ef8", "rmat15_ef8", "rmat16_ef8")
-    done_names: set[str] = set()
+    workload_index = {w[0]: j for j, w in enumerate(workloads)}
+    skipped_names: set[str] = set()
     prepped: dict[str, object] = {}
     pf_thread = None
 
@@ -762,13 +777,17 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
     for i, (name, gen, exact, forced) in enumerate(workloads):
         forced = force_map.get(name, forced)
         aux_reserve = 60.0 if _CACHE["hit"] else 80.0
+        # reserve only for headliners still AHEAD in the order (a
+        # passed-over one can never run — holding its phantom cost
+        # would shed workloads that fit)
         rem = sum(
             est(h, degrade) for h in headliners
-            if h not in done_names and h != name
+            if workload_index.get(h, -1) > i
         )
         if results and _time_left() < est(name, degrade) + rem + aux_reserve:
             print(json.dumps({"skipped": name, "reason": "deadline"}),
                   file=sys.stderr, flush=True)
+            skipped_names.add(name)
             prepped.pop(name, None)
             continue
         _w0 = time.perf_counter()
@@ -777,28 +796,36 @@ def bench_spgemm_suite(results: list | None = None) -> list[dict]:
             if pf_thread is not None:
                 pf_thread.join()
                 pf_thread = None
+            for s in skipped_names:  # drop preps that landed post-skip
+                prepped.pop(s, None)
             prep = prepped.pop(name, None)
             if prep is None:
                 prep = prepare_spgemm(
                     name, gen(), exact_check=exact, force_strategy=forced
                 )
-            # overlap the NEXT workload's host plan + CPU baselines
-            # with THIS workload's remote compile + samples
-            if i + 1 < len(workloads):
-                nname, ngen, nexact, nforced = workloads[i + 1]
-                pf_thread = threading.Thread(
-                    target=_prefetch,
-                    args=(nname, ngen, nexact, force_map.get(nname, nforced)),
-                    daemon=True,
-                )
-                pf_thread.start()
             if isinstance(prep, Exception):
                 raise prep
-            rec = execute_spgemm(prep)
+
+            # overlap the NEXT workload's host plan + CPU baselines +
+            # plan transfers with THIS workload's validation and the
+            # next compile — started only AFTER the timed samples (a
+            # concurrent plan upload would contaminate them)
+            def _start_next(i=i):
+                nonlocal pf_thread
+                if i + 1 < len(workloads):
+                    nname, ngen, nexact, nforced = workloads[i + 1]
+                    pf_thread = threading.Thread(
+                        target=_prefetch,
+                        args=(nname, ngen, nexact,
+                              force_map.get(nname, nforced)),
+                        daemon=True,
+                    )
+                    pf_thread.start()
+
+            rec = execute_spgemm(prep, on_sampled=_start_next)
         except Exception as e:  # pragma: no cover - report and continue
             rec = dict(name=name, error=str(e)[:300])
         results.append(rec)
-        done_names.add(name)
         cost = time.perf_counter() - _w0
         if not _CACHE["hit"]:
             # most-recent compile-degrade ratio, not a ratchet: a
@@ -1266,10 +1293,11 @@ def main() -> None:
     try:
         # the MCL program's cold compile is ~115 s (three loop-body
         # sizes + the split tail) — but on a warm compilation cache it
-        # deserializes in seconds, so the gate adapts; MCL runs right
-        # after the cheap NN record because it is a headline deliverable
+        # loads in ~30-60 s (the 43 MB executable rides the tunnel's
+        # data path), so the gate adapts; MCL runs right after the
+        # cheap NN record because it is a headline deliverable
         # (BASELINE configs[3]) that r01-r03 kept losing to the deadline
-        mcl_gate = 50 if _CACHE["hit"] else 130
+        mcl_gate = 70 if _CACHE["hit"] else 130
         for gate, name, fn in (
             (45, "sparse_mlp_infer_b1024_spmm", bench_nn_inference),
             (mcl_gate, "mcl_rmat14_4iter", bench_mcl),

@@ -264,6 +264,36 @@ def cmd_nn(args) -> int:
     return 0
 
 
+def _parse_mesh(mesh_arg, ndev: int) -> tuple[int, int] | None:
+    """Validate a ``KX[,NY]`` mesh flag against the device count;
+    prints the friendly diagnostic and returns None on any problem
+    (shared by ``spgemm --mesh`` and ``graph triangles --mesh`` so the
+    two cannot drift — e.g. the natural '2x2' typo must take the
+    exit-2 path everywhere, not an uncaught traceback)."""
+    try:
+        dims = [int(x) for x in str(mesh_arg).split(",")]
+    except ValueError:
+        dims = []
+    if not 1 <= len(dims) <= 2 or any(d < 1 for d in dims):
+        print(
+            f"bad --mesh {mesh_arg!r}: expected KX or KX,NY "
+            "(positive integers, e.g. --mesh 4,2)",
+            file=sys.stderr,
+        )
+        return None
+    kx = dims[0]
+    ny = dims[1] if len(dims) > 1 else 1
+    if kx * ny != ndev:
+        print(
+            f"mesh {kx}x{ny} != {ndev} devices (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual mesh)",
+            file=sys.stderr,
+        )
+        return None
+    return kx, ny
+
+
 def _cmd_spgemm_sharded(args, a_csc, b_csr) -> int:
     """``spgemm --mesh KX[,NY]``: the multi-chip pipeline end to end —
     plan, run under shard_map over a (kx × ny) device mesh, assemble,
@@ -280,28 +310,11 @@ def _cmd_spgemm_sharded(args, a_csc, b_csr) -> int:
         spgemm_sharded_tiled,
     )
 
-    try:
-        dims = [int(x) for x in str(args.mesh).split(",")]
-    except ValueError:
-        dims = []
-    if not 1 <= len(dims) <= 2 or any(d < 1 for d in dims):
-        print(
-            f"bad --mesh {args.mesh!r}: expected KX or KX,NY "
-            "(positive integers, e.g. --mesh 4,2)",
-            file=sys.stderr,
-        )
+    parsed = _parse_mesh(args.mesh, len(jax.devices()))
+    if parsed is None:
         return 2
-    kx = dims[0]
-    ny = dims[1] if len(dims) > 1 else 1
-    ndev = len(jax.devices())
-    if kx * ny != ndev:
-        print(
-            f"mesh {kx}x{ny} != {ndev} devices (set "
-            "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
-            "virtual mesh)",
-            file=sys.stderr,
-        )
-        return 2
+    kx, ny = parsed
+    ndev = kx * ny
     flops = spgemm_flops(a_csc, b_csr)
     t0 = time.perf_counter()
     plan = shard_plan_tiled(
@@ -375,15 +388,10 @@ def cmd_graph(args) -> int:
             from outerspace_tpu.ops.graph import triangle_count_sharded
             from outerspace_tpu.shard.mesh import make_mesh
 
-            dims = [int(x) for x in str(args.mesh).split(",")]
-            kx = dims[0]
-            ny = dims[1] if len(dims) > 1 else 1
-            if kx * ny != len(jax.devices()):
-                print(
-                    f"mesh {kx}x{ny} != {len(jax.devices())} devices",
-                    file=sys.stderr,
-                )
+            parsed = _parse_mesh(args.mesh, len(jax.devices()))
+            if parsed is None:
                 return 2
+            kx, ny = parsed
             mesh = make_mesh((kx, ny), ("x", "y"))
             t0 = time.perf_counter()
             n = triangle_count_sharded(

@@ -78,13 +78,16 @@ def read_mtx(path: str, expand_symmetric: bool = True, native: bool = True) -> C
     """
     if path.endswith(".gz"):
         import gzip
+        import shutil
         import tempfile
 
         # decompress once to a temp file so either reader can stream it
+        # (copyfileobj streams with constant memory — a multi-GB
+        # SuiteSparse matrix must not materialize as one bytes object)
         with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
             suffix=".mtx", delete=False
         ) as dst:
-            dst.write(src.read())
+            shutil.copyfileobj(src, dst)
             tmp = dst.name
         try:
             return read_mtx(

@@ -239,7 +239,13 @@ def triangle_count_sharded(
     coo = adj if isinstance(adj, COO) else adj.to_coo()
     sym = _symmetrize_simple(coo)
     if kx is None:
-        kx = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # default only for 1-D meshes: on a multi-axis mesh a flattened
+        # kx would be sharded over the first axis alone (wrong blocks)
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                "multi-axis mesh needs explicit kx/ny (e.g. kx=4, ny=2)"
+            )
+        kx = int(mesh.shape[mesh.axis_names[0]])
         ny = 1
     plan = shard_plan_tiled(sym.to_csc(), sym.to_csr(), kx=kx, ny=ny)
     if isinstance(axes, str):

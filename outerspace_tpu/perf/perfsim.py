@@ -399,12 +399,18 @@ def simulate_sharded_pipeline(
         mo = mp * 8
     else:
         mo = np.ascontiguousarray(merge_out_bytes, dtype=np.int64)
+    if ec.shape != (ndev,):
+        raise ValueError("expand_cycles must be int64[ndev]")
+    if sp.shape != (ndev,):
+        raise ValueError("sort_pairs must be int64[ndev]")
     if xb.ndim != 3 or xb.shape[1:] != (ndev, ndev):
         raise ValueError("xfer_bytes must be [nchunks, ndev, ndev]")
     nchunks = xb.shape[0]
     if mp.ndim != 3 or mp.shape[:2] != (ndev, nchunks):
         raise ValueError("merge_pairs must be [ndev, nchunks, parts]")
     merge_parts = mp.shape[2]
+    if mo.shape != mp.shape:
+        raise ValueError("merge_out_bytes must match merge_pairs in shape")
     p64 = ctypes.POINTER(ctypes.c_int64)
     stats = (ctypes.c_double * 4)(*([0.0] * 4))
     cycles = lib.osp_sim_sharded(
