@@ -201,14 +201,17 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
             file=sys.stderr, flush=True,
         )
         if _CACHE["enabled"]:
-            # Cache-hit compiles land in ~1-2 s even on degraded days
-            # (deserialization only), so a capped probe means the cache
-            # did NOT hit — either the entries are stale (jaxlib bump)
-            # or the cache layer itself is misbehaving on the tunnel.
-            # Either way the rest of the run is better off without it:
-            # disable and fall back to the cold-compile shedding logic.
+            # A capped probe means the cache did NOT save this run —
+            # the entries are stale, or the day is degraded enough that
+            # even loads crawl. Fall back to cold-compile shedding and
+            # stop cache WRITES too (an unstable-key day would otherwise
+            # append a fresh generation of multi-MB entries to the
+            # committed dir). jax_enable_compilation_cache is the knob
+            # that is honored after the cache is initialized — updating
+            # jax_compilation_cache_dir at this point is ignored
+            # (observed live: the "disabled" run kept writing entries).
             try:
-                jax.config.update("jax_compilation_cache_dir", None)
+                jax.config.update("jax_enable_compilation_cache", False)
                 _CACHE["enabled"] = False
                 print(json.dumps({"xla_cache_disabled": "probe_capped"}),
                       file=sys.stderr, flush=True)
