@@ -147,6 +147,87 @@ def _per_op(ts: list[float], k: int) -> float:
     return max(best - _rpc_floor(), best * 0.05) / k
 
 
+def _cache_key_canary() -> None:
+    """Diagnostic record for cache-key drift, and the proof of its root
+    cause: XLA-level debug locations are canonicalized out of the cache
+    key (the sort canary's key survives source edits that shift its own
+    line), but a Pallas kernel's Mosaic payload inside tpu_custom_call
+    embeds ITS OWN serialized source locations, opaque to the
+    canonicalizer — so every Pallas-bearing program re-keys whenever
+    the kernel-defining or call-path source lines shift. Verified live
+    in r04: an edit above the canaries changed the pallas key and not
+    the sort key. Consequence: on a FROZEN tree (driver conditions) all
+    keys are stable and the committed cache hits; mid-development edits
+    re-key the Pallas programs, which is why the dir keeps two
+    generations. This record lets any future drift be checked against
+    the module-bytes hash vs the full key (module stable + key moved ⇒
+    backend/options changed; module moved ⇒ source lines shifted)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax._src import cache_key as _ck
+        from jax._src import compiler as _jc
+        from jax.experimental import pallas as pl
+
+        from jax._src import xla_bridge as _xb
+
+        backend = _xb.get_backend()
+        devices = np.array([[jax.devices()[0]]])
+
+        import hashlib
+
+        from jax._src.interpreters import mlir as _mlir
+
+        def key_of(fn, *args):
+            lowered = jax.jit(fn).lower(*args)
+            module = lowered.compiler_ir("stablehlo")
+            opts = _jc.get_compile_options(
+                num_replicas=1, num_partitions=1,
+                device_assignment=devices,
+            )
+            full = _ck.get(module, devices, opts, backend)
+            # split the key: module bytes vs everything else — a
+            # drifted full key with a stable module hash implicates
+            # backend/options, a drifted module hash implicates
+            # lowering nondeterminism
+            mod_h = hashlib.sha256(
+                _mlir.module_to_bytecode(module)
+            ).hexdigest()[:16]
+            return {"key": full, "module": mod_h}
+
+        sort_key = key_of(
+            lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1],
+            jnp.arange(4096, dtype=jnp.int32),
+        )
+
+        def _pk(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 2.0
+
+        pallas_key = key_of(
+            lambda x: pl.pallas_call(
+                _pk,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(x),
+            jnp.ones((8, 128), jnp.float32),
+        )
+        print(
+            json.dumps({
+                "cache_key_canary": {
+                    "sort": sort_key,
+                    "pallas": pallas_key,
+                    "platform_version": str(
+                        getattr(backend, "platform_version", "?")
+                    )[:80],
+                    "jax": jax.__version__,
+                }
+            }),
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # diagnostics only — never block the suite
+        print(json.dumps({"cache_key_canary_error": str(e)[:150]}),
+              file=sys.stderr, flush=True)
+
+
 def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
     """Tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
     degraded) seeds the workload-shedding degrade factor and leaves a
@@ -1268,6 +1349,7 @@ def main() -> None:
     # exits; the ``done`` event keeps the ONE-json-line contract when
     # the normal path got there first.
     _enable_compile_cache()
+    _cache_key_canary()
     results: list[dict] = []
     done = threading.Event()
     # the 578 s cap encodes the DRIVER's ~595 s hard kill; a user who
