@@ -404,6 +404,29 @@ def cmd_graph(args) -> int:
         n = triangle_count(g, backend=args.backend, strategy=args.strategy)
         dt = time.perf_counter() - t0
         print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
+    elif getattr(args, "mesh", None):
+        # mesh-composed MCL: every expansion squaring on the device
+        # mesh, host elementwise between
+        import jax
+
+        from outerspace_tpu.ops.graph import markov_cluster_sharded
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        parsed = _parse_mesh(args.mesh, len(jax.devices()))
+        if parsed is None:
+            return 2
+        kx, ny = parsed
+        mesh = make_mesh((kx, ny), ("x", "y"))
+        t0 = time.perf_counter()
+        flow = markov_cluster_sharded(
+            g, mesh, axes=("x", "y"), kx=kx, ny=ny, iters=args.iters
+        )
+        clusters = mcl_clusters(flow)
+        dt = time.perf_counter() - t0
+        print(
+            f"mcl (mesh {kx}x{ny}): {len(clusters)} clusters "
+            f"({dt * 1e3:.1f} ms)"
+        )
     else:
         report: dict = {}
         t0 = time.perf_counter()
@@ -505,8 +528,8 @@ def main(argv=None) -> int:
     )
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--mesh", default=None, metavar="KX[,NY]",
-                   help="triangles only: run the mesh-composed sharded "
-                        "kernel over a (kx × ny) device mesh")
+                   help="run the mesh-composed sharded kernel over a "
+                        "(kx × ny) device mesh (triangles and mcl)")
     p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser("bench", help="benchmark suite (one JSON line)")

@@ -210,6 +210,87 @@ def triangle_count_device(prep) -> int:
     return int(round(float(np.asarray(total)) / 6.0))
 
 
+def _resolve_mesh_dims(mesh, kx, ny, axes):
+    """(kx, ny, ax, ay) for a mesh-composed kernel. kx defaults only
+    on 1-D meshes — on a multi-axis mesh a flattened kx would be
+    sharded over the first axis alone (wrong blocks)."""
+    if kx is None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                "multi-axis mesh needs explicit kx/ny (e.g. kx=4, ny=2)"
+            )
+        kx = int(mesh.shape[mesh.axis_names[0]])
+        ny = 1
+    if isinstance(axes, str):
+        axes = (axes, None)
+    ax = axes[0]
+    ay = axes[1] if len(axes) > 1 else None
+    return kx, ny, ax, ay
+
+
+def markov_cluster_sharded(
+    adj: COO | CSR,
+    mesh,
+    axes: tuple[str, str] | str = ("x", "y"),
+    kx: int | None = None,
+    ny: int = 1,
+    expansion: int = 2,
+    inflation: float = 2.0,
+    iters: int = 10,
+    prune_threshold: float = 1e-4,
+) -> CSR:
+    """Markov clustering with every expansion squaring on the device
+    mesh: per iteration the current flow matrix is re-planned on host
+    and its power runs as the sharded SPMD program (per-device Pallas
+    expand, owner-keyed all_to_all, key-range-partitioned merges —
+    ``shard/tiled.py``); inflation, pruning and column renormalisation
+    are nnz-scale host elementwise passes between squarings. Matches
+    :func:`markov_cluster`'s semantics exactly (same self-loop +
+    normalisation preamble, same convergence test); the single-chip
+    fused-loop path (``ops/chain.py``) remains the production
+    single-device kernel — this is its scale-out counterpart for flow
+    matrices larger than one chip's HBM."""
+    from outerspace_tpu.shard.tiled import (
+        shard_plan_tiled,
+        sharded_tiled_to_csr,
+        spgemm_sharded_tiled,
+    )
+
+    coo = adj.to_coo() if not isinstance(adj, COO) else adj
+    n = coo.shape[0]
+    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
+    kx, ny, ax, ay = _resolve_mesh_dims(mesh, kx, ny, axes)
+    m = COO(
+        coo.shape,
+        np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
+        np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
+        np.concatenate([np.abs(coo.val), np.ones(n, dtype=np.float32)]),
+    ).deduplicated()
+    flow = _col_normalize(m.to_csr())
+
+    def mult_sharded(a: CSR, b: CSR) -> CSR:
+        plan = shard_plan_tiled(a.to_csc(), b, kx=kx, ny=ny)
+        out = spgemm_sharded_tiled(
+            plan, mesh, axes=ax if ny == 1 else (ax, ay)
+        )
+        return sharded_tiled_to_csr(plan, out)
+
+    for _ in range(iters):
+        expanded = flow
+        for _ in range(expansion - 1):
+            expanded = mult_sharded(expanded, flow)
+        c = expanded.to_coo()
+        v = np.power(np.maximum(c.val, 0.0), inflation)
+        keep = v > prune_threshold
+        c = COO(c.shape, c.row[keep], c.col[keep], v[keep])
+        new_flow = _col_normalize(c.to_csr())
+        if _converged(flow, new_flow):
+            flow = new_flow
+            break
+        flow = new_flow
+    return flow
+
+
 def triangle_count_sharded(
     adj: COO | CSR,
     mesh,
@@ -238,19 +319,8 @@ def triangle_count_sharded(
 
     coo = adj if isinstance(adj, COO) else adj.to_coo()
     sym = _symmetrize_simple(coo)
-    if kx is None:
-        # default only for 1-D meshes: on a multi-axis mesh a flattened
-        # kx would be sharded over the first axis alone (wrong blocks)
-        if len(mesh.axis_names) != 1:
-            raise ValueError(
-                "multi-axis mesh needs explicit kx/ny (e.g. kx=4, ny=2)"
-            )
-        kx = int(mesh.shape[mesh.axis_names[0]])
-        ny = 1
+    kx, ny, ax, ay = _resolve_mesh_dims(mesh, kx, ny, axes)
     plan = shard_plan_tiled(sym.to_csc(), sym.to_csr(), kx=kx, ny=ny)
-    if isinstance(axes, str):
-        axes = (axes, None)
-    ax, ay = axes[0], (axes[1] if len(axes) > 1 else None)
     sharded, args = build_sharded_tiled(
         plan, mesh, axes=ax if ny == 1 else (ax, ay)
     )

@@ -496,3 +496,49 @@ class TestTriangleCountSharded:
         mesh = make_mesh((4, 2), ("x", "y"))
         got = triangle_count_sharded(g, mesh, axes=("x", "y"), kx=4, ny=2)
         assert got == ref
+
+
+@pytest.mark.slow
+class TestMarkovClusterSharded:
+    """MCL with every expansion squaring on the mesh (host inflate/
+    prune/normalize between) — must match the scipy backend exactly
+    (same preamble, same convergence rule)."""
+
+    def test_1d_mesh_matches_scipy(self):
+        from outerspace_tpu.formats.generators import erdos_renyi
+        from outerspace_tpu.ops.graph import (
+            markov_cluster,
+            markov_cluster_sharded,
+            mcl_clusters,
+        )
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        g = erdos_renyi(24, 24, 0.15, seed=4)
+        ref = markov_cluster(g, iters=4, backend="scipy")
+        got = markov_cluster_sharded(
+            g, make_mesh((8,), ("x",)), axes="x", iters=4
+        )
+        assert got.nnz == ref.nnz
+        np.testing.assert_allclose(
+            got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
+        )
+        assert len(mcl_clusters(got)) == len(mcl_clusters(ref))
+
+    def test_2d_mesh_matches_scipy(self):
+        from outerspace_tpu.formats.generators import erdos_renyi
+        from outerspace_tpu.ops.graph import (
+            markov_cluster,
+            markov_cluster_sharded,
+        )
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        g = erdos_renyi(20, 20, 0.18, seed=7)
+        ref = markov_cluster(g, iters=2, backend="scipy")
+        got = markov_cluster_sharded(
+            g, make_mesh((4, 2), ("x", "y")), axes=("x", "y"),
+            kx=4, ny=2, iters=2,
+        )
+        assert got.nnz == ref.nnz
+        np.testing.assert_allclose(
+            got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
+        )
