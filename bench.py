@@ -147,6 +147,18 @@ def _per_op(ts: list[float], k: int) -> float:
     return max(best - _rpc_floor(), best * 0.05) / k
 
 
+def _sample_chain(run_sync, k: int, reps: int = 3):
+    """Timed samples of an already-warm K-chained runner (call it once
+    before this for compile+warm); returns (per-op seconds, raw
+    samples) — the shared sampler behind the NN/graph records."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_sync()
+        ts.append(time.perf_counter() - t0)
+    return _per_op(ts, k), ts
+
+
 def _cache_key_canary() -> None:
     """Diagnostic record for cache-key drift, and the proof of its root
     cause: XLA-level debug locations are canonicalized out of the cache
@@ -976,13 +988,8 @@ def bench_nn_inference() -> dict:
             xx = xd + jnp.minimum(tot, 0.0)  # opaque zero: defeat CSE
         return tot
 
-    _sync_scalar(run_k())
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync_scalar(run_k())
-        ts.append(time.perf_counter() - t0)
-    t_tpu = _per_op(ts, K)
+    _sync_scalar(run_k())  # compile + warm
+    t_tpu, ts = _sample_chain(lambda: _sync_scalar(run_k()), K)
     t_cpu = _time_host(lambda: mlp_forward_spgemm(params, x, "scipy"), reps=3)
     dense = mlp_forward_dense(params, x)
     got = np.asarray(model(xd))
@@ -1058,12 +1065,7 @@ def bench_lenet_inference() -> dict:
         return tot
 
     _sync_scalar(run_k())  # compile + warm
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync_scalar(run_k())
-        ts.append(time.perf_counter() - t0)
-    t_tpu = _per_op(ts, K)
+    t_tpu, ts = _sample_chain(lambda: _sync_scalar(run_k()), K)
     t_cpu = _time_host(
         lambda: lenet_forward_spgemm(params, x, backend="scipy"), reps=2
     )
@@ -1161,14 +1163,9 @@ def bench_triangles() -> dict:
                 )
             return tot
 
-    total = _sync_scalar(run_k())
+    total = _sync_scalar(run_k())  # compile + warm
     n_tpu = int(round(total / K / 6.0))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync_scalar(run_k())
-        ts.append(time.perf_counter() - t0)
-    t_tpu = _per_op(ts, K)
+    t_tpu, _ts = _sample_chain(lambda: _sync_scalar(run_k()), K)
     t_cpu = _time_host(lambda: triangle_count(g, backend="scipy"), reps=2)
     n_cpu = triangle_count(g, backend="scipy")
     rec = dict(

@@ -380,19 +380,22 @@ def cmd_graph(args) -> int:
     from outerspace_tpu.ops.graph import markov_cluster, mcl_clusters, triangle_count
 
     g = read_mtx(args.matrix)
+    mesh = None
+    if getattr(args, "mesh", None):
+        # mesh-composed kernels: the sharded SPMD program per squaring
+        import jax
+
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        parsed = _parse_mesh(args.mesh, len(jax.devices()))
+        if parsed is None:
+            return 2
+        kx, ny = parsed
+        mesh = make_mesh((kx, ny), ("x", "y"))
     if args.kernel == "triangles":
-        if getattr(args, "mesh", None):
-            # mesh-composed kernel: sharded A² + owner-sharded bitmap
-            import jax
-
+        if mesh is not None:
             from outerspace_tpu.ops.graph import triangle_count_sharded
-            from outerspace_tpu.shard.mesh import make_mesh
 
-            parsed = _parse_mesh(args.mesh, len(jax.devices()))
-            if parsed is None:
-                return 2
-            kx, ny = parsed
-            mesh = make_mesh((kx, ny), ("x", "y"))
             t0 = time.perf_counter()
             n = triangle_count_sharded(
                 g, mesh, axes=("x", "y"), kx=kx, ny=ny
@@ -404,19 +407,9 @@ def cmd_graph(args) -> int:
         n = triangle_count(g, backend=args.backend, strategy=args.strategy)
         dt = time.perf_counter() - t0
         print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
-    elif getattr(args, "mesh", None):
-        # mesh-composed MCL: every expansion squaring on the device
-        # mesh, host elementwise between
-        import jax
-
+    elif mesh is not None:
         from outerspace_tpu.ops.graph import markov_cluster_sharded
-        from outerspace_tpu.shard.mesh import make_mesh
 
-        parsed = _parse_mesh(args.mesh, len(jax.devices()))
-        if parsed is None:
-            return 2
-        kx, ny = parsed
-        mesh = make_mesh((kx, ny), ("x", "y"))
         t0 = time.perf_counter()
         flow = markov_cluster_sharded(
             g, mesh, axes=("x", "y"), kx=kx, ny=ny, iters=args.iters

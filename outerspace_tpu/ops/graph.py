@@ -185,13 +185,10 @@ def triangle_prepare(sym: COO):
     n = sym.shape[1]
     assert sym.shape[0] * n < 2**31, "packed-key path requires m*n < 2^31"
     tplan = plan_tiled(sym.to_csc(), sym.to_csr())
-    # Dense edge bitmap (1 bit per (i, j)): membership becomes a single
-    # gather per A² entry instead of a 25-step binary search.
+    # Dense edge bitmap: membership becomes a single gather per A²
+    # entry instead of a 25-step binary search.
     n_words = -(-n // 32)
-    bitmap = np.zeros(sym.shape[0] * n_words, dtype=np.uint32)
-    word = sym.row.astype(np.int64) * n_words + (sym.col >> 5)
-    bit = np.uint32(1) << (sym.col.astype(np.uint32) & np.uint32(31))
-    np.bitwise_or.at(bitmap, word, bit)
+    bitmap = _edge_bitmap(sym.row, sym.col, sym.shape[0], n_words)
     bitmap_dev = jnp.asarray(bitmap.view(np.int32))
     return (tplan, bitmap_dev, n, n_words)
 
@@ -208,6 +205,44 @@ def triangle_count_device(prep) -> int:
         n_words=n_words,
     )
     return int(round(float(np.asarray(total)) / 6.0))
+
+
+def _mcl_setup(coo: COO) -> CSR:
+    """MCL preamble shared by every backend: self loops (standard MCL)
+    + column normalisation."""
+    n = coo.shape[0]
+    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
+    m = COO(
+        coo.shape,
+        np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
+        np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
+        np.concatenate([np.abs(coo.val), np.ones(n, dtype=np.float32)]),
+    ).deduplicated()
+    return _col_normalize(m.to_csr())
+
+
+def _mcl_inflate_prune(
+    expanded: CSR, inflation: float, prune_threshold: float
+) -> CSR:
+    """One MCL inflation step (elementwise power + prune + column
+    renormalise), shared by the host-loop backends."""
+    c = expanded.to_coo()
+    v = np.power(np.maximum(c.val, 0.0), inflation)
+    keep = v > prune_threshold
+    return _col_normalize(
+        COO(c.shape, c.row[keep], c.col[keep], v[keep]).to_csr()
+    )
+
+
+def _edge_bitmap(rows, cols, nrows_pad: int, n_words: int) -> np.ndarray:
+    """Dense edge bitmap (1 bit per (i, j)) — membership becomes one
+    gather per A² entry; shared by the single-chip and sharded
+    triangle kernels."""
+    bitmap = np.zeros(nrows_pad * n_words, dtype=np.uint32)
+    word = rows.astype(np.int64) * n_words + (cols >> 5)
+    bit = np.uint32(1) << (cols.astype(np.uint32) & np.uint32(31))
+    np.bitwise_or.at(bitmap, word, bit)
+    return bitmap
 
 
 def _resolve_mesh_dims(mesh, kx, ny, axes):
@@ -257,16 +292,8 @@ def markov_cluster_sharded(
     )
 
     coo = adj.to_coo() if not isinstance(adj, COO) else adj
-    n = coo.shape[0]
-    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
     kx, ny, ax, ay = _resolve_mesh_dims(mesh, kx, ny, axes)
-    m = COO(
-        coo.shape,
-        np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
-        np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
-        np.concatenate([np.abs(coo.val), np.ones(n, dtype=np.float32)]),
-    ).deduplicated()
-    flow = _col_normalize(m.to_csr())
+    flow = _mcl_setup(coo)
 
     def mult_sharded(a: CSR, b: CSR) -> CSR:
         plan = shard_plan_tiled(a.to_csc(), b, kx=kx, ny=ny)
@@ -279,14 +306,9 @@ def markov_cluster_sharded(
         expanded = flow
         for _ in range(expansion - 1):
             expanded = mult_sharded(expanded, flow)
-        c = expanded.to_coo()
-        v = np.power(np.maximum(c.val, 0.0), inflation)
-        keep = v > prune_threshold
-        c = COO(c.shape, c.row[keep], c.col[keep], v[keep])
-        new_flow = _col_normalize(c.to_csr())
+        new_flow = _mcl_inflate_prune(expanded, inflation, prune_threshold)
         if _converged(flow, new_flow):
-            flow = new_flow
-            break
+            return new_flow
         flow = new_flow
     return flow
 
@@ -330,10 +352,7 @@ def triangle_count_sharded(
     n = plan.n
     n_words = -(-n // 32)
     rows_pad = plan.kx * plan.rows_per_x
-    bitmap = np.zeros(rows_pad * n_words, dtype=np.uint32)
-    word = sym.row.astype(np.int64) * n_words + (sym.col >> 5)
-    bit = np.uint32(1) << (sym.col.astype(np.uint32) & np.uint32(31))
-    np.bitwise_or.at(bitmap, word, bit)
+    bitmap = _edge_bitmap(sym.row, sym.col, rows_pad, n_words)
     bm = jnp.asarray(
         bitmap.view(np.int32).reshape(plan.kx, plan.rows_per_x * n_words)
     )
@@ -414,15 +433,7 @@ def markov_cluster(
     """
     coo = adj.to_coo() if not isinstance(adj, COO) else adj
     n = coo.shape[0]
-    assert coo.shape[0] == coo.shape[1], "adjacency must be square"
-    # Add self loops (standard MCL) and column-normalise.
-    m = COO(
-        coo.shape,
-        np.concatenate([coo.row, np.arange(n, dtype=coo.row.dtype)]),
-        np.concatenate([coo.col, np.arange(n, dtype=coo.col.dtype)]),
-        np.concatenate([np.abs(coo.val), np.ones(n, dtype=np.float32)]),
-    ).deduplicated()
-    flow = _col_normalize(m.to_csr())
+    flow = _mcl_setup(coo)
 
     if iters <= 0:
         return flow
@@ -468,14 +479,9 @@ def markov_cluster(
         for _ in range(expansion - 1):
             expanded = mult(expanded, flow)
         # Inflation + prune + renormalise (host elementwise).
-        c = expanded.to_coo()
-        v = np.power(np.maximum(c.val, 0.0), inflation)
-        keep = v > prune_threshold
-        c = COO(c.shape, c.row[keep], c.col[keep], v[keep])
-        new_flow = _col_normalize(c.to_csr())
+        new_flow = _mcl_inflate_prune(expanded, inflation, prune_threshold)
         if _converged(flow, new_flow):
-            flow = new_flow
-            break
+            return new_flow
         flow = new_flow
     return flow
 
