@@ -178,3 +178,63 @@ class TestHeadline:
         line = json.loads(capsys.readouterr().out.strip())
         assert line["records"] == 1 and line["value"] == 20.0
         assert "stalled_in" not in line
+
+
+class TestSuiteLoop:
+    """The r04 suite loop: prefetch-after-samples hook, ahead-only
+    headliner reserves, skip bookkeeping — exercised with fake
+    prepare/execute so no device or generator work runs."""
+
+    def _patch(self, monkeypatch, deadline_s):
+        import time as _t
+
+        order = []
+        monkeypatch.setattr(bench, "_tunnel_probe", lambda **k: 1.0)
+        monkeypatch.setattr(bench, "_rpc_floor", lambda: 0.03)
+        for gen_name in ("rmat", "erdos_renyi", "read_mtx"):
+            monkeypatch.setattr(
+                f"outerspace_tpu.formats.{gen_name}",
+                lambda *a, **k: None,
+            )
+        monkeypatch.setattr(
+            bench, "prepare_spgemm",
+            lambda name, g, exact_check=False, force_strategy=None: {
+                "name": name, "forced": force_strategy,
+            },
+        )
+
+        def fake_exec(prep, on_sampled=None):
+            if on_sampled is not None:
+                on_sampled()
+            order.append(prep["name"])
+            return dict(
+                name=prep["name"], speedup=20.0,
+                nnz_exact=True, values_match=True,
+            )
+
+        monkeypatch.setattr(bench, "execute_spgemm", fake_exec)
+        monkeypatch.setattr(bench, "_T0", _t.perf_counter())
+        monkeypatch.setattr(bench, "_DEADLINE_S", deadline_s)
+        monkeypatch.setitem(bench._CACHE, "enabled", False)
+        monkeypatch.setitem(bench._CACHE, "hit", False)
+        return order
+
+    def test_ample_budget_runs_all_workloads(self, monkeypatch, capsys):
+        order = self._patch(monkeypatch, deadline_s=10_000.0)
+        results = bench.bench_spgemm_suite([])
+        names = [r["name"] for r in results]
+        assert names[:4] == [
+            "rmat14_ef8", "er_100k_d1e-4", "rmat15_ef8", "rmat16_ef8",
+        ]
+        assert order == names  # every record came through execute
+
+    def test_exhausted_budget_sheds_everything_after_first(
+        self, monkeypatch, capsys
+    ):
+        # the FIRST workload always runs (the headline needs >=1
+        # record); with no budget left the rest must emit skip records
+        order = self._patch(monkeypatch, deadline_s=0.0)
+        results = bench.bench_spgemm_suite([])
+        assert [r["name"] for r in results] == ["rmat14_ef8"]
+        err = capsys.readouterr().err
+        assert err.count('"skipped"') >= 3
