@@ -450,6 +450,73 @@ def cmd_graph(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """``predict A.mtx B.mtx --mesh KX[,NY]``: dual-model runtime
+    prediction for C = M1·M2ᵀ over a device mesh with NO device work —
+    the plan-aware roofline (``roofline.predict_sharded_tiled``) and
+    the C++ event model (``perfsim.simulate_sharded_tiled``) over the
+    real sharded plan, the capacity-planning face of ``docs/
+    SCALING.md``. The measured (1,1) hardware record sits between the
+    two models (roofline 6.3 / measured 9.0 / event 13.0 ms on the
+    rmat13 A² record), so read them as a bracket. Any mesh size may be
+    modeled — no devices are required."""
+    from outerspace_tpu.formats import read_mtx
+    from outerspace_tpu.ops.reference import spgemm_flops
+    from outerspace_tpu.perf.roofline import predict_sharded_tiled
+    from outerspace_tpu.shard.tiled import shard_plan_tiled
+
+    m1 = read_mtx(args.matrix1)
+    m2 = read_mtx(args.matrix2)
+    if not args.no_transpose:
+        m2 = m2.transpose()  # reference transposes matrix 2 (:852-857)
+    a_csc, b_csr = m1.to_csc(), m2.to_csr()
+    if a_csc.shape[1] != b_csr.shape[0]:
+        print(
+            f"dimension mismatch: {a_csc.shape} @ {b_csr.shape}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        dims = [int(x) for x in str(args.mesh).split(",")]
+    except ValueError:
+        dims = []
+    if not 1 <= len(dims) <= 2 or any(d < 1 for d in dims):
+        print(f"bad --mesh {args.mesh!r}: expected KX or KX,NY",
+              file=sys.stderr)
+        return 2
+    kx = dims[0]
+    ny = dims[1] if len(dims) > 1 else 1
+    plan = shard_plan_tiled(a_csc, b_csr, kx=kx, ny=ny)
+    print(f"multiply flops: {spgemm_flops(a_csc, b_csr)}")
+    print(f"mesh {kx}x{ny}: per-device stream {plan.stream_len}, "
+          f"exchange capacity {plan.capacity} x{plan.chunks} chunk(s), "
+          f"merge {plan.merge_parts} part(s) x {plan.kx * plan.mcap}")
+    print(
+        f"analytical sharded (roofline):  "
+        f"{predict_sharded_tiled(plan) * 1e3:.3f} ms"
+    )
+    try:
+        from outerspace_tpu.perf.perfsim import (
+            available,
+            simulate_sharded_tiled,
+        )
+
+        if available():
+            ev = simulate_sharded_tiled(plan)
+            print(
+                f"event-model sharded:            "
+                f"{ev['seconds'] * 1e3:.3f} ms "
+                f"(front {ev['expand_sort_cycles']} cyc, "
+                f"max link busy {ev['max_link_busy']} cyc)"
+            )
+        else:
+            print("event-model sharded:            unavailable "
+                  "(build csrc)")
+    except Exception as e:  # model failure must not kill the report
+        print(f"event-model sharded:            unavailable ({e})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # bench.py lives at the repo root, one level above the package.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -524,6 +591,20 @@ def main(argv=None) -> int:
                    help="run the mesh-composed sharded kernel over a "
                         "(kx × ny) device mesh (triangles and mcl)")
     p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser(
+        "predict",
+        help="dual-model A·Bᵀ runtime prediction (no device needed)",
+    )
+    p.add_argument("matrix1")
+    p.add_argument("matrix2")
+    p.add_argument("--no-transpose", action="store_true",
+                   help="predict M1·M2 instead of the default M1·M2ᵀ")
+    p.add_argument("--mesh", default="1", metavar="KX[,NY]",
+                   help="mesh sizes to model, e.g. 4 or 4,2 (repeatable "
+                        "via comma-free list: --mesh 1 --mesh 4 not "
+                        "supported; pass one)")
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("bench", help="benchmark suite (one JSON line)")
     p.set_defaults(fn=cmd_bench)

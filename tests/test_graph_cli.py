@@ -295,3 +295,23 @@ class TestCLI:
         )
         assert out.returncode == 0, out.stderr
         assert f"triangles (mesh 2x2): {n_ref}" in out.stdout
+
+    def test_predict_cli_dual_model(self, tmp_path):
+        # capacity planning without a device: both models print for an
+        # arbitrary mesh size (no device count requirement)
+        a = erdos_renyi(40, 40, 0.1, seed=6)
+        p = str(tmp_path / "g.mtx")
+        write_mtx(p, a)
+        out = self._run("predict", p, p, "--no-transpose", "--mesh", "8")
+        assert out.returncode == 0, out.stderr
+        assert "analytical sharded (roofline):" in out.stdout
+        assert "event-model sharded:" in out.stdout
+        assert "mesh 8x1" in out.stdout
+
+    def test_predict_cli_bad_mesh(self, tmp_path):
+        a = erdos_renyi(10, 10, 0.2, seed=4)
+        p = str(tmp_path / "g.mtx")
+        write_mtx(p, a)
+        out = self._run("predict", p, p, "--mesh", "2x2")
+        assert out.returncode == 2
+        assert "bad --mesh" in out.stderr
