@@ -542,3 +542,29 @@ class TestMarkovClusterSharded:
         np.testing.assert_allclose(
             got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,density", [(11, 0.08), (12, 0.15), (13, 0.2)])
+def test_triangle_sharded_fuzz(seed, density):
+    # mesh-composed triangles across random graphs: always equal to the
+    # scipy oracle (1-D mesh; the 2-D orientation has its own test)
+    from outerspace_tpu.formats.generators import erdos_renyi
+    from outerspace_tpu.ops.graph import triangle_count, triangle_count_sharded
+    from outerspace_tpu.shard.mesh import make_mesh
+
+    g = erdos_renyi(40 + seed, 40 + seed, density, seed=seed)
+    ref = triangle_count(g, backend="scipy")
+    mesh = make_mesh((8,), ("x",))
+    assert triangle_count_sharded(g, mesh, axes="x") == ref
+
+
+def test_triangle_sharded_rejects_default_kx_on_2d_mesh():
+    from outerspace_tpu.formats.generators import erdos_renyi
+    from outerspace_tpu.ops.graph import triangle_count_sharded
+    from outerspace_tpu.shard.mesh import make_mesh
+
+    g = erdos_renyi(16, 16, 0.2, seed=1)
+    mesh = make_mesh((4, 2), ("x", "y"))
+    with pytest.raises(ValueError, match="explicit kx"):
+        triangle_count_sharded(g, mesh, axes=("x", "y"))
