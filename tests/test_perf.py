@@ -582,3 +582,33 @@ def test_profiler_trace_smoke(tmp_path):
     with profiler_trace(logdir):
         _ = (jnp.arange(1024) * 2).sum()
     assert os.path.isdir(logdir) and os.listdir(logdir)
+
+
+class TestShardedPipelineValidation:
+    """Input-shape validation added after review: mismatched arrays
+    must raise instead of reading past native buffers."""
+
+    def test_expand_cycles_length(self):
+        with pytest.raises(ValueError, match="expand_cycles"):
+            native.simulate_sharded_pipeline(
+                4, [1000, 1000], [0] * 4,
+                np.zeros((1, 4, 4), np.int64),
+                np.full((4, 1, 1), 64, np.int64),
+            )
+
+    def test_sort_pairs_length(self):
+        with pytest.raises(ValueError, match="sort_pairs"):
+            native.simulate_sharded_pipeline(
+                4, [1000] * 4, [0, 0],
+                np.zeros((1, 4, 4), np.int64),
+                np.full((4, 1, 1), 64, np.int64),
+            )
+
+    def test_merge_out_bytes_shape(self):
+        with pytest.raises(ValueError, match="merge_out_bytes"):
+            native.simulate_sharded_pipeline(
+                2, [10, 10], [0, 0],
+                np.zeros((1, 2, 2), np.int64),
+                np.full((2, 1, 2), 64, np.int64),
+                merge_out_bytes=np.full((2, 1, 1), 64, np.int64),
+            )
