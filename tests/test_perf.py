@@ -612,3 +612,22 @@ class TestShardedPipelineValidation:
                 np.full((2, 1, 2), 64, np.int64),
                 merge_out_bytes=np.full((2, 1, 1), 64, np.int64),
             )
+
+
+def test_sharded_event_model_2d_plan():
+    # ny > 1 plans model one x-ring (columns partition B; every y
+    # column runs an identical independent ring) — must produce sane,
+    # smaller-than-1-D-per-device numbers
+    from outerspace_tpu.formats import rmat
+    from outerspace_tpu.shard.tiled import shard_plan_tiled
+
+    g = rmat(10, edge_factor=8, seed=1)
+    a, b = g.to_csc(), g.to_csr()
+    p1 = shard_plan_tiled(a, b, kx=4, ny=1)
+    p2 = shard_plan_tiled(a, b, kx=4, ny=2)
+    e1 = native.simulate_sharded_tiled(p1)
+    e2 = native.simulate_sharded_tiled(p2)
+    assert e1["cycles"] > 0 and e2["cycles"] > 0
+    # halving each device's B columns shrinks its padded stream
+    assert p2.stream_len <= p1.stream_len
+    assert e2["cycles"] <= e1["cycles"] * 1.1
