@@ -956,6 +956,21 @@ struct ShardedTiming {
 // roofline-only until now, and the two models cross-check each other
 // the way the reference ran analytical beside cycle-accurate
 // (SimOuterSPACE.cpp:859-875).
+// Sort-stage cycle model (the local owner-bucketing sort charge):
+// comparison-network stages over the stream + 2 HBM passes + grid
+// overhead. A free function so the Python wrapper can also charge
+// REBASED plans' per-bucket sorts (kx·chunks shorter sorts replace the
+// one global-key sort) without duplicating the formula.
+static int64_t sort_stage_cycles(const SimConfig& cfg, int64_t pairs) {
+  if (pairs <= 0) return 0;
+  int64_t st = SortUnit::stages(std::max<int64_t>(pairs, 2));
+  int64_t io = static_cast<int64_t>(2.0 * pairs * 8 /
+                                    cfg.hbm_bytes_per_cycle);
+  return static_cast<int64_t>(static_cast<double>(st) * pairs /
+                              cfg.sort_pairs_per_cycle) +
+         io + cfg.grid_overhead;
+}
+
 ShardedTiming simulate_sharded(const SimConfig& cfg, int ndev,
                                const int64_t* expand_cycles,
                                const int64_t* sort_pairs, int nchunks,
@@ -968,13 +983,7 @@ ShardedTiming simulate_sharded(const SimConfig& cfg, int ndev,
   IciRing ici(ndev, ici_bytes_per_cycle);
 
   auto sort_cycles_of = [&](int64_t pairs) -> int64_t {
-    if (pairs <= 0) return 0;
-    int64_t st = SortUnit::stages(std::max<int64_t>(pairs, 2));
-    int64_t io = static_cast<int64_t>(2.0 * pairs * 8 /
-                                      cfg.hbm_bytes_per_cycle);
-    return static_cast<int64_t>(static_cast<double>(st) * pairs /
-                                cfg.sort_pairs_per_cycle) +
-           io + cfg.grid_overhead;
+    return sort_stage_cycles(cfg, pairs);
   };
   auto merge_cycles_of = [&](int64_t pairs, int64_t out_b) -> int64_t {
     if (pairs <= 0) return 0;
@@ -1324,6 +1333,13 @@ int64_t osp_sim_sharded(int ndev, const int64_t* expand_cycles,
     stats[3] = static_cast<double>(t.ici_hop_bytes);
   }
   return t.cycles;
+}
+
+// Standalone sort-stage cycles under the CURRENT config — the exact
+// charge simulate_sharded applies to sort_pairs[d]. The Python wrapper
+// sums per-bucket calls into expand_cycles for rebased plans.
+int64_t osp_sim_sort_cycles(int64_t pairs) {
+  return sort_stage_cycles(g_cfg, pairs);
 }
 
 // ICI-ring self-test: on a 4-node ring, a single-hop message at rate R

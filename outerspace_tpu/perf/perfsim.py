@@ -122,6 +122,9 @@ def load(build: bool = True):
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
         ]
+    if hasattr(lib, "osp_sim_sort_cycles"):
+        lib.osp_sim_sort_cycles.restype = ctypes.c_int64
+        lib.osp_sim_sort_cycles.argtypes = [ctypes.c_int64]
     if hasattr(lib, "osp_sim_ici_selftest"):
         lib.osp_sim_ici_selftest.restype = ctypes.c_int
         lib.osp_sim_ici_selftest.argtypes = []
@@ -451,22 +454,48 @@ def simulate_sharded_tiled(
     from outerspace_tpu.sched.planner import TILE_B as _TB
 
     ndev = plan.kx
-    exp_cycles = 0
-    for T, ta in zip(plan.class_T, plan.tile_as):
-        if T:
-            ib = np.full(T, ta * 8 + _TB * 8, dtype=np.int64)
-            ob = np.full(T, ta * _TB * 8, dtype=np.int64)
-            fl = np.full(T, ta * _TB, dtype=np.int64)
-            exp_cycles += simulate_kernel(ib, ob, fl)[0]
-    if plan.ngroups:
-        g = int(plan.ngroups)
-        in_b = (SUPER_A * 8 * 4 * 128 + SUPER_B * 8 * 2 * 128 + 8 * 128) * 4
-        ib = np.full(g, in_b, dtype=np.int64)
-        ob = np.full(g, GROUP_SUBS * SUB_P * 8, dtype=np.int64)
-        fl = np.full(g, GROUP_SUBS * SUB_P, dtype=np.int64)
-        exp_cycles += simulate_kernel(ib, ob, fl)[0]
-    expand = np.full(ndev, exp_cycles, dtype=np.int64)
-    sort_pairs = np.full(ndev, plan.stream_len, dtype=np.int64)
+
+    def _expand_cycles(class_T, tile_as, ngroups):
+        cyc = 0
+        for T, ta in zip(class_T, tile_as):
+            if T:
+                ib = np.full(T, ta * 8 + _TB * 8, dtype=np.int64)
+                ob = np.full(T, ta * _TB * 8, dtype=np.int64)
+                fl = np.full(T, ta * _TB, dtype=np.int64)
+                cyc += simulate_kernel(ib, ob, fl)[0]
+        if ngroups:
+            g = int(ngroups)
+            in_b = (
+                SUPER_A * 8 * 4 * 128 + SUPER_B * 8 * 2 * 128 + 8 * 128
+            ) * 4
+            ib = np.full(g, in_b, dtype=np.int64)
+            ob = np.full(g, GROUP_SUBS * SUB_P * 8, dtype=np.int64)
+            fl = np.full(g, GROUP_SUBS * SUB_P, dtype=np.int64)
+            cyc += simulate_kernel(ib, ob, fl)[0]
+        return cyc
+
+    if getattr(plan, "rebase", False):
+        # Rebased plans run kx·chunks per-bucket expands and SORTS (the
+        # one global-key sort is replaced by shorter per-bucket sorts);
+        # charge each bucket's sort with the same formula the sharded
+        # machine applies (osp_sim_sort_cycles) and fold it into the
+        # front phase, leaving sort_pairs = 0.
+        from outerspace_tpu.shard.tiled import _bucket_stream_len
+
+        exp_cycles = 0
+        for bk in plan.buckets:
+            exp_cycles += _expand_cycles(
+                bk["class_T"], bk["tile_as"], bk["ngroups"]
+            )
+            exp_cycles += sort_cycles(
+                max(_bucket_stream_len(bk), plan.capacity)
+            )
+        expand = np.full(ndev, exp_cycles, dtype=np.int64)
+        sort_pairs = np.zeros(ndev, dtype=np.int64)
+    else:
+        exp_cycles = _expand_cycles(plan.class_T, plan.tile_as, plan.ngroups)
+        expand = np.full(ndev, exp_cycles, dtype=np.int64)
+        sort_pairs = np.full(ndev, plan.stream_len, dtype=np.int64)
     xfer = np.full(
         (plan.chunks, ndev, ndev), int(plan.capacity) * 8, dtype=np.int64
     )
@@ -482,6 +511,17 @@ def simulate_sharded_tiled(
     )
     out["expand_cycles_per_dev"] = int(exp_cycles)
     return out
+
+
+def sort_cycles(pairs: int) -> int:
+    """The sharded machine's sort-stage charge for one stream of
+    ``pairs`` (comparison-network stages + 2 HBM passes + grid
+    overhead) under the current config — used to fold rebased plans'
+    per-bucket sorts into the front phase."""
+    lib = load()
+    if lib is None or not hasattr(lib, "osp_sim_sort_cycles"):
+        raise RuntimeError("native perfsim not built")
+    return int(lib.osp_sim_sort_cycles(int(pairs)))
 
 
 def ici_selftest() -> int:

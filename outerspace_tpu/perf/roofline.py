@@ -169,9 +169,20 @@ def predict_sharded_tiled(plan, cfg: TPUConfig = TPUConfig()) -> float:
     :func:`predict_spgemm_time` ``ndev`` path stays as the plan-free
     estimate; this one is what the CLI prints for ``--mesh`` runs."""
     kx = plan.kx
-    # expand + local owner-bucketing sort of the padded stream
+    # expand + local owner-bucketing sort of the padded stream; REBASED
+    # plans (m·n ≥ 2³²) sort per (owner, chunk) bucket instead of once
+    # globally — charge each bucket's shorter sort (the log-factor win
+    # the row-partition measurements established)
     t = predict_multiply_time(plan.stream_len, 0, 0, cfg)
-    t += predict_sort_time(plan.stream_len, cfg)
+    if getattr(plan, "rebase", False):
+        from outerspace_tpu.shard.tiled import _bucket_stream_len
+
+        for bk in plan.buckets:
+            t += predict_sort_time(
+                max(_bucket_stream_len(bk), plan.capacity), cfg
+            )
+    else:
+        t += predict_sort_time(plan.stream_len, cfg)
     if kx > 1:
         # ring all_to_all of the per-(src, dst) capacity buckets:
         # shortest-path hop-bytes spread over the 2·kx directional links

@@ -28,8 +28,21 @@ per-device task tables are padded to common maxima (padding tasks/groups
 emit pure sentinel output — the same convention the single-chip slab
 calls use). All planning is vectorised numpy on the host.
 
-Restricted to m·n < 2³² (the biased-key space minus the sentinel
-corner); larger shapes take ``shard.spgemm_sharded``'s two-key fallback.
+Key space: the packed biased-uint32 key needs the merged stream's
+(row, col) space to fit 2³². For m·n < 2³² the plan uses GLOBAL keys
+(one local sort, searchsorted owner boundaries). For m·n ≥ 2³² the plan
+**rebases keys per (owner, chunk) bucket** — each destination bucket's
+merge only spans its own row range, so every bucket sub-plans on a
+row-rebased A slice (``ops.spgemm._slice_a_rows(local=True)``, the same
+lift the single-chip row-split pipelines use) and its keys live in
+``span·n < 2³²``. The per-bucket expand+sort replaces the send-side
+searchsorted: each sorted bucket stream IS the exchange slot (first
+``capacity`` elements), and the post-exchange merge decodes rebased
+keys, restoring global rows with a traced ``row_base`` add. The
+reference's exchange machinery has no operand-size carve-out
+(``SimOuterSPACE.cpp:721-857``); this closes the same gap at chip
+scale — rmat16 (m·n = 2³² exactly) and er100k (10¹⁰) run the flagship
+Pallas program at any kx ≥ 2, or kx = 1 with row chunks.
 """
 
 from __future__ import annotations
@@ -140,10 +153,20 @@ class ShardedTiledPlan:
     recv_pad: np.ndarray  # int32[kx, ny, chunks, parts] sentinels after exchange
     boundaries: np.ndarray  # int32[kx*chunks+1] biased (owner, chunk) starts
     mbounds: np.ndarray  # int32[kx, ny, chunks*parts+1] biased part starts
+    # ---- rebased mode (m·n ≥ 2³²: per-(owner, chunk)-bucket keys) ----
+    rebase: bool = False
+    # Per destination bucket b = owner·chunks + chunk (len kx·chunks),
+    # each a dict: tile_as/class_T tuples, class_tasks/arow/aval stacked
+    # [kx, ny, ...] lists, ngroups/b_win ints, g_* stacked arrays.
+    buckets: list | None = None
+    row_base: np.ndarray | None = None  # int32[kx, ny, chunks] global row starts
+    sentinel_span: int = 0  # common invalid-row label for rebased merges
 
     @property
     def stream_len(self) -> int:
         """Per-device expand stream length (pre-exchange)."""
+        if self.rebase:
+            return sum(_bucket_stream_len(bk) for bk in self.buckets)
         return sum(
             t * ta * TILE_B for t, ta in zip(self.class_T, self.tile_as)
         ) + self.ngroups * GROUP_SUBS * SUB_P
@@ -151,6 +174,40 @@ class ShardedTiledPlan:
     @property
     def merge_len(self) -> int:
         return self.kx * self.mcap * self.merge_parts * self.chunks
+
+
+def _bucket_stream_len(bk: dict) -> int:
+    """One rebased bucket's expand stream length."""
+    return sum(
+        t * ta * TILE_B for t, ta in zip(bk["class_T"], bk["tile_as"])
+    ) + bk["ngroups"] * GROUP_SUBS * SUB_P
+
+
+def _owner_chunk_starts(
+    prod_row: np.ndarray, lo: int, hi: int, chunks: int, span_cap: int
+) -> np.ndarray:
+    """Product-balanced sub-range starts of [lo, hi) with every span ≤
+    ``span_cap`` (the rebased key-space bound): a greedy walk toward the
+    remaining-product-even target, clipped to the cap from above and to
+    the leave-enough-room bound from below. Requires
+    ``chunks·span_cap ≥ hi−lo`` (the planner auto-raises ``chunks``)."""
+    cum = np.zeros(hi - lo + 1, dtype=np.float64)
+    np.cumsum(prod_row[lo:hi], out=cum[1:])
+    total = cum[-1]
+    starts = np.empty(chunks + 1, dtype=np.int64)
+    starts[0] = lo
+    cur = lo
+    for c in range(1, chunks):
+        remaining = chunks - c + 1  # sub-ranges left, incl. the current
+        target = cum[cur - lo] + (total - cum[cur - lo]) / remaining
+        nxt = lo + int(np.searchsorted(cum, target, side="left"))
+        low_req = max(cur, hi - (chunks - c) * span_cap)
+        high_cap = min(hi, cur + span_cap)
+        nxt = min(max(nxt, low_req), high_cap)
+        starts[c] = nxt
+        cur = nxt
+    starts[chunks] = hi
+    return starts
 
 
 def shard_plan_tiled(
@@ -161,6 +218,7 @@ def shard_plan_tiled(
     waste_limit: float | None = None,
     exchange_chunks: int = 1,
     merge_parts: int | None = None,
+    rebase: bool | None = None,
 ) -> ShardedTiledPlan:
     """Build the stacked per-device Pallas plan for a (kx × ny) grid.
 
@@ -195,15 +253,17 @@ def shard_plan_tiled(
     if a_csc.shape[1] != b_csr.shape[0]:
         raise ValueError("inner dimensions differ")
     m, n = a_csc.shape[0], b_csr.shape[1]
-    if m * n >= 2**32:
-        raise ValueError(
-            "the tiled sharded path needs m*n < 2^32 (biased-key space); "
-            "use shard.spgemm_sharded's two-key fallback"
-        )
+    if rebase is None:
+        rebase = m * n >= 2**32
     if waste_limit is None:
         from outerspace_tpu.sched.autotune import autotune
 
         waste_limit = autotune(a_csc, b_csr)[1]
+    if rebase:
+        return _shard_plan_tiled_rebased(
+            a_csc, b_csr, kx, ny, waste_limit,
+            exchange_chunks, merge_parts,
+        )
     from outerspace_tpu.ops.symbolic import per_outer_index_flops
     from outerspace_tpu.sched.gplanner import plan_gather_ranges
 
@@ -509,6 +569,354 @@ def shard_plan_tiled(
     return plan
 
 
+def _shard_plan_tiled_rebased(
+    a_csc: CSC,
+    b_csr: CSR,
+    kx: int,
+    ny: int,
+    waste_limit: float,
+    exchange_chunks: int,
+    merge_parts: int | None,
+) -> ShardedTiledPlan:
+    """Rebased-key variant of :func:`shard_plan_tiled` for m·n ≥ 2³².
+
+    Every destination bucket (owner d, chunk c) gets its OWN sub-plan on
+    a row-rebased A slice — keys live in the bucket's ``span·n < 2³²``
+    space, so the per-bucket expand+sort directly produces the exchange
+    slot (first ``capacity`` elements of the sorted stream; real
+    products sort strictly below the sentinel because span·n ≤ 2³²−1).
+    Chunk bounds are span-capped (``_owner_chunk_starts``) and ``chunks``
+    auto-raises to make every owner's range coverable. The post-exchange
+    merge decodes rebased keys; global rows come back via a per-device
+    ``row_base`` add. B staging (``b_cols_blk``) is SHARED across
+    buckets — only A-side tables and the gather residue split.
+
+    Reference: the exchange machinery this mirrors is operand-size
+    agnostic (``SimOuterSPACE.cpp:721-857``); the key-space lift is the
+    same one the single-chip row-split pipelines use
+    (``ops.spgemm.plan_tiled_parts`` rebased mode,
+    ``ops.gather_pipeline`` row parts)."""
+    from outerspace_tpu.ops.spgemm import _slice_a_rows
+    from outerspace_tpu.ops.symbolic import per_outer_index_flops
+    from outerspace_tpu.sched.gplanner import plan_gather_ranges
+
+    m, n = a_csc.shape[0], b_csr.shape[1]
+    if n >= 2**31 or m >= 2**31:
+        raise ValueError(
+            "rebased tiled sharding needs m and n to fit int32 "
+            "(n alone must leave row-span room in the u32 key space)"
+        )
+    span_cap = max((2**32 - 1) // n, 1)
+    flops = per_outer_index_flops(a_csc, b_csr)
+    k_bounds = balanced_contiguous_partition(flops.astype(np.float64), kx)
+    if ny > 1:
+        col_hist = np.bincount(
+            np.asarray(b_csr.indices, dtype=np.int64), minlength=n
+        ).astype(np.float64)
+        col_bounds = balanced_contiguous_partition(col_hist, ny)
+    else:
+        col_bounds = np.array([0, n], dtype=np.int64)
+    rows_per_x = -(-m // kx)
+    chunks = max(1, int(exchange_chunks), -(-rows_per_x // span_cap))
+    nb_full = b_csr.major_nnz().astype(np.int64)
+    a_k_full = np.repeat(
+        np.arange(a_csc.shape[1]),
+        np.diff(np.asarray(a_csc.indptr)).astype(np.int64),
+    )
+    prod_row = np.bincount(
+        np.asarray(a_csc.indices, dtype=np.int64),
+        weights=nb_full[a_k_full].astype(np.float64),
+        minlength=m,
+    )
+    row_starts_all = np.empty(kx * chunks + 1, dtype=np.int64)
+    for d in range(kx):
+        lo = min(d * rows_per_x, m)
+        hi = min((d + 1) * rows_per_x, m)
+        sub = _owner_chunk_starts(prod_row, lo, hi, chunks, span_cap)
+        row_starts_all[d * chunks : (d + 1) * chunks] = sub[:-1]
+    row_starts_all[-1] = m
+    spans = np.diff(row_starts_all)
+    if int(spans.max(initial=0)) > span_cap:
+        raise AssertionError("span-capped chunking exceeded the key space")
+
+    # ---- per-(device, bucket) sub-planning ----
+    cps, gplans, b_slices, per_dst, dst_inputs = {}, {}, {}, {}, {}
+    nbuckets = kx * chunks
+    for i in range(kx):
+        k_lo, k_hi = int(k_bounds[i]), int(k_bounds[i + 1])
+        a_sl = slice_a_columns(a_csc, k_lo, k_hi)
+        a_k_e = np.repeat(
+            np.arange(a_sl.shape[1]),
+            np.diff(np.asarray(a_sl.indptr)).astype(np.int64),
+        )
+        owners = (
+            np.searchsorted(
+                row_starts_all,
+                np.asarray(a_sl.indices, dtype=np.int64),
+                side="right",
+            )
+            - 1
+        )
+        for j in range(ny):
+            c_lo, c_hi = int(col_bounds[j]), int(col_bounds[j + 1])
+            b_sl = slice_b_rows_cols(b_csr, k_lo, k_hi, c_lo, c_hi)
+            b_slices[i, j] = b_sl
+            nb_sl = b_sl.major_nnz().astype(np.int64)
+            counts_e = (
+                nb_sl[a_k_e]
+                if a_k_e.shape[0]
+                else np.zeros(0, dtype=np.int64)
+            )
+            per_dst[i, j] = np.bincount(
+                owners, weights=counts_e, minlength=nbuckets
+            ).astype(np.int64)
+            dst_inputs[i, j] = (
+                np.asarray(a_sl.indices, dtype=np.int64), counts_e
+            )
+            b_ptr = np.asarray(b_sl.indptr).astype(np.int64)
+            for b in range(nbuckets):
+                lo = int(row_starts_all[b])
+                hi = int(row_starts_all[b + 1])
+                a_sub = _slice_a_rows(a_sl, lo, hi, local=True)
+                cp = plan_outer_classes(
+                    a_sub, b_sl, waste_limit=waste_limit
+                )
+                cps[i, j, b] = cp
+                gplan = None
+                if cp.light_k.shape[0] > 0 or cp.edge_k.shape[0] > 0:
+                    lk = cp.light_k.astype(np.int64)
+                    lk = lk[nb_sl[lk] > 0]
+                    gplan = plan_gather_ranges(
+                        a_sub,
+                        np.concatenate([lk, cp.edge_k]),
+                        np.concatenate([b_ptr[lk], cp.edge_jb]),
+                        np.concatenate([nb_sl[lk], cp.edge_len]),
+                        np.asarray(b_sl.indices),
+                        np.asarray(b_sl.data),
+                        hi - lo,
+                        n,
+                    )
+                    if gplan is not None and gplan.b_win != B_WIN:
+                        raise AssertionError(
+                            "tiled-residue gather plans always use B_WIN"
+                        )
+                gplans[i, j, b] = gplan
+
+    # ---- per-bucket common shapes across the device grid ----
+    from outerspace_tpu.ops.pallas.expand import (
+        b_blocks_host,
+        schedule_to_host,
+    )
+    from outerspace_tpu.ops.pallas.gexpand import gather_plan_to_host
+
+    n_classes = len(TILE_A_CLASSES)
+    buckets = []
+    any_tiles = False
+    for b in range(nbuckets):
+        t_max = [
+            max(
+                cps[i, j, b].classes[ci].ntasks
+                for i in range(kx)
+                for j in range(ny)
+            )
+            for ci in range(n_classes)
+        ]
+        active = [ci for ci in range(n_classes) if t_max[ci] > 0]
+        class_T = tuple(
+            -(-round_up_bucket(t_max[ci], min_size=_A_GROUP) // _A_GROUP)
+            * _A_GROUP
+            for ci in active
+        )
+        tile_as = tuple(TILE_A_CLASSES[ci] for ci in active)
+        any_tiles = any_tiles or bool(active)
+        g_list = [
+            gplans[i, j, b]
+            for i in range(kx)
+            for j in range(ny)
+            if gplans[i, j, b] is not None
+        ]
+        ngroups = (
+            round_up_bucket(max(g.ngroups for g in g_list), min_size=1)
+            if g_list
+            else 0
+        )
+        nab8 = (
+            round_up_bucket(
+                max(g.a_pack.shape[0] // 8 for g in g_list), min_size=1
+            )
+            if g_list
+            else 0
+        )
+        nbb8 = (
+            round_up_bucket(
+                max(g.b_pack.shape[0] // 8 for g in g_list), min_size=1
+            )
+            if g_list
+            else 0
+        )
+        class_tasks = [np.zeros((kx, ny, t * 4), np.int32) for t in class_T]
+        class_arow = [
+            np.zeros((kx, ny, t, ta), np.int32)
+            for t, ta in zip(class_T, tile_as)
+        ]
+        class_aval = [
+            np.zeros((kx, ny, t, ta), np.float32)
+            for t, ta in zip(class_T, tile_as)
+        ]
+        if ngroups:
+            g_bases = np.zeros((kx, ny, ngroups * 2), np.int32)
+            g_table = np.zeros(
+                (kx, ny, ngroups, GROUP_SUBS, TILE_B), np.int32
+            )
+            g_apack = np.zeros((kx, ny, nab8, 8, 4, TILE_B), np.int32)
+            g_bpack = np.zeros((kx, ny, nbb8, 8, 2, TILE_B), np.int32)
+        else:
+            g_bases = g_table = g_apack = g_bpack = None
+        for i in range(kx):
+            for j in range(ny):
+                cp = cps[i, j, b]
+                for ai, ci in enumerate(active):
+                    host = schedule_to_host(
+                        cp.classes[ci], ntasks_pad=class_T[ai]
+                    )
+                    class_tasks[ai][i, j] = host["tasks"]
+                    class_arow[ai][i, j] = host["a_rows_t"]
+                    class_aval[ai][i, j] = host["a_vals_t"]
+                g = gplans[i, j, b]
+                if ngroups and g is not None:
+                    host = gather_plan_to_host(
+                        g, ngroups_pad=ngroups,
+                        nab8_pad=nab8, nbb8_pad=nbb8,
+                    )
+                    g_bases[i, j] = host["bases"]
+                    g_table[i, j] = host["table"]
+                    g_apack[i, j] = host["a_pack"]
+                    g_bpack[i, j] = host["b_pack"]
+        bk = dict(
+            tile_as=tile_as, class_T=class_T, ngroups=ngroups,
+            b_win=B_WIN, class_tasks=class_tasks, class_arow=class_arow,
+            class_aval=class_aval, g_bases=g_bases, g_table=g_table,
+            g_apack=g_apack, g_bpack=g_bpack,
+        )
+        if _bucket_stream_len(bk) >= 2**31:
+            raise ValueError(
+                "per-bucket stream exceeds int32 index space; "
+                "use more devices or chunks"
+            )
+        buckets.append(bk)
+
+    if any_tiles:
+        nat_nb = max(
+            -(-max(b_slices[d].nnz, 1) // TILE_B) for d in b_slices
+        )
+        nblocks = round_up_bucket(
+            -(-nat_nb // _A_GROUP) * _A_GROUP, min_size=_A_GROUP
+        )
+        nblocks = -(-nblocks // _A_GROUP) * _A_GROUP
+        b_cols_blk = np.zeros((kx, ny, nblocks, TILE_B), np.int32)
+        b_vals_blk = np.zeros((kx, ny, nblocks, TILE_B), np.float32)
+        for (i, j), b_sl in b_slices.items():
+            cols_p, vals_p = b_blocks_host(
+                np.asarray(b_sl.indices),
+                np.asarray(b_sl.data),
+                nblocks_pad=nblocks,
+            )
+            b_cols_blk[i, j] = cols_p
+            b_vals_blk[i, j] = vals_p
+    else:
+        nblocks = 0
+        b_cols_blk = b_vals_blk = None
+
+    # ---- exchange sizing + merge bookkeeping (global rows; bounds are
+    # emitted REBASED per bucket) ----
+    cap = max(
+        (int(per_dst[d].max()) for d in per_dst if per_dst[d].size),
+        default=1,
+    )
+    capacity = round_up_bucket(cap, min_size=1024)
+    if merge_parts is None:
+        if kx == 1:
+            mparts = 1
+        else:
+            from outerspace_tpu.sched.gplanner import perf_part_count
+
+            mparts = perf_part_count(
+                float(kx) * capacity, max_part_products=2 << 20, part_cap=8
+            )
+    else:
+        mparts = max(1, int(merge_parts))
+
+    if mparts > 1:
+        row_fine = np.empty(nbuckets * mparts + 1, dtype=np.int64)
+        for b in range(nbuckets):
+            lo = int(row_starts_all[b])
+            hi = int(row_starts_all[b + 1])
+            sub = (
+                balanced_contiguous_partition(prod_row[lo:hi], mparts) + lo
+            )
+            row_fine[b * mparts : (b + 1) * mparts] = sub[:-1]
+        row_fine[-1] = m
+        mcap_real = 1
+        incoming_f = np.zeros((kx, ny, chunks, mparts), np.int64)
+        for (i, j), (rows_e, counts_e) in dst_inputs.items():
+            if rows_e.size == 0:
+                continue
+            of = np.searchsorted(row_fine, rows_e, side="right") - 1
+            pdf = np.bincount(
+                of, weights=counts_e, minlength=nbuckets * mparts
+            ).astype(np.int64)
+            mcap_real = max(mcap_real, int(pdf.max()))
+            incoming_f[:, j] += pdf.reshape(kx, chunks, mparts)
+        mcap = round_up_bucket(mcap_real, min_size=1024)
+    else:
+        row_fine = row_starts_all
+        mcap = capacity
+        incoming_f = np.zeros((kx, ny, chunks, 1), np.int64)
+        for (i, j), pd in per_dst.items():
+            incoming_f[:, j, :, 0] += pd.reshape(kx, chunks)
+    recv_pad = (kx * mcap - incoming_f).astype(np.int32)
+
+    # Rebased per-device part boundaries: [kx, ny, chunks, parts+1] —
+    # unlike the global-key layout, consecutive chunks do NOT share
+    # entries (each chunk closes at its own span·n, opens at 0).
+    mbounds = np.zeros((kx, ny, chunks, mparts + 1), np.int32)
+    row_base = np.zeros((kx, ny, chunks), np.int32)
+    for d in range(kx):
+        for c in range(chunks):
+            b = d * chunks + c
+            lo = int(row_starts_all[b])
+            fine = (
+                row_fine[b * mparts : (b + 1) * mparts + 1]
+                if mparts > 1
+                else row_starts_all[b : b + 2]
+            )
+            reb = (fine.astype(np.int64) - lo) * n
+            mbounds[d, :, c] = _pack_u32_biased(reb)
+            row_base[d, :, c] = lo
+
+    max_run = int(
+        np.bincount(
+            np.asarray(a_csc.indices), minlength=m
+        ).max(initial=1)
+    )
+    max_run = 1 << (max(max_run, 1) - 1).bit_length()
+
+    return ShardedTiledPlan(
+        m=m, n=n, kx=kx, ny=ny, rows_per_x=rows_per_x,
+        capacity=capacity, chunks=chunks, merge_parts=mparts,
+        mcap=mcap, max_run=max_run,
+        tile_as=(), class_T=(), nblocks=nblocks,
+        ngroups=0, b_win=B_WIN,
+        class_tasks=[], class_arow=[], class_aval=[],
+        b_cols_blk=b_cols_blk, b_vals_blk=b_vals_blk,
+        g_bases=None, g_table=None, g_apack=None, g_bpack=None,
+        recv_pad=recv_pad, boundaries=np.zeros(0, np.int32),
+        mbounds=mbounds, rebase=True, buckets=buckets,
+        row_base=row_base,
+        sentinel_span=int(max(spans.max(initial=1), 1)),
+    )
+
+
 def _local_tiled_fn(
     *args,
     plan_tile_as,
@@ -658,6 +1066,242 @@ def _local_tiled_fn(
     )
 
 
+def _local_tiled_rebased_fn(
+    *args,
+    bucket_meta,
+    any_tiles,
+    n_cols,
+    m_rows,
+    kx,
+    capacity,
+    chunks,
+    merge_parts,
+    mcap,
+    sentinel_span,
+    max_run,
+    axis,
+    interpret,
+):
+    """Per-device SPMD program, REBASED-key mode (m·n ≥ 2³²).
+
+    ``args`` layout: (b_cols_blk, b_vals_blk) if any bucket has tile
+    classes; then per destination bucket its per-class (tasks, arow,
+    aval) triples and, if it has a gather residue, the (bases, table,
+    a_pack, b_pack) quad; then mbounds [chunks, parts+1], recv_pad
+    [chunks, parts], row_base [chunks].
+
+    Per bucket: expand → ONE sort in the bucket's rebased key space →
+    the first ``capacity`` slots are the exchange slot (every real
+    product sorts strictly below the sentinel: span·n ≤ 2³²−1). No
+    send-side searchsorted, no slice-fill — the sort does the
+    bucketing. Post-exchange merges decode rebased keys; global rows
+    come back via ``row_base[c]``."""
+    it = iter(args)
+    if any_tiles:
+        b_cols_blk = next(it)[0, 0]
+        b_vals_blk = next(it)[0, 0]
+    bucket_args = []
+    for meta in bucket_meta:
+        classes = [
+            (next(it)[0, 0], next(it)[0, 0], next(it)[0, 0])
+            for _ in meta["tile_as"]
+        ]
+        g = None
+        if meta["ngroups"]:
+            g = (next(it)[0, 0], next(it)[0, 0], next(it)[0, 0],
+                 next(it)[0, 0])
+        bucket_args.append((classes, g))
+    mbounds = next(it)[0, 0]
+    recv_pad = next(it)[0, 0]
+    row_base = next(it)[0, 0]
+
+    from outerspace_tpu.ops.pallas.expand import expand_tiles_packed
+
+    def expand_sort_bucket(b):
+        meta = bucket_meta[b]
+        classes, g = bucket_args[b]
+        keys_l, vals_l = [], []
+        for (tasks, arow, aval), ta, t_pad in zip(
+            classes, meta["tile_as"], meta["class_T"]
+        ):
+            k, v = expand_tiles_packed(
+                tasks, arow, aval, b_cols_blk, b_vals_blk,
+                ntasks=t_pad, tile_a=ta, n_cols=n_cols,
+                interpret=interpret,
+            )
+            keys_l.append(k)
+            vals_l.append(v)
+        if g is not None:
+            from outerspace_tpu.ops.pallas.gexpand import (
+                expand_gather_packed,
+            )
+
+            k, v = expand_gather_packed(
+                *g, ngroups=meta["ngroups"], b_win=meta["b_win"],
+                interpret=interpret,
+            )
+            keys_l.append(k)
+            vals_l.append(v)
+        if not keys_l:
+            return (
+                jnp.full(capacity, _I32_MAX, jnp.int32),
+                jnp.zeros(capacity, jnp.float32),
+            )
+        key = jnp.concatenate(keys_l) if len(keys_l) > 1 else keys_l[0]
+        val = jnp.concatenate(vals_l) if len(vals_l) > 1 else vals_l[0]
+        key, val = jax.lax.sort((key, val), num_keys=1, is_stable=False)
+        if key.shape[0] < capacity:
+            pad = capacity - key.shape[0]
+            key = jnp.concatenate(
+                [key, jnp.full(pad, _I32_MAX, jnp.int32)]
+            )
+            val = jnp.concatenate([val, jnp.zeros(pad, jnp.float32)])
+        return key[:capacity], val[:capacity]
+
+    def _merge(k2, v2, pad):
+        # kx == 1: the one sender's slot is already sorted — epilogue
+        # only, exactly like the global-key path's sort-skip.
+        if kx == 1:
+            return merge_epilogue(
+                k2, v2, n_cols, sentinel_span, max_run,
+                pad_count=pad, interpret=interpret,
+            )
+        return merge_biased_keys(
+            k2, v2, n_cols, sentinel_span, max_run,
+            pad_count=pad, interpret=interpret,
+        )
+
+    from outerspace_tpu.shard.spgemm_sharded import _slice_fill_buckets
+
+    outs = []
+    for c in range(chunks):
+        ks, vs = [], []
+        for d in range(kx):
+            k, v = expand_sort_bucket(d * chunks + c)
+            ks.append(k)
+            vs.append(v)
+        send_key = jnp.stack(ks)
+        send_val = jnp.stack(vs)
+        recv_key = jax.lax.all_to_all(send_key, axis, 0, 0, tiled=False)
+        recv_val = jax.lax.all_to_all(send_val, axis, 0, 0, tiled=False)
+        chunk_outs = []
+        if merge_parts == 1:
+            chunk_outs.append(
+                _merge(
+                    recv_key.reshape(-1), recv_val.reshape(-1),
+                    recv_pad[c, 0],
+                )
+            )
+        else:
+            bounds_c = mbounds[c]
+            pos = jax.vmap(
+                lambda seg: jnp.searchsorted(seg, bounds_c, side="left")
+            )(recv_key).astype(jnp.int32)  # [kx, parts+1]
+            rk = recv_key.reshape(-1)
+            rv = recv_val.reshape(-1)
+            base = jnp.arange(kx, dtype=jnp.int32) * jnp.int32(capacity)
+            for r in range(merge_parts):
+                pk, pv = _slice_fill_buckets(
+                    base + pos[:, r], base + pos[:, r + 1], mcap, kx,
+                    (rk, _I32_MAX), (rv, 0.0),
+                )
+                chunk_outs.append(
+                    _merge(pk.reshape(-1), pv.reshape(-1), recv_pad[c, r])
+                )
+        for mr, mc, mv, mvalid, nnz in chunk_outs:
+            mr = jnp.where(mvalid, mr + row_base[c], jnp.int32(m_rows))
+            outs.append((mr, mc, mv, mvalid, nnz))
+    if len(outs) == 1:
+        mr, mc, mv, mvalid, nnz = outs[0]
+    else:
+        mr, mc, mv, mvalid = (
+            jnp.concatenate([o[f] for o in outs]) for f in range(4)
+        )
+        nnz = functools.reduce(
+            lambda a, b: a + b, [o[4] for o in outs]
+        )
+    return (
+        mr[None, None], mc[None, None], mv[None, None],
+        mvalid[None, None], nnz[None, None],
+    )
+
+
+def _build_sharded_tiled_rebased(
+    plan: ShardedTiledPlan,
+    mesh: Mesh,
+    axes: tuple[str, str] | str,
+):
+    """shard_map wrapper + staged args for a REBASED plan."""
+    from jax.experimental.shard_map import shard_map
+
+    if isinstance(axes, str):
+        axes = (axes, None)
+    ax, ay = axes[0], (axes[1] if len(axes) > 1 else None)
+    spec = P(ax, ay) if plan.ny > 1 else P(ax)
+    if plan.ny > 1 and ay is None:
+        raise ValueError("2-D plan needs a second mesh axis")
+    interpret = jax.default_backend() == "cpu"
+
+    any_tiles = plan.b_cols_blk is not None
+    args, in_specs = [], []
+    if any_tiles:
+        args += [jnp.asarray(plan.b_cols_blk), jnp.asarray(plan.b_vals_blk)]
+        in_specs += [spec, spec]
+    bucket_meta = []
+    for bk in plan.buckets:
+        bucket_meta.append(
+            {
+                "tile_as": bk["tile_as"],
+                "class_T": bk["class_T"],
+                "ngroups": bk["ngroups"],
+                "b_win": bk["b_win"],
+            }
+        )
+        for ai in range(len(bk["tile_as"])):
+            for arr in (
+                bk["class_tasks"][ai],
+                bk["class_arow"][ai],
+                bk["class_aval"][ai],
+            ):
+                args.append(jnp.asarray(arr))
+                in_specs.append(spec)
+        if bk["ngroups"]:
+            for arr in (
+                bk["g_bases"], bk["g_table"],
+                bk["g_apack"], bk["g_bpack"],
+            ):
+                args.append(jnp.asarray(arr))
+                in_specs.append(spec)
+    for arr in (plan.mbounds, plan.recv_pad, plan.row_base):
+        args.append(jnp.asarray(arr))
+        in_specs.append(spec)
+
+    fn = functools.partial(
+        _local_tiled_rebased_fn,
+        bucket_meta=tuple(bucket_meta),
+        any_tiles=any_tiles,
+        n_cols=plan.n,
+        m_rows=plan.m,
+        kx=plan.kx,
+        capacity=plan.capacity,
+        chunks=plan.chunks,
+        merge_parts=plan.merge_parts,
+        mcap=plan.mcap,
+        sentinel_span=plan.sentinel_span,
+        max_run=plan.max_run,
+        axis=ax,
+        interpret=interpret,
+    )
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(spec,) * 5,
+        check_rep=False,
+    )
+    return sharded, tuple(args)
+
+
 def build_sharded_tiled(
     plan: ShardedTiledPlan,
     mesh: Mesh,
@@ -669,6 +1313,8 @@ def build_sharded_tiled(
     tests can trace the program and assert the Pallas kernels appear."""
     from jax.experimental.shard_map import shard_map
 
+    if plan.rebase:
+        return _build_sharded_tiled_rebased(plan, mesh, axes)
     if isinstance(axes, str):
         axes = (axes, None)
     ax, ay = axes[0], (axes[1] if len(axes) > 1 else None)
@@ -736,7 +1382,7 @@ def spgemm_sharded_tiled(
 
     ``axes``: (k/row axis, column axis); a 1-D plan (ny == 1) accepts a
     single axis name or a 1-axis mesh."""
-    if not plan.tile_as and not plan.ngroups:
+    if not plan.rebase and not plan.tile_as and not plan.ngroups:
         # Empty expansion: nothing to exchange or merge.
         z2 = (plan.kx, plan.ny, 1)
         return (

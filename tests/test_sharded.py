@@ -375,6 +375,139 @@ class TestShardedTiled:
         assert total == b.nnz
 
 
+class TestShardedTiledRebased:
+    """Rebased-key mode (m·n ≥ 2³²): per-(owner, chunk)-bucket sub-plans
+    on row-rebased A slices lift the u32 key-space limit off the
+    flagship Pallas sharded program — rmat16 (m·n = 2³² exactly) and
+    er100k run it instead of falling back to the two-key path
+    (VERDICT r4 missing #1; the reference's exchange machinery is
+    operand-size agnostic, SimOuterSPACE.cpp:721-857)."""
+
+    @pytest.fixture(scope="class")
+    def mesh8(self):
+        return make_mesh((8,), ("x",))
+
+    def _run(self, g, mesh, axes, **kw):
+        from outerspace_tpu.shard.tiled import (
+            shard_plan_tiled,
+            sharded_tiled_to_csr,
+            spgemm_sharded_tiled,
+        )
+
+        plan = shard_plan_tiled(g.to_csc(), g.to_csr(), **kw)
+        out = spgemm_sharded_tiled(plan, mesh, axes=axes)
+        return plan, sharded_tiled_to_csr(plan, out)
+
+    def test_forced_rebase_matches_scipy(self, mesh8):
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        plan, got = self._run(g, mesh8, "x", kx=8, rebase=True)
+        assert plan.rebase
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_kx1_chunked_matches_scipy(self):
+        # kx = 1 with row chunks: the single-device case of the lift
+        # (rmat16's (1,1)-mesh hardware record shape).
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        mesh1 = make_mesh((1,), ("x",), devices=jax.devices()[:1])
+        plan, got = self._run(
+            g, mesh1, "x", kx=1, exchange_chunks=2, rebase=True
+        )
+        assert plan.rebase and plan.chunks == 2
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_2d_chunked_matches_scipy(self):
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        mesh2d = make_mesh((4, 2), ("x", "y"))
+        plan, got = self._run(
+            g, mesh2d, ("x", "y"), kx=4, ny=2,
+            exchange_chunks=2, rebase=True,
+        )
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_merge_parts_matches_scipy(self, mesh8):
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        plan, got = self._run(
+            g, mesh8, "x", kx=8, merge_parts=3, rebase=True
+        )
+        assert plan.merge_parts == 3
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_auto_rebase_at_exact_2_32(self):
+        # m·n == 2³² (the rmat16 shape): auto-rebase must engage, and
+        # the (m-1, n-1) corner must survive — with span-capped bucket
+        # chunking no real key ever reaches the sentinel bit pattern.
+        m = 1 << 16
+        rows = np.array([0, 0, 1, m - 1, m - 1, 7], dtype=np.int64)
+        cols = np.array([1, m - 1, 0, m - 1, 0, 7], dtype=np.int64)
+        vals = np.arange(1, 7, dtype=np.float32)
+        g = COO((m, m), rows, cols, vals)
+        mesh2 = make_mesh((2,), ("x",), devices=jax.devices()[:2])
+        plan, got = self._run(g, mesh2, "x", kx=2)
+        assert plan.rebase
+        assert plan.sentinel_span * plan.n < 2**32
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_below_threshold_keeps_global_keys(self):
+        from outerspace_tpu.shard.tiled import shard_plan_tiled
+
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        plan = shard_plan_tiled(g.to_csc(), g.to_csr(), kx=2)
+        assert not plan.rebase
+
+    def test_big_key_space_auto(self):
+        # m·n ≈ 6.4e9 > 2³²: auto-rebase, exact vs scipy (the er100k
+        # regime at test scale).
+        g = erdos_renyi(80000, 80000, 2e-6, seed=5)
+        mesh4 = make_mesh((4,), ("x",), devices=jax.devices()[:4])
+        plan, got = self._run(g, mesh4, "x", kx=4)
+        assert plan.rebase
+        assert_csr_allclose(got, spgemm_scipy(g, g), rtol=1e-5, atol=1e-6)
+
+    def test_rebased_program_has_pallas_and_a2a(self, mesh8):
+        from outerspace_tpu.shard.tiled import (
+            build_sharded_tiled,
+            shard_plan_tiled,
+        )
+
+        g = rmat(7, edge_factor=8, seed=77).deduplicated()
+        plan = shard_plan_tiled(g.to_csc(), g.to_csr(), kx=8, rebase=True)
+        fn, args = build_sharded_tiled(plan, mesh8, axes="x")
+        jaxpr = str(jax.make_jaxpr(fn)(*args))
+        assert "pallas_call" in jaxpr
+        assert "all_to_all" in jaxpr
+
+    def test_kx1_sort_skip(self):
+        # kx == 1 rebased: per-bucket sorts only (one per chunk); the
+        # post-exchange merge is epilogue-only — no second sort.
+        from outerspace_tpu.shard.tiled import (
+            build_sharded_tiled,
+            shard_plan_tiled,
+        )
+
+        g = rmat(7, edge_factor=8, seed=71).deduplicated()
+        mesh1 = make_mesh((1,), ("x",), devices=jax.devices()[:1])
+        plan = shard_plan_tiled(
+            g.to_csc(), g.to_csr(), kx=1, exchange_chunks=3, rebase=True
+        )
+        fn, args = build_sharded_tiled(plan, mesh1, axes="x")
+        jaxpr = str(jax.make_jaxpr(fn)(*args))
+        assert jaxpr.count(" sort[") == 3, jaxpr.count(" sort[")
+
+    def test_chunk_starts_span_capped(self):
+        from outerspace_tpu.shard.tiled import _owner_chunk_starts
+
+        rng = np.random.default_rng(3)
+        prod = rng.integers(0, 100, size=1000).astype(np.float64)
+        # concentrate products so balance alone would violate the cap
+        prod[990:] = 1e6
+        starts = _owner_chunk_starts(prod, 0, 1000, 4, span_cap=300)
+        assert starts[0] == 0 and starts[-1] == 1000
+        spans = np.diff(starts)
+        assert spans.max() <= 300 and spans.min() >= 0
+
+
 class TestSliceFillBuckets:
     """The exchange buffer fill: per-destination dynamic_slice copies
     (the jnp.take/scatter fills measured ~13-15 ns/element on chip —
