@@ -174,21 +174,44 @@ def _cache_key_canary() -> None:
     generations. This record lets any future drift be checked against
     the module-bytes hash vs the full key (module stable + key moved ⇒
     backend/options changed; module moved ⇒ source lines shifted)."""
+    # The canary leans on jax._src private modules whose layout moves
+    # across releases; import each one separately so a future upgrade
+    # degrades the diagnostic with a record NAMING the broken symbol
+    # instead of an anonymous error (the broad except below would
+    # otherwise swallow which import failed).
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    _priv = {}
+    for mod, name in (
+        ("jax._src.cache_key", "_ck"),
+        ("jax._src.compiler", "_jc"),
+        ("jax._src.xla_bridge", "_xb"),
+        ("jax._src.interpreters.mlir", "_mlir"),
+    ):
+        try:
+            import importlib
+
+            _priv[name] = importlib.import_module(mod)
+        except Exception as e:
+            print(
+                json.dumps({
+                    "cache_key_canary_error":
+                        f"private module {mod} unavailable "
+                        f"(jax {jax.__version__}): {str(e)[:80]}"
+                }),
+                file=sys.stderr, flush=True,
+            )
+            return
+    _ck, _jc, _xb, _mlir = (
+        _priv["_ck"], _priv["_jc"], _priv["_xb"], _priv["_mlir"]
+    )
     try:
-        import jax
-        import jax.numpy as jnp
-        from jax._src import cache_key as _ck
-        from jax._src import compiler as _jc
-        from jax.experimental import pallas as pl
-
-        from jax._src import xla_bridge as _xb
-
         backend = _xb.get_backend()
         devices = np.array([[jax.devices()[0]]])
 
         import hashlib
-
-        from jax._src.interpreters import mlir as _mlir
 
         def key_of(fn, *args):
             lowered = jax.jit(fn).lower(*args)

@@ -387,6 +387,16 @@ def cmd_graph(args) -> int:
 
         from outerspace_tpu.shard.mesh import make_mesh
 
+        # --mesh selects the sharded SPMD path, which cannot honor a
+        # backend/strategy override — error rather than silently run
+        # the device path under a '--backend scipy' the user asked for
+        if args.backend != "tpu" or args.strategy != "auto":
+            print(
+                "error: --mesh runs the sharded device path; it cannot "
+                "be combined with --backend/--strategy overrides",
+                file=sys.stderr,
+            )
+            return 2
         parsed = _parse_mesh(args.mesh, len(jax.devices()))
         if parsed is None:
             return 2

@@ -83,18 +83,22 @@ def read_mtx(path: str, expand_symmetric: bool = True, native: bool = True) -> C
 
         # decompress once to a temp file so either reader can stream it
         # (copyfileobj streams with constant memory — a multi-GB
-        # SuiteSparse matrix must not materialize as one bytes object)
-        with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
-            suffix=".mtx", delete=False
-        ) as dst:
-            shutil.copyfileobj(src, dst)
-            tmp = dst.name
+        # SuiteSparse matrix must not materialize as one bytes object);
+        # the finally also covers a corrupt/truncated .gz failing
+        # mid-copy, so a partial temp file never leaks
+        tmp = None
         try:
+            with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
+                suffix=".mtx", delete=False
+            ) as dst:
+                tmp = dst.name
+                shutil.copyfileobj(src, dst)
             return read_mtx(
                 tmp, expand_symmetric=expand_symmetric, native=native
             )
         finally:
-            os.unlink(tmp)
+            if tmp is not None:
+                os.unlink(tmp)
     if native:
         try:
             from outerspace_tpu.runtime.native import read_mtx_native

@@ -248,7 +248,11 @@ def _edge_bitmap(rows, cols, nrows_pad: int, n_words: int) -> np.ndarray:
 def _resolve_mesh_dims(mesh, kx, ny, axes):
     """(kx, ny, ax, ay) for a mesh-composed kernel. kx defaults only
     on 1-D meshes — on a multi-axis mesh a flattened kx would be
-    sharded over the first axis alone (wrong blocks)."""
+    sharded over the first axis alone (wrong blocks). Explicit kx/ny
+    are validated against the mesh's actual axis sizes so a mismatch
+    fails HERE with a clear message, not later inside shard_map with
+    an opaque shape/spec error (the CLI validates; the library API
+    must too)."""
     if kx is None:
         if len(mesh.axis_names) != 1:
             raise ValueError(
@@ -260,6 +264,21 @@ def _resolve_mesh_dims(mesh, kx, ny, axes):
         axes = (axes, None)
     ax = axes[0]
     ay = axes[1] if len(axes) > 1 else None
+    if ax not in mesh.axis_names:
+        raise ValueError(f"mesh has no axis {ax!r} (axes: {mesh.axis_names})")
+    if int(mesh.shape[ax]) != kx:
+        raise ValueError(
+            f"kx={kx} != mesh axis {ax!r} size {int(mesh.shape[ax])}"
+        )
+    if ny > 1:
+        if ay is None or ay not in mesh.axis_names:
+            raise ValueError(
+                f"ny={ny} needs a second mesh axis (axes: {mesh.axis_names})"
+            )
+        if int(mesh.shape[ay]) != ny:
+            raise ValueError(
+                f"ny={ny} != mesh axis {ay!r} size {int(mesh.shape[ay])}"
+            )
     return kx, ny, ax, ay
 
 

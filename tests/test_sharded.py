@@ -630,6 +630,20 @@ class TestTriangleCountSharded:
         got = triangle_count_sharded(g, mesh, axes=("x", "y"), kx=4, ny=2)
         assert got == ref
 
+    def test_mesh_dims_validated(self):
+        # explicit kx/ny must match the mesh's axis sizes — a mismatch
+        # fails with a clear message, not an opaque shard_map error
+        from outerspace_tpu.formats.generators import erdos_renyi
+        from outerspace_tpu.ops.graph import triangle_count_sharded
+        from outerspace_tpu.shard.mesh import make_mesh
+
+        g = erdos_renyi(30, 30, 0.15, seed=1)
+        mesh = make_mesh((4, 2), ("x", "y"))
+        with pytest.raises(ValueError, match="kx=3 != mesh axis"):
+            triangle_count_sharded(g, mesh, axes=("x", "y"), kx=3, ny=2)
+        with pytest.raises(ValueError, match="second mesh axis"):
+            triangle_count_sharded(g, mesh, axes=("x",), kx=4, ny=2)
+
 
 @pytest.mark.slow
 class TestMarkovClusterSharded:
