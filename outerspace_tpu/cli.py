@@ -418,17 +418,29 @@ def cmd_graph(args) -> int:
         dt = time.perf_counter() - t0
         print(f"triangles: {n} ({dt * 1e3:.1f} ms)")
     elif mesh is not None:
-        from outerspace_tpu.ops.graph import markov_cluster_sharded
-
         t0 = time.perf_counter()
-        flow = markov_cluster_sharded(
-            g, mesh, axes=("x", "y"), kx=kx, ny=ny, iters=args.iters
-        )
+        if args.loop == "device":
+            # whole loop device-resident (shard/mcl.py): one sizing
+            # pass before, one fetch after, zero host planning between
+            # iterations (exact fallback on budget overflow)
+            from outerspace_tpu.shard.mcl import (
+                markov_cluster_sharded_device,
+            )
+
+            flow = markov_cluster_sharded_device(
+                g, mesh, axes=("x", "y"), kx=kx, ny=ny, iters=args.iters
+            )
+        else:
+            from outerspace_tpu.ops.graph import markov_cluster_sharded
+
+            flow = markov_cluster_sharded(
+                g, mesh, axes=("x", "y"), kx=kx, ny=ny, iters=args.iters
+            )
         clusters = mcl_clusters(flow)
         dt = time.perf_counter() - t0
         print(
-            f"mcl (mesh {kx}x{ny}): {len(clusters)} clusters "
-            f"({dt * 1e3:.1f} ms)"
+            f"mcl (mesh {kx}x{ny}, {args.loop} loop): "
+            f"{len(clusters)} clusters ({dt * 1e3:.1f} ms)"
         )
     else:
         report: dict = {}
@@ -600,6 +612,14 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default=None, metavar="KX[,NY]",
                    help="run the mesh-composed sharded kernel over a "
                         "(kx × ny) device mesh (triangles and mcl)")
+    p.add_argument(
+        "--loop",
+        default="host",
+        choices=["host", "device"],
+        help="mcl --mesh only: 'device' keeps the WHOLE loop resident "
+        "on the mesh (shard/mcl.py — no host planning between "
+        "iterations); 'host' re-plans each squaring",
+    )
     p.set_defaults(fn=cmd_graph)
 
     p = sub.add_parser(

@@ -513,6 +513,52 @@ def simulate_sharded_tiled(
     return out
 
 
+def simulate_mcl_sharded_iteration(
+    plan, ici_bw_bytes: float = 4.5e10, clock_hz: float = 0.94e9
+) -> dict:
+    """Event-model one iteration of the device-resident sharded MCL
+    loop (``shard/mcl.py``): the expand→sort→exchange→merge phase runs
+    through the sharded-pipeline machine (ICI ring, barriers), the
+    inflate/colnorm + CSC-re-shard tail is charged closed-form (two
+    sort stages + the second exchange's ring bytes + the ~13 cyc/elem
+    random-gather law for the flat expand and the colsum gather).
+    Roofline counterpart: ``roofline.predict_mcl_sharded_iteration``."""
+    ndev = plan.kx
+    gather_cyc = 13  # ~14 ns/elem at 0.94 GHz — the random-access law
+    exp = np.full(ndev, int(plan.p_pad) * gather_cyc, dtype=np.int64)
+    sort_pairs = np.full(ndev, int(plan.p_pad), dtype=np.int64)
+    xfer = np.full((1, ndev, ndev), int(plan.cap) * 8, dtype=np.int64)
+    merged = ndev * int(plan.cap)
+    mp = np.full((ndev, 1, 1), merged, dtype=np.int64)
+    out = simulate_sharded_pipeline(
+        ndev, exp, sort_pairs, xfer, mp,
+        merge_sort_skip=False,
+        ici_bw_bytes=ici_bw_bytes, clock_hz=clock_hz,
+    )
+    ici_per_cycle = ici_bw_bytes / clock_hz
+    hops = (
+        sum(min(h, ndev - h) for h in range(1, ndev)) if ndev > 1 else 0
+    )
+    tail = (
+        merged * gather_cyc  # colsum gather
+        + sort_cycles(merged)  # column-major re-sort
+        + sort_cycles(int(plan.na))  # A-side CSC sort
+        + int(int(plan.ecap) * 8 * hops / 2.0 / ici_per_cycle)
+        + (
+            int(plan.m * 4 * 2 * (ndev - 1) / ndev / ici_per_cycle)
+            if ndev > 1
+            else 0
+        )
+    )
+    cycles = int(out["cycles"]) + tail
+    return dict(
+        cycles=cycles,
+        seconds=cycles / clock_hz,
+        pipeline_cycles=int(out["cycles"]),
+        tail_cycles=int(tail),
+    )
+
+
 def sort_cycles(pairs: int) -> int:
     """The sharded machine's sort-stage charge for one stream of
     ``pairs`` (comparison-network stages + 2 HBM passes + grid

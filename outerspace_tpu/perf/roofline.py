@@ -201,6 +201,40 @@ def predict_sharded_tiled(plan, cfg: TPUConfig = TPUConfig()) -> float:
     return t
 
 
+def predict_mcl_sharded_iteration(plan, cfg: TPUConfig = TPUConfig()) -> float:
+    """Per-iteration roofline of the device-resident sharded MCL loop
+    (``shard/mcl.py``): flat pair-gather expand (the measured ~14 ns/elem
+    random-access law), local owner-bucketing sort, exchange over the
+    ICI ring, biased-key merge, inflate/colnorm passes (dense column-sum
+    + psum + one random gather per element), and the CSC re-shard (two
+    sorts + the second all_to_all). The event-model counterpart is
+    ``perf.perfsim.simulate_mcl_sharded_iteration``; both exist so the
+    loop's measured per-iteration time has the same dual-model
+    cross-check as every other pipeline (the reference printed
+    analytical beside cycle-accurate, ``SimOuterSPACE.cpp:859-875``)."""
+    GATHER_NS = 14e-9
+    kx = plan.kx
+    merged = kx * plan.cap
+    hops = sum(min(h, kx - h) for h in range(1, kx)) if kx > 1 else 0
+    t = plan.p_pad * GATHER_NS  # flat expand: one pair gather/product
+    t += predict_sort_time(plan.p_pad, cfg)  # owner-bucketing sort
+    if kx > 1:
+        t += plan.cap * 8 * hops / 2.0 / cfg.ici_bw_bytes
+    t += predict_merge_time(merged, cfg)
+    # inflate/prune/colnorm: ~4 elementwise passes + the dense column
+    # sum (scatter + psum ring) + one colsum gather per element
+    t += cfg.time(merged * 4, merged * 5 * 4, "vpu")
+    t += merged * GATHER_NS
+    if kx > 1:
+        t += plan.m * 4 * 2 * (kx - 1) / kx / cfg.ici_bw_bytes
+    # CSC re-shard: column-major re-sort, exchange, A-side sort
+    t += predict_sort_time(merged, cfg)
+    if kx > 1:
+        t += plan.ecap * 8 * hops / 2.0 / cfg.ici_bw_bytes
+    t += predict_sort_time(plan.na, cfg)
+    return t
+
+
 def predict_mcl_time(
     p_stage1: int,
     p_pads: list[int] | tuple[int, ...],

@@ -17,3 +17,6 @@ from outerspace_tpu.shard.tiled import (  # noqa: F401
     sharded_tiled_to_csr,
     spgemm_sharded_tiled,
 )
+from outerspace_tpu.shard.mcl import (  # noqa: F401
+    markov_cluster_sharded_device,
+)
