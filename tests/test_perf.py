@@ -548,6 +548,43 @@ class TestShardedEventModel:
         )["cycles"]
         assert two <= one * 1.05
 
+    def test_ici_couples_into_hbm(self):
+        # In-flight exchange transfers read source HBM and write
+        # destination HBM, so an overlapped merge only gets the
+        # RESIDUAL bandwidth. Evidence: the chunk-overlap win must
+        # SHRINK when HBM is tight enough that the ICI demand matters
+        # (tight = HBM rate ~= the per-node ICI demand), and be intact
+        # when HBM is far faster than ICI (the real chip's ratio).
+        ndev = 2
+
+        def overlap_win():
+            # io-heavy merges (tiny sort/epilogue) + big transfers
+            kw = dict(merge_sort_skip=True, ici_bw_bytes=60.0 * 0.94e9)
+            one = native.simulate_sharded_pipeline(
+                ndev, [10] * ndev, [0] * ndev,
+                np.full((1, ndev, ndev), 1 << 24, np.int64),
+                np.full((ndev, 1, 1), 1 << 22, np.int64), **kw,
+            )["cycles"]
+            two = native.simulate_sharded_pipeline(
+                ndev, [10] * ndev, [0] * ndev,
+                np.full((2, ndev, ndev), 1 << 23, np.int64),
+                np.full((ndev, 2, 1), 1 << 21, np.int64), **kw,
+            )["cycles"]
+            return one - two
+
+        try:
+            # plenty of HBM: overlap hides most of chunk 2's transfer
+            native.set_config(hbm_bytes_per_cycle=1000.0)
+            win_loose = overlap_win()
+            # HBM rate == the ICI per-node demand (send + recv = 2x60):
+            # overlapped merges stall while transfers are in flight
+            native.set_config(hbm_bytes_per_cycle=120.0)
+            win_tight = overlap_win()
+        finally:
+            native.set_config(**native.CALIBRATED_CONFIG)
+        assert win_loose > 0
+        assert win_tight < win_loose * 0.7, (win_tight, win_loose)
+
     def test_plan_event_vs_roofline_bracket(self):
         # The two multi-chip models charge the SAME plan streams
         # (commonized expand, capacity buckets, mcap merge parts) with
