@@ -316,7 +316,9 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
             json.dumps({"tunnel_probe_inflight_s": cap_s}),
             file=sys.stderr, flush=True,
         )
-        if _CACHE["enabled"]:
+        if _CACHE["enabled"] and not os.environ.get(
+            "OUTERSPACE_KEEP_CACHE"
+        ):
             # A capped probe means the cache did NOT save this run —
             # the entries are stale, or the day is degraded enough that
             # even loads crawl. Fall back to cold-compile shedding and
@@ -326,6 +328,10 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
             # that is honored after the cache is initialized — updating
             # jax_compilation_cache_dir at this point is ignored
             # (observed live: the "disabled" run kept writing entries).
+            # OUTERSPACE_KEEP_CACHE=1 skips the disable: the
+            # REGENERATION workflow (cold run into a fresh dir that
+            # becomes the one committed generation) wants every write
+            # even when the probe rides a degraded window.
             try:
                 jax.config.update("jax_enable_compilation_cache", False)
                 _CACHE["enabled"] = False
