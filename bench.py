@@ -263,7 +263,7 @@ def _cache_key_canary() -> None:
               file=sys.stderr, flush=True)
 
 
-def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
+def _tunnel_probe(cap_s: float = 90.0, healthy_s: float = 12.0) -> float:
     """Tunnel-health probe: one tiny jit compile (~10 s healthy, minutes
     degraded) seeds the workload-shedding degrade factor and leaves a
     diagnostic stderr record so a thin capture is attributable to tunnel
@@ -277,23 +277,37 @@ def _tunnel_probe(cap_s: float = 45.0, healthy_s: float = 12.0) -> float:
     transient and the probe absorbed all of it). Past the cap the suite
     proceeds with the cap as the degrade seed; the probe record is
     emitted whenever the compile actually lands (or as
-    ``tunnel_probe_inflight_s`` at cap time)."""
+    ``tunnel_probe_inflight_s`` at cap time).
+
+    The FIRST DEVICE CONTACT (tunnel handshake + a trivial program) is
+    warmed and reported SEPARATELY before the timed compile: measured
+    live at ~60 s on a slow evening while the very same session's
+    compiles ran 14-20 s — attributing that to the probe capped it at
+    the old 45 s bound and disabled the committed cache exactly when it
+    would have helped (the r05 regeneration runs caught this). The cap
+    is 90 s so only a genuinely wedged tunnel trips the disable."""
     import threading
 
     import jax
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    probe: dict = {"s": None}
+    probe: dict = {"s": None, "contact": None}
 
     def probe_fn():
+        tc = time.perf_counter()
+        _sync_scalar(jnp.ones((), jnp.float32) + 1.0)
+        probe["contact"] = time.perf_counter() - tc
+        t0 = time.perf_counter()
         _sync_scalar(
             jax.jit(
                 lambda a: jax.lax.sort((a, a), num_keys=1)[0][-1]
             )(jnp.arange(131072, dtype=jnp.int32))
         )
         probe["s"] = time.perf_counter() - t0
-        rec = {"tunnel_probe_compile_s": round(probe["s"], 1)}
+        rec = {
+            "tunnel_probe_compile_s": round(probe["s"], 1),
+            "device_contact_s": round(probe["contact"], 1),
+        }
         if _CACHE["enabled"]:
             # A cache hit is an executable LOAD, not a compile: the
             # serialized binary ships over the tunnel's slow data path
