@@ -1479,13 +1479,16 @@ def main() -> None:
             (100, "sharded_rmat16_1x1",
              lambda: bench_sharded(16, seed=5, k_ops=3)),
             (40, "triangles_rmat13", bench_triangles),
-            (60, "sparse_lenet_infer_b256", bench_lenet_inference),
-            (40, "sharded_rmat13_1x1", bench_sharded),
-            # structured-operand tail records: banded + 2-D mesh
+            # structured-operand records: banded + 2-D mesh (cheap
+            # flat-path programs — ahead of the two records below whose
+            # warm cost is dominated by multi-MB executable LOADS, so a
+            # slow-tunnel evening sheds at most those two)
             (25, "band2048_p5_a2",
              lambda: bench_structured("band2048_p5.mtx")),
             (25, "mesh2d_48_a2",
              lambda: bench_structured("mesh2d_48.mtx")),
+            (60, "sparse_lenet_infer_b256", bench_lenet_inference),
+            (40, "sharded_rmat13_1x1", bench_sharded),
         ):
             if _time_left() > gate:
                 _stage(name)
