@@ -296,6 +296,37 @@ class TestCLI:
         assert out.returncode == 0, out.stderr
         assert f"triangles (mesh 2x2): {n_ref}" in out.stdout
 
+    def test_graph_cli_mcl_mesh_device_loop(self, tmp_path):
+        # --loop device: the WHOLE MCL loop device-resident under
+        # shard_map (shard/mcl.py); cluster count must match the host
+        # backend on the same mesh
+        import subprocess as _sp
+
+        g = erdos_renyi(24, 24, 0.15, seed=4)
+        p = str(tmp_path / "g.mtx")
+        write_mtx(p, g)
+        env = {
+            **__import__("os").environ,
+            "JAX_PLATFORMS": "cpu",
+            "OUTERSPACE_FORCE_CPU": "1",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        }
+        ref = _sp.run(
+            [sys.executable, "-m", "outerspace_tpu.cli",
+             "graph", "mcl", p, "--mesh", "2,2", "--iters", "3"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert ref.returncode == 0, ref.stderr
+        n_ref = int(ref.stdout.split("host loop):")[1].split("clusters")[0])
+        out = _sp.run(
+            [sys.executable, "-m", "outerspace_tpu.cli",
+             "graph", "mcl", p, "--mesh", "2,2", "--iters", "3",
+             "--loop", "device"],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert out.returncode == 0, out.stderr
+        assert f"mcl (mesh 2x2, device loop): {n_ref} clusters" in out.stdout
+
     def test_predict_cli_dual_model(self, tmp_path):
         # capacity planning without a device: both models print for an
         # arbitrary mesh size (no device count requirement)
