@@ -510,7 +510,9 @@ def cmd_predict(args) -> int:
     ny = dims[1] if len(dims) > 1 else 1
     plan = shard_plan_tiled(a_csc, b_csr, kx=kx, ny=ny)
     print(f"multiply flops: {spgemm_flops(a_csc, b_csr)}")
-    print(f"mesh {kx}x{ny}: per-device stream {plan.stream_len}, "
+    mode = "rebased per-bucket keys" if plan.rebase else "global keys"
+    print(f"mesh {kx}x{ny} ({mode}): per-device stream "
+          f"{plan.stream_len}, "
           f"exchange capacity {plan.capacity} x{plan.chunks} chunk(s), "
           f"merge {plan.merge_parts} part(s) x {plan.kx * plan.mcap}")
     print(
