@@ -495,6 +495,37 @@ class TestShardedTiledRebased:
         jaxpr = str(jax.make_jaxpr(fn)(*args))
         assert jaxpr.count(" sort[") == 3, jaxpr.count(" sort[")
 
+    def test_rectangular_big_key_space(self):
+        # m ≠ n with m·n > 2³² (1,048,576 × 8,192 = 2³³): the rebased
+        # mode's span cap comes from n alone, rows rebase per bucket.
+        m, n = 1 << 20, 1 << 13
+        rng = np.random.default_rng(11)
+        k = 64
+        a = COO(
+            (m, k),
+            rng.integers(0, m, 300).astype(np.int64),
+            rng.integers(0, k, 300).astype(np.int64),
+            rng.random(300).astype(np.float32) + 0.1,
+        ).deduplicated()
+        b = COO(
+            (k, n),
+            rng.integers(0, k, 200).astype(np.int64),
+            rng.integers(0, n, 200).astype(np.int64),
+            rng.random(200).astype(np.float32) + 0.1,
+        ).deduplicated()
+        from outerspace_tpu.shard.tiled import (
+            shard_plan_tiled,
+            sharded_tiled_to_csr,
+            spgemm_sharded_tiled,
+        )
+
+        mesh4 = make_mesh((4,), ("x",), devices=jax.devices()[:4])
+        plan = shard_plan_tiled(a.to_csc(), b.to_csr(), kx=4)
+        assert plan.rebase
+        out = spgemm_sharded_tiled(plan, mesh4, axes="x")
+        got = sharded_tiled_to_csr(plan, out)
+        assert_csr_allclose(got, spgemm_scipy(a, b), rtol=1e-5, atol=1e-6)
+
     def test_chunk_starts_span_capped(self):
         from outerspace_tpu.shard.tiled import _owner_chunk_starts
 

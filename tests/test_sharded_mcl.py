@@ -98,6 +98,35 @@ class TestShardedDeviceMcl:
             got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
         )
 
+    def test_non_divisible_rows_and_empty_devices(self):
+        # m = 10 on kx = 8: rows_per_x = 2, devices 5-7 own EMPTY row
+        # ranges — their merges see only sentinels and their convergence
+        # votes must not poison the psum.
+        from outerspace_tpu.shard.mcl import markov_cluster_sharded_device
+
+        g = erdos_renyi(10, 10, 0.3, seed=2)
+        ref = markov_cluster(g, iters=3, backend="scipy")
+        got = markov_cluster_sharded_device(
+            g, make_mesh((8,), ("x",)), axes="x", iters=3
+        )
+        assert got.nnz == ref.nnz
+        np.testing.assert_allclose(
+            got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
+        )
+
+    def test_odd_m_partial_last_range(self):
+        from outerspace_tpu.shard.mcl import markov_cluster_sharded_device
+
+        g = erdos_renyi(23, 23, 0.2, seed=8)
+        ref = markov_cluster(g, iters=3, backend="scipy")
+        got = markov_cluster_sharded_device(
+            g, make_mesh((8,), ("x",)), axes="x", iters=3
+        )
+        assert got.nnz == ref.nnz
+        np.testing.assert_allclose(
+            got.to_dense(), ref.to_dense(), rtol=1e-4, atol=1e-5
+        )
+
     def test_dual_model_predictions(self):
         # Both perf models produce finite, ordered-sane per-iteration
         # predictions for the loop's plan (the done-criterion's
